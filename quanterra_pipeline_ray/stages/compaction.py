@@ -1,0 +1,167 @@
+"""Small-file compaction: bin-pack fragments into target-size files.
+
+Generalizes the reference's blob copy-with-recompression, including its
+"skip if already compressed" fast path (reference
+`src/clients/google_cloud_storage_client.py:122-163`): files already near the
+target size are carried forward into the new snapshot without a rewrite.
+
+Plan: driver bin-packs manifest entries first-fit-decreasing on file bytes.
+Execute: a control ``Dataset`` with one bin per block; each bin is a stateless
+Ray Data task that streams its input fragments through Arrow and writes ONE
+content-addressed output file, a checkpoint record, and a lineage record.
+No shuffle — embarrassingly parallel, the headline scaling op.  At 100 TB the
+driver holds only manifest entries (O(file count)), never data.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import TRANSCRIPTS_SCHEMA, ensure_schema
+from ..state.checkpoint import Checkpoint
+from ..state.lineage import lineage_record, store_lineage
+from ..state.manifest import DataFile, Snapshot, TranscriptTable, write_data_file
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def plan_bins(
+    files: list[DataFile],
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    carry_forward_ratio: float = 0.75,
+) -> tuple[list[list[DataFile]], list[DataFile]]:
+    """First-fit-decreasing bin packing on file bytes.
+
+    Returns ``(bins, carried)``: ``bins`` are groups to rewrite; ``carried``
+    are files already >= ``carry_forward_ratio * target_bytes`` that pass into
+    the new snapshot untouched (the "already compressed → skip" semantic).
+    """
+    carried = [f for f in files if f.bytes >= carry_forward_ratio * target_bytes]
+    todo = sorted(
+        (f for f in files if f.bytes < carry_forward_ratio * target_bytes),
+        key=lambda f: f.bytes,
+        reverse=True,
+    )
+    bins: list[list[DataFile]] = []
+    sizes: list[int] = []
+    for f in todo:
+        for i, s in enumerate(sizes):
+            if s + f.bytes <= target_bytes:
+                bins[i].append(f)
+                sizes[i] += f.bytes
+                break
+        else:
+            bins.append([f])
+            sizes.append(f.bytes)
+    # a singleton bin is a rewrite of one small file into itself: only useful
+    # if it merges with nothing — carry it forward instead of burning IO,
+    # unless it is the only content (so tests over tiny tables still compact).
+    if len(bins) > 1:
+        keep: list[list[DataFile]] = []
+        for b in bins:
+            if len(b) == 1:
+                carried.append(b[0])
+            else:
+                keep.append(b)
+        bins = keep if keep else bins
+    return bins, carried
+
+
+def _compact_bins_batch(batch) -> "Any":
+    """Stateless per-bin task: read fragments -> one sorted output file each.
+
+    Receives a (usually single-row) pandas batch of JSON bin specs.
+    """
+    import pandas as pd
+
+    records = []
+    for spec_json in batch["spec"]:
+        spec = json.loads(spec_json)
+        t0 = time.monotonic()
+        tables = [ensure_schema(pq.read_table(p), TRANSCRIPTS_SCHEMA) for p in spec["paths"]]
+        merged = pa.concat_tables(tables)
+        out = write_data_file(merged, spec["root"])  # sorts by (conv_id, turn_idx) within file
+        lin = lineage_record(
+            op="compact",
+            partition_id=spec["bin_id"],
+            inputs=[{"path": p, "checksum": c} for p, c in zip(spec["paths"], spec["checksums"])],
+            outputs=[{"path": out.path, "checksum": out.checksum}],
+            rows_in=merged.num_rows,
+            rows_out=out.rows,
+            duration_s=time.monotonic() - t0,
+        )
+        record = {"datafile": out.to_json(), "lineage": lin, "removed": spec["rel_paths"]}
+        Checkpoint.write_record(spec["ckpt_dir"], spec["bin_id"], record)
+        records.append(json.dumps(record))
+    return pd.DataFrame({"record": records})
+
+
+def compact(
+    table: TranscriptTable,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    carry_forward_ratio: float = 0.75,
+    snapshot_id: int | None = None,
+) -> Snapshot:
+    """Compact the current (or given) snapshot; returns the new snapshot.
+
+    Resumable: the op id is a pure function of (base snapshot, target size),
+    so a rerun after a crash skips bins whose checkpoint records exist and
+    replays only the rest; content-addressed outputs make replays idempotent.
+    """
+    import ray.data as rd
+
+    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    files = table.files(base)
+    bins, carried = plan_bins(files, target_bytes, carry_forward_ratio)
+
+    op_id = f"compact-s{base}-t{target_bytes}"
+    ckpt = Checkpoint(table.root, op_id)
+    done = ckpt.completed()
+
+    items = []
+    results: list[dict[str, Any]] = []
+    for i, b in enumerate(bins):
+        if str(i) in done:
+            results.append(done[str(i)])
+            continue
+        items.append(
+            {
+                "spec": json.dumps(
+                    {
+                        "bin_id": i,
+                        "root": table.root,
+                        "paths": [
+                            f.path if f.path.startswith("/") else table._p(f.path) for f in b
+                        ],
+                        "rel_paths": [f.path for f in b],
+                        "checksums": [f.checksum for f in b],
+                        "ckpt_dir": ckpt.dir,
+                    }
+                )
+            }
+        )
+
+    if items:
+        ds = rd.from_items(items, override_num_blocks=len(items))
+        out = ds.map_batches(_compact_bins_batch, batch_size=None, batch_format="pandas").take_all()
+        results.extend(json.loads(r["record"]) for r in out)
+
+    added = [DataFile.from_json(r["datafile"]) for r in results]
+    removed = [p for r in results for p in r["removed"]]
+    # dedup: two bins can never share inputs, but a resumed run may double-list
+    removed = list(dict.fromkeys(removed))
+    snap = table.commit(
+        added,
+        removed_paths=removed,
+        operation="compact",
+        summary={"target_bytes": target_bytes, "bins": len(bins), "carried": len(carried)},
+        base_snapshot_id=base,
+    )
+    store_lineage(table.root, snap.snapshot_id, [r["lineage"] for r in results])
+    ckpt.clear()
+    return snap

@@ -1,0 +1,327 @@
+"""Copy-on-write manifest / snapshot tree for a transcripts table.
+
+The reference engine's storage contract is: deterministic object keys derived
+from the payload (reference `src/models/data/eodhd_models.py:29-32`), a
+metadata envelope stored next to the data (`eodhd_models.py:15-27`), and
+idempotent last-writer-wins overwrites.  The new engine makes that contract
+explicit as a tiny lakehouse layout:
+
+```
+<root>/
+  data/        part-<sha256[:20]>.parquet        content-addressed data files
+  manifests/   m-<sha256[:20]>.json              immutable file lists + stats
+  snapshots/   s<NNNN>.json                      snapshot -> manifest pointer
+  checkpoints/ <op_id>/p-<partition>.json        per-partition completion records
+  lineage/     s<NNNN>/*.json                    per-partition lineage records
+  _latest                                        current snapshot id (atomic rename)
+```
+
+Every maintenance op commits copy-on-write: it writes new data files and a
+new manifest, then atomically swaps ``_latest``.  Old snapshots keep their
+file lists, so a reader pinned to snapshot N never observes compacted files
+(snapshot isolation).  A crashed commit leaves only unreferenced files —
+invisible to readers, collected later by :mod:`..stages.expire`.
+
+Content-addressed data-file names make replays idempotent, the Ray-native
+version of the reference's deterministic-overwrite idempotency
+(`eodhd_models.py:29-32` + `google_cloud_storage_client.py:74`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schema import STATS_COLUMNS, TRANSCRIPTS_SCHEMA, ensure_schema
+
+_LATEST = "_latest"
+
+
+@dataclass(frozen=True)
+class DataFile:
+    """Manifest entry for one parquet data file (path relative to table root)."""
+
+    path: str
+    rows: int
+    bytes: int
+    checksum: str  # sha256 of the file bytes
+    stats: dict[str, list[Any]] = field(default_factory=dict)  # col -> [min, max]
+
+    def to_json(self) -> dict[str, Any]:
+        return asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "DataFile":
+        return cls(
+            path=d["path"],
+            rows=int(d["rows"]),
+            bytes=int(d["bytes"]),
+            checksum=d["checksum"],
+            stats=d.get("stats", {}),
+        )
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    manifest: str  # manifests/<name>.json, relative to root
+    operation: str
+    summary: dict[str, Any]
+
+    def to_json(self) -> dict[str, Any]:
+        return asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "Snapshot":
+        return cls(
+            snapshot_id=int(d["snapshot_id"]),
+            parent_id=d.get("parent_id"),
+            manifest=d["manifest"],
+            operation=d.get("operation", ""),
+            summary=d.get("summary", {}),
+        )
+
+
+def _atomic_write(path: str, payload: bytes) -> None:
+    """Write-temp + rename so a crash never leaves a torn file."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _scalar_to_json(v: Any) -> Any:
+    """Arrow scalar -> JSON-storable (timestamps become ISO strings)."""
+    import datetime
+
+    if isinstance(v, pa.Scalar):
+        v = v.as_py()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return v
+
+
+def table_stats(table: pa.Table, columns: Iterable[str] = STATS_COLUMNS) -> dict[str, list[Any]]:
+    stats: dict[str, list[Any]] = {}
+    for col in columns:
+        if col not in table.column_names or table.num_rows == 0:
+            continue
+        mm = pc.min_max(table.column(col))
+        stats[col] = [_scalar_to_json(mm["min"]), _scalar_to_json(mm["max"])]
+    return stats
+
+
+def write_data_file(
+    table: pa.Table,
+    root: str,
+    schema: pa.Schema = TRANSCRIPTS_SCHEMA,
+    sort_within: bool = True,
+    compression: str = "zstd",
+) -> DataFile:
+    """Serialize ``table`` to a content-addressed parquet file under ``root``/data.
+
+    Safe to call from any Ray task/actor: the name is the sha256 of the file
+    bytes, so concurrent or replayed writers of identical content converge on
+    one file (idempotent, like the reference's deterministic overwrite paths).
+    Rows are sorted by ``(conv_id, turn_idx)`` within the file so every data
+    file independently satisfies the stable-ordering invariant.
+    """
+    table = ensure_schema(table, schema)
+    if sort_within and table.num_rows > 1 and {"conv_id", "turn_idx"} <= set(table.column_names):
+        table = table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression=compression)
+    payload = buf.getvalue()
+    sha = hashlib.sha256(payload).hexdigest()
+    rel = f"data/part-{sha[:20]}.parquet"
+    abspath = os.path.join(root, rel)
+    if not os.path.exists(abspath):
+        _atomic_write(abspath, payload)
+    return DataFile(
+        path=rel, rows=table.num_rows, bytes=len(payload), checksum=sha, stats=table_stats(table)
+    )
+
+
+class TranscriptTable:
+    """Driver-side handle to one table root; all mutation goes through commits."""
+
+    def __init__(self, root: str, schema: pa.Schema = TRANSCRIPTS_SCHEMA):
+        self.root = os.path.abspath(root)
+        self.schema = schema
+
+    # -- layout ------------------------------------------------------------
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    @classmethod
+    def create(cls, root: str, schema: pa.Schema = TRANSCRIPTS_SCHEMA) -> "TranscriptTable":
+        t = cls(root, schema)
+        for d in ("data", "manifests", "snapshots", "checkpoints", "lineage"):
+            os.makedirs(t._p(d), exist_ok=True)
+        if not os.path.exists(t._p(_LATEST)):
+            t._commit_manifest([], parent=None, operation="create", summary={})
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "TranscriptTable":
+        t = cls(root)
+        if not os.path.exists(t._p(_LATEST)):
+            raise FileNotFoundError(f"not a table root (no {_LATEST}): {root}")
+        return t
+
+    # -- snapshots ---------------------------------------------------------
+    def current_snapshot_id(self) -> int:
+        with open(self._p(_LATEST)) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        with open(self._p("snapshots", f"s{sid:06d}.json")) as f:
+            return Snapshot.from_json(json.load(f))
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for name in sorted(os.listdir(self._p("snapshots"))):
+            if name.startswith("s") and name.endswith(".json"):
+                with open(self._p("snapshots", name)) as f:
+                    out.append(Snapshot.from_json(json.load(f)))
+        return out
+
+    def files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        snap = self.snapshot(snapshot_id)
+        with open(self._p(snap.manifest)) as f:
+            entries = json.load(f)["files"]
+        return [DataFile.from_json(e) for e in entries]
+
+    # -- commit ------------------------------------------------------------
+    def _commit_manifest(
+        self,
+        files: list[DataFile],
+        parent: int | None,
+        operation: str,
+        summary: dict[str, Any],
+    ) -> Snapshot:
+        files = sorted(files, key=lambda f: f.path)
+        manifest_doc = {"files": [f.to_json() for f in files]}
+        payload = json.dumps(manifest_doc, sort_keys=True).encode()
+        mname = f"manifests/m-{hashlib.sha256(payload).hexdigest()[:20]}.json"
+        _atomic_write(self._p(mname), payload)
+
+        sid = 0 if parent is None else parent + 1
+        # guard against concurrent committers racing to the same id
+        while os.path.exists(self._p("snapshots", f"s{sid:06d}.json")):
+            sid += 1
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=parent,
+            manifest=mname,
+            operation=operation,
+            summary={
+                **summary,
+                "total_rows": sum(f.rows for f in files),
+                "total_bytes": sum(f.bytes for f in files),
+                "num_files": len(files),
+            },
+        )
+        _atomic_write(
+            self._p("snapshots", f"s{sid:06d}.json"),
+            json.dumps(snap.to_json(), sort_keys=True).encode(),
+        )
+        _atomic_write(self._p(_LATEST), str(sid).encode())
+        return snap
+
+    def commit(
+        self,
+        added: Iterable[DataFile],
+        removed_paths: Iterable[str] = (),
+        operation: str = "append",
+        summary: dict[str, Any] | None = None,
+        base_snapshot_id: int | None = None,
+    ) -> Snapshot:
+        """Copy-on-write commit: ``new = (base - removed) + added``."""
+        base = self.current_snapshot_id() if base_snapshot_id is None else base_snapshot_id
+        current = {f.path: f for f in self.files(base)}
+        removed = set(removed_paths)
+        unknown = removed - set(current)
+        if unknown:
+            raise ValueError(f"commit removes files not in snapshot s{base}: {sorted(unknown)[:5]}")
+        kept = [f for p, f in current.items() if p not in removed]
+        added = list(added)
+        return self._commit_manifest(
+            kept + added,
+            parent=base,
+            operation=operation,
+            summary={**(summary or {}), "added_files": len(added), "removed_files": len(removed)},
+        )
+
+    def append_table(self, table: pa.Table, operation: str = "append") -> Snapshot:
+        """Driver-side convenience append of one in-memory Arrow table."""
+        df = write_data_file(table, self.root, self.schema)
+        return self.commit([df], operation=operation)
+
+    def register_fragments(self, paths: Iterable[str], operation: str = "register") -> Snapshot:
+        """Adopt pre-existing parquet fragments (e.g. synthetic input files).
+
+        Files outside ``root`` are referenced by absolute path; stats and
+        checksums are computed from the file bytes.
+        """
+        entries = []
+        for p in paths:
+            raw = open(p, "rb").read()
+            t = pq.read_table(io.BytesIO(raw))
+            rel = os.path.relpath(p, self.root) if p.startswith(self.root) else p
+            entries.append(
+                DataFile(
+                    path=rel,
+                    rows=t.num_rows,
+                    bytes=len(raw),
+                    checksum=hashlib.sha256(raw).hexdigest(),
+                    stats=table_stats(t),
+                )
+            )
+        return self.commit(entries, operation=operation)
+
+    # -- scan --------------------------------------------------------------
+    def file_paths(self, snapshot_id: int | None = None) -> list[str]:
+        return [
+            f.path if os.path.isabs(f.path) else self._p(f.path)
+            for f in self.files(snapshot_id)
+        ]
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+        **read_kwargs: Any,
+    ):
+        """``ray.data.Dataset`` over exactly the snapshot's manifest file list.
+
+        Readers resolve the file list ONCE at pin time — the backbone of
+        snapshot isolation: compaction committing a newer snapshot never
+        changes what this dataset reads.
+        """
+        import ray.data as rd
+
+        paths = self.file_paths(snapshot_id)
+        if not paths:
+            return rd.from_arrow(self.schema.empty_table())
+        return rd.read_parquet(paths, columns=columns, **read_kwargs)
+
+    def read_all(self, snapshot_id: int | None = None) -> pa.Table:
+        """Driver-side full read (tests / small tables only)."""
+        paths = self.file_paths(snapshot_id)
+        if not paths:
+            return self.schema.empty_table()
+        tables = [ensure_schema(pq.read_table(p), self.schema) for p in paths]
+        return pa.concat_tables(tables)

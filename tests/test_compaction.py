@@ -1,0 +1,97 @@
+import os
+
+from quanterra_pipeline_ray.state.checkpoint import Checkpoint
+from quanterra_pipeline_ray.state.lineage import load_lineage
+from quanterra_pipeline_ray.state.manifest import DataFile, TranscriptTable
+from quanterra_pipeline_ray.stages.compaction import compact, plan_bins
+from quanterra_pipeline_ray.synth import content_fingerprint, fragment_table, generate_transcripts
+
+
+def _fragmented_table(tmp_path, n_files=12, **gen):
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(**{"n_convs": 30, "seed": 3, "mean_turns": 8, "hot_convs": 2, "hot_turns": 60, **gen})
+    paths = fragment_table(data, os.path.join(root, "data", "frags"), n_files)
+    table.register_fragments(paths)
+    return table, data
+
+
+def test_plan_bins_covers_all_and_respects_target():
+    files = [DataFile(path=f"data/f{i}.parquet", rows=10, bytes=b, checksum=str(i)) for i, b in enumerate([50, 40, 30, 30, 20, 10, 100])]
+    bins, carried = plan_bins(files, target_bytes=100, carry_forward_ratio=0.75)
+    seen = {f.path for b in bins for f in b} | {f.path for f in carried}
+    assert seen == {f.path for f in files}
+    for b in bins:
+        assert sum(f.bytes for f in b) <= 100 or len(b) == 1
+    assert any(f.bytes == 100 for f in carried)  # big file skipped (carry forward)
+
+
+def test_compact_scan_equality(tmp_path):
+    table, data = _fragmented_table(tmp_path)
+    before = content_fingerprint(table.read_all())
+    assert before == content_fingerprint(data)
+    n_before = len(table.files())
+    snap = compact(table, target_bytes=1 << 20)
+    assert len(table.files()) < n_before
+    after = content_fingerprint(table.read_all())
+    assert after == before  # per-turn text equality under (conv_id, turn_idx) ordering
+
+
+def test_compact_snapshot_isolation(tmp_path):
+    table, _ = _fragmented_table(tmp_path)
+    pinned = table.current_snapshot_id()
+    pinned_paths = set(table.file_paths(pinned))
+    compact(table, target_bytes=1 << 20)
+    # reader pinned to the old snapshot still resolves the exact same files
+    assert set(table.file_paths(pinned)) == pinned_paths
+    assert all(os.path.exists(p) for p in pinned_paths)  # nothing deleted by compaction
+    assert table.scan(pinned).count() == table.scan().count()
+
+
+def test_compact_emits_lineage(tmp_path):
+    table, _ = _fragmented_table(tmp_path)
+    snap = compact(table, target_bytes=1 << 20)
+    recs = load_lineage(table.root, snap.snapshot_id)
+    assert recs, "lineage records written"
+    assert all(r["op"] == "compact" for r in recs)
+    assert sum(r["rows_out"] for r in recs) == table.read_all().num_rows
+    for r in recs:
+        assert r["inputs"] and all("checksum" in i for i in r["inputs"])
+
+
+def test_compact_resume_skips_completed(tmp_path, monkeypatch):
+    table, _ = _fragmented_table(tmp_path, n_files=8)
+    base = table.current_snapshot_id()
+    files = table.files(base)
+    from quanterra_pipeline_ray.stages import compaction as comp
+
+    bins, _carried = plan_bins(files, target_bytes=1 << 20)
+    assert len(bins) >= 1
+
+    # simulate a crashed run: execute only bin 0 by hand, leave its checkpoint
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    op_id = f"compact-s{base}-t{1 << 20}"
+    ckpt = Checkpoint(table.root, op_id)
+    spec = {
+        "bin_id": 0,
+        "root": table.root,
+        "paths": [f.path if f.path.startswith("/") else table._p(f.path) for f in bins[0]],
+        "rel_paths": [f.path for f in bins[0]],
+        "checksums": [f.checksum for f in bins[0]],
+        "ckpt_dir": ckpt.dir,
+    }
+    comp._compact_bins_batch(pd.DataFrame({"spec": [_json.dumps(spec)]}))
+    assert len(ckpt.completed()) == 1
+
+    # resumed run must not re-execute bin 0: delete its input fragments so any
+    # attempt to re-read them would fail loudly
+    before = content_fingerprint(table.read_all())
+    for p in spec["paths"]:
+        os.remove(p)
+    compact(table, target_bytes=1 << 20)
+    assert content_fingerprint(table.read_all()) == before
+    assert ckpt.completed() == {}  # cleared after commit

@@ -1,0 +1,95 @@
+import os
+
+import pyarrow as pa
+import pytest
+
+from quanterra_pipeline_ray.schema import TRANSCRIPTS_SCHEMA, SchemaValidationError, ensure_schema
+from quanterra_pipeline_ray.state.manifest import TranscriptTable, write_data_file
+from quanterra_pipeline_ray.synth import content_fingerprint, generate_transcripts
+
+
+@pytest.fixture()
+def small_table():
+    return generate_transcripts(n_convs=20, seed=1, mean_turns=6, hot_convs=1, hot_turns=40)
+
+
+def test_generator_deterministic(small_table):
+    again = generate_transcripts(n_convs=20, seed=1, mean_turns=6, hot_convs=1, hot_turns=40)
+    assert small_table.equals(again)
+    assert small_table.schema.equals(TRANSCRIPTS_SCHEMA)
+    # (conv_id, turn_idx) is unique
+    import pandas as pd
+
+    df = small_table.to_pandas()
+    assert not df.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_ensure_schema_rejects_missing():
+    with pytest.raises(SchemaValidationError):
+        ensure_schema(pa.table({"conv_id": ["a"]}))
+
+
+def test_ensure_schema_casts():
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"]),
+            "turn_idx": pa.array([1], type=pa.int64()),
+            "role": ["user"],
+            "text": pa.array(["x"], type=pa.string()),
+            "tool": [""],
+            "ts": pa.array([1_700_000_000_000_000], type=pa.timestamp("us")),
+        }
+    )
+    out = ensure_schema(t)
+    assert out.schema.equals(TRANSCRIPTS_SCHEMA)
+
+
+def test_write_data_file_content_addressed(tmp_path, small_table):
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root)
+    a = write_data_file(small_table, root)
+    b = write_data_file(small_table, root)
+    assert a == b  # identical content -> identical file, no duplicate
+    assert os.path.exists(os.path.join(root, a.path))
+    assert a.stats["conv_id"][0] <= a.stats["conv_id"][1]
+    assert a.rows == small_table.num_rows
+
+
+def test_commit_cow_and_snapshot_isolation(tmp_path, small_table):
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    s0 = table.current_snapshot_id()
+    table.append_table(small_table)
+    s1 = table.current_snapshot_id()
+    assert s1 == s0 + 1
+    # old snapshot still lists zero files (copy-on-write, not mutation)
+    assert table.files(s0) == []
+    assert len(table.files(s1)) == 1
+    # appending again leaves s1's manifest untouched
+    table.append_table(small_table.slice(0, 5))
+    assert len(table.files(s1)) == 1
+    assert len(table.files()) == 2
+
+
+def test_scan_reads_pinned_file_list(tmp_path, small_table):
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    table.append_table(small_table)
+    pinned = table.current_snapshot_id()
+    ds = table.scan(pinned)
+    assert ds.count() == small_table.num_rows
+    got = ds.take_all()
+    assert len(got) == small_table.num_rows
+
+
+def test_commit_rejects_unknown_removal(tmp_path, small_table):
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    table.append_table(small_table)
+    with pytest.raises(ValueError):
+        table.commit([], removed_paths=["data/nope.parquet"], operation="x")
+
+
+def test_fingerprint_order_insensitive(small_table):
+    perm = small_table.take(pa.array(list(range(small_table.num_rows - 1, -1, -1))))
+    assert content_fingerprint(small_table) == content_fingerprint(perm)
