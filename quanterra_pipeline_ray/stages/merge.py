@@ -1,0 +1,387 @@
+"""MERGE INTO (upsert / delete) for the transcripts table.
+
+Makes explicit the reference's only merge semantic — last-writer-wins
+overwrite at a deterministic storage key (reference
+`src/models/data/eodhd_models.py:29-32` + blob overwrite at
+`src/clients/google_cloud_storage_client.py:74`) and its or-fallback source
+precedence (`eodhd_pipeline.py:54-63`) — as a keyed MERGE on
+``(conv_id, turn_idx)``:
+
+* source row with matching key replaces the target row (source wins),
+* source row with new key is inserted,
+* source row with ``__op == 'delete'`` removes the target row,
+* duplicate source keys resolve deterministically (max ``(ts, text)`` wins) —
+  a pure function of the group, so checkpoint replays commute.
+
+Partition pruning: only data files whose ``conv_id`` [min, max] stats
+intersect the source key set are rewritten; all other files carry into the
+new snapshot untouched.
+
+Two physical plans, selected by source size:
+
+* **hash-shuffle** (general, both sides large): tag ``__src``, union, add
+  ``__bucket = hash(conv_id) % B``, ``groupby('__bucket').map_groups`` with a
+  vectorized pandas resolver per bucket — the groupby-on-conv_id anti/semi
+  join.  Bucket count B bounds per-group memory; hot conversations share a
+  bucket only with ~1/B of the table.
+* **broadcast** (source below threshold): source is ``ray.put`` once; each
+  touched file is an independent task that resolves its own rows against the
+  broadcast source (semi/anti join, NO shuffle); unmatched source keys are
+  written by the driver as insert files.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import TRANSCRIPTS_SCHEMA, ensure_schema
+from ..state.checkpoint import Checkpoint
+from ..state.lineage import lineage_record, store_lineage
+from ..state.manifest import DataFile, Snapshot, TranscriptTable, write_data_file
+from .skew import key_hash64
+
+KEY = ["conv_id", "turn_idx"]
+OP_COL = "__op"
+
+
+def _normalize_source(source: pa.Table) -> pa.Table:
+    """Cast source to schema + optional __op column (default 'upsert')."""
+    ops = (
+        source.column(OP_COL).cast(pa.string())
+        if OP_COL in source.column_names
+        else pa.array(["upsert"] * source.num_rows, type=pa.string())
+    )
+    body = ensure_schema(source.drop_columns([OP_COL]) if OP_COL in source.column_names else source)
+    return body.append_column(OP_COL, ops)
+
+
+def _dedupe_source(src: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic tiebreak for duplicate source keys: max (ts, text) wins."""
+    if src.duplicated(KEY).any():
+        src = src.sort_values(KEY + ["ts", "text"], kind="mergesort").drop_duplicates(
+            KEY, keep="last"
+        )
+    return src
+
+
+def _resolve(tgt: pd.DataFrame, src: pd.DataFrame) -> pd.DataFrame:
+    """Pure vectorized MERGE resolution: returns the merged rows (pandas)."""
+    src = _dedupe_source(src)
+    if len(tgt):
+        flags = tgt[KEY].merge(src[KEY], on=KEY, how="left", indicator=True)["_merge"].to_numpy()
+        tgt = tgt[flags == "left_only"]
+    ins = src[src[OP_COL] != "delete"].drop(columns=[OP_COL])
+    out = pd.concat([tgt, ins], ignore_index=True)
+    return out.sort_values(KEY, kind="mergesort")
+
+
+def prune_touched_files(files: list[DataFile], source_conv_ids: np.ndarray) -> list[DataFile]:
+    """Files whose conv_id [min,max] stats contain at least one source key."""
+    keys = np.sort(np.asarray(source_conv_ids, dtype=object))
+    touched = []
+    for f in files:
+        stats = f.stats.get("conv_id")
+        if stats is None:
+            touched.append(f)  # no stats -> must assume touched
+            continue
+        lo = np.searchsorted(keys, stats[0], side="left")
+        hi = np.searchsorted(keys, stats[1], side="right")
+        if lo < hi:
+            touched.append(f)
+    return touched
+
+
+# ---------------------------------------------------------------- shuffle plan
+def _make_bucket_resolver(root: str, target_rows: int, ckpt_dir: str, base_snapshot: int):
+    def resolve_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({"record": pd.Series([], dtype=object)})
+        t0 = time.monotonic()
+        bucket = int(group["__bucket"].iloc[0])
+        tgt = group[group["__src"] == 0].drop(columns=["__src", "__bucket", OP_COL])
+        src = group[group["__src"] == 1].drop(columns=["__src", "__bucket"])
+        merged = _resolve(tgt, src)
+        outs = []
+        for off in range(0, len(merged), target_rows):
+            chunk = pa.Table.from_pandas(merged.iloc[off : off + target_rows], preserve_index=False)
+            outs.append(write_data_file(chunk, root))
+        lin = lineage_record(
+            op="merge",
+            partition_id=bucket,
+            inputs=[{"snapshot": base_snapshot}],
+            outputs=[{"path": o.path, "checksum": o.checksum} for o in outs],
+            rows_in=len(group),
+            rows_out=sum(o.rows for o in outs),
+            duration_s=time.monotonic() - t0,
+        )
+        record = {"datafiles": [o.to_json() for o in outs], "lineage": lin}
+        Checkpoint.write_record(ckpt_dir, bucket, record)
+        return pd.DataFrame({"record": [json.dumps(record)]})
+
+    return resolve_bucket
+
+
+class _BucketTagger:
+    """Adds __bucket = hash(conv_id) % B (vectorized, deterministic)."""
+
+    def __init__(self, num_buckets: int):
+        self.b = np.uint64(num_buckets)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id").to_pandas()
+        bucket = (key_hash64(conv) % self.b).astype(np.int64)
+        return t.append_column("__bucket", pa.array(bucket, type=pa.int64()))
+
+
+# -------------------------------------------------------------- broadcast plan
+def _make_merge_file_task(source_ref):
+    """Per-file task factory; the broadcast source's ObjectRef is captured in
+    the closure so Ray ships ownership metadata with it (`ray.put` once on the
+    driver, `ray.get` zero-copy in every task — no per-task reshipping)."""
+
+    def _merge_file_task(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        src_table: pa.Table = ray.get(source_ref)
+        src = src_table.to_pandas()
+        records = []
+        for spec_json in batch["spec"]:
+            spec = json.loads(spec_json)
+            t0 = time.monotonic()
+            tgt = ensure_schema(pq.read_table(spec["path"]), TRANSCRIPTS_SCHEMA).to_pandas()
+            # semi-join: which source keys live in THIS file (update lands here)
+            hit_flags = src[KEY].merge(tgt[KEY], on=KEY, how="left", indicator=True)[
+                "_merge"
+            ].to_numpy()
+            hits = src[hit_flags == "both"]
+            merged = _resolve(tgt, hits) if len(hits) else tgt.sort_values(KEY, kind="mergesort")
+            out = write_data_file(pa.Table.from_pandas(merged, preserve_index=False), spec["root"])
+            matched = hits[KEY].to_dict(orient="list")
+            lin = lineage_record(
+                op="merge",
+                partition_id=spec["file_id"],
+                inputs=[{"path": spec["path"], "checksum": spec["checksum"]}],
+                outputs=[{"path": out.path, "checksum": out.checksum}],
+                rows_in=len(tgt),
+                rows_out=out.rows,
+                duration_s=time.monotonic() - t0,
+            )
+            record = {
+                "datafiles": [out.to_json()],
+                "lineage": lin,
+                "matched": matched,
+                "removed": [spec["rel_path"]],
+            }
+            Checkpoint.write_record(spec["ckpt_dir"], spec["file_id"], record)
+            records.append(json.dumps(record))
+        return pd.DataFrame({"record": records})
+
+    return _merge_file_task
+
+
+# ----------------------------------------------------------------------- entry
+def merge_into(
+    table: TranscriptTable,
+    source: pa.Table | Any,
+    target_rows: int = 200_000,
+    num_buckets: int | None = None,
+    broadcast_threshold: int = 200_000,
+    snapshot_id: int | None = None,
+) -> Snapshot:
+    """MERGE ``source`` into the table; returns the new snapshot.
+
+    ``source``: Arrow table or Ray Dataset with the transcripts schema plus an
+    optional ``__op`` column ('upsert' | 'delete').  Resumable per partition
+    (bucket or touched file) via checkpoint records.
+    """
+    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    files = table.files(base)
+
+    if isinstance(source, pa.Table):
+        n_src = source.num_rows
+        src_convs = pa.compute.unique(source.column("conv_id")).to_numpy(zero_copy_only=False)
+    else:  # Ray Dataset: count + distinct keys computed distributedly; only the
+        # distinct conv_id list (bounded by touched conversations) reaches the driver
+        n_src = source.count()
+        src_convs = np.asarray(source.unique("conv_id"), dtype=object)
+    touched = prune_touched_files(files, src_convs)
+
+    if n_src <= broadcast_threshold:
+        if not isinstance(source, pa.Table):
+            batches = list(source.iter_batches(batch_format="pyarrow", batch_size=65536))
+            source = (
+                pa.concat_tables(batches) if batches else TRANSCRIPTS_SCHEMA.empty_table()
+            )
+        snap, lineage = _merge_broadcast(
+            table, _normalize_source(source), touched, base, target_rows
+        )
+    else:
+        snap, lineage = _merge_shuffle(table, source, touched, base, target_rows, num_buckets)
+    store_lineage(table.root, snap.snapshot_id, lineage)
+    return snap
+
+
+def _merge_broadcast(
+    table: TranscriptTable,
+    source: pa.Table,
+    touched: list[DataFile],
+    base: int,
+    target_rows: int,
+) -> tuple[Snapshot, list[dict]]:
+    import ray
+    import ray.data as rd
+
+    op_id = f"merge-bcast-s{base}-{source.num_rows}"
+    ckpt = Checkpoint(table.root, op_id)
+    done = ckpt.completed()
+
+    source_ref = ray.put(source)
+    items = []
+    results: list[dict[str, Any]] = []
+    for i, f in enumerate(touched):
+        if str(i) in done:
+            results.append(done[str(i)])
+            continue
+        items.append(
+            {
+                "spec": json.dumps(
+                    {
+                        "file_id": i,
+                        "root": table.root,
+                        "path": f.path if f.path.startswith("/") else table._p(f.path),
+                        "rel_path": f.path,
+                        "checksum": f.checksum,
+                        "ckpt_dir": ckpt.dir,
+                    }
+                )
+            }
+        )
+    if items:
+        ds = rd.from_items(items, override_num_blocks=len(items))
+        out = ds.map_batches(
+            _make_merge_file_task(source_ref), batch_size=None, batch_format="pandas"
+        ).take_all()
+        results.extend(json.loads(r["record"]) for r in out)
+
+    # anti-join: source keys matched by no file are inserts
+    matched = set()
+    for r in results:
+        m = r["matched"]
+        matched.update(zip(m["conv_id"], m["turn_idx"]))
+    src_df = source.to_pandas()
+    src_df = _dedupe_source(src_df)
+    key_tuples = list(zip(src_df["conv_id"], src_df["turn_idx"]))
+    is_new = np.array([k not in matched for k in key_tuples], dtype=bool)
+    inserts = src_df[is_new & (src_df[OP_COL] != "delete")].drop(columns=[OP_COL])
+
+    added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]
+    lineage = [r["lineage"] for r in results]
+    if len(inserts):
+        for off in range(0, len(inserts), target_rows):
+            chunk = pa.Table.from_pandas(inserts.iloc[off : off + target_rows], preserve_index=False)
+            df = write_data_file(chunk, table.root)
+            added.append(df)
+            lineage.append(
+                lineage_record(
+                    op="merge",
+                    partition_id=f"inserts-{off}",
+                    inputs=[],
+                    outputs=[{"path": df.path, "checksum": df.checksum}],
+                    rows_in=int(chunk.num_rows),
+                    rows_out=df.rows,
+                    duration_s=0.0,
+                )
+            )
+    snap = table.commit(
+        added,
+        removed_paths=[f.path for f in touched],
+        operation="merge",
+        summary={"plan": "broadcast", "source_rows": source.num_rows, "touched": len(touched)},
+        base_snapshot_id=base,
+    )
+    ckpt.clear()
+    return snap, lineage
+
+
+def _merge_shuffle(
+    table: TranscriptTable,
+    source: "pa.Table | Any",
+    touched: list[DataFile],
+    base: int,
+    target_rows: int,
+    num_buckets: int | None,
+) -> tuple[Snapshot, list[dict]]:
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    n_src = source.num_rows if isinstance(source, pa.Table) else source.count()
+    touched_rows = sum(f.rows for f in touched)
+    if num_buckets is None:
+        num_buckets = int(np.clip((touched_rows + n_src) // target_rows + 1, 4, 1024))
+
+    op_id = f"merge-shuf-s{base}-b{num_buckets}"
+    ckpt = Checkpoint(table.root, op_id)
+    done = ckpt.completed()
+    results: list[dict[str, Any]] = list(done.values())
+    done_buckets = pa.array([int(k) for k in done], type=pa.int64())
+
+    paths = [f.path if f.path.startswith("/") else table._p(f.path) for f in touched]
+
+    def tag_target(t: pa.Table) -> pa.Table:
+        t = ensure_schema(t)
+        t = t.append_column(OP_COL, pa.array(["upsert"] * t.num_rows, type=pa.string()))
+        return t.append_column("__src", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def tag_source(t: pa.Table) -> pa.Table:
+        t = _normalize_source(t)
+        return t.append_column("__src", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    if isinstance(source, pa.Table):
+        source_ds = rd.from_arrow(tag_source(source))
+    else:
+        source_ds = source.map_batches(tag_source, batch_format="pyarrow")
+    parts = []
+    if paths:
+        parts.append(rd.read_parquet(paths).map_batches(tag_target, batch_format="pyarrow"))
+    parts.append(source_ds)
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    import ray
+
+    tagger_pool = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    ds = ds.map_batches(
+        _BucketTagger, fn_constructor_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow", concurrency=tagger_pool,
+    )
+    if len(done_buckets):
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t.column("__bucket"), value_set=done_buckets)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    out = ds.groupby("__bucket").map_groups(
+        _make_bucket_resolver(table.root, target_rows, ckpt.dir, base),
+        batch_format="pandas",
+    )
+    for row in out.take_all():
+        results.append(json.loads(row["record"]))
+
+    added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]
+    snap = table.commit(
+        added,
+        removed_paths=[f.path for f in touched],
+        operation="merge",
+        summary={"plan": "shuffle", "source_rows": source.num_rows, "buckets": num_buckets},
+        base_snapshot_id=base,
+    )
+    lineage = [r["lineage"] for r in results]
+    ckpt.clear()
+    return snap, lineage

@@ -1,0 +1,205 @@
+"""Z-order clustering of the transcripts table.
+
+Generalizes the reference's deterministic composite storage keys
+``(date, exchange, code)`` as a physical-locality scheme (reference
+`src/models/data/eodhd_models.py:95-97`): rows are laid out along a Morton
+(Z-order) curve over ``(hash64(conv_id) >> 32, ts_bucket)`` so scans that
+filter by conversation OR by time window both touch few files.
+
+Execution plan (one shuffle):
+
+1. ``map_batches(ZKeyEncoder, batch_format="pyarrow")`` — stateful actor pool
+   computes the interleaved-bit key ``z`` and a deterministic partition id
+   ``zpart = z >> (64 - bits)`` per row, vectorized in numpy.
+2. Partitions already completed in the checkpoint are filtered out BEFORE the
+   shuffle, so a resumed run moves only incomplete partitions' rows.
+3. ``groupby("zpart").map_groups`` — per-partition sort by ``z`` and chunked
+   write into target-size, content-addressed files (per-partition row caps
+   bound memory under hot-conversation skew).
+4. Driver commits a copy-on-write snapshot replacing the base file set.
+
+Determinism: the conv hash is pandas' fixed-key siphash
+(``pd.util.hash_pandas_object``), so replays and checkpoint resumes produce
+byte-identical partitions and converge on identical content-addressed files.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.checkpoint import Checkpoint
+from ..state.lineage import lineage_record, store_lineage
+from ..state.manifest import DataFile, Snapshot, TranscriptTable, write_data_file
+
+_EVEN = np.uint64(0x5555555555555555)
+
+
+def _spread_bits(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 into the even bit positions."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & _EVEN
+    return x
+
+
+def interleave_bits(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton-interleave two 32-bit arrays: bits of ``a`` at odd positions
+    (more significant), ``b`` at even positions."""
+    return (_spread_bits(a) << np.uint64(1)) | _spread_bits(b)
+
+
+def conv_hash32(conv_id: pd.Series | np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 32-bit hash of conv_id (fixed-key siphash)."""
+    h = pd.util.hash_pandas_object(pd.Series(conv_id), index=False).to_numpy(dtype=np.uint64)
+    return (h >> np.uint64(32)).astype(np.uint64)
+
+
+class ZKeyEncoder:
+    """Actor-pool stage: adds ``z`` (uint64 Morton key) and ``zpart`` columns.
+
+    State (timestamp origin, bucket width, partition bit count) is built once
+    per actor in ``__init__`` — the Ray-native version of the reference's
+    per-process singleton clients (`google_cloud_storage_client.py:14-38`).
+    """
+
+    def __init__(self, ts_origin_us: int, bucket_us: int, part_bits: int):
+        self.ts_origin = np.int64(ts_origin_us)
+        self.bucket_us = np.int64(max(1, bucket_us))
+        self.shift = np.uint64(64 - part_bits)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pandas()
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        a = conv_hash32(conv)
+        bucket = np.maximum(ts - self.ts_origin, 0) // self.bucket_us
+        b = (bucket.astype(np.uint64)) & np.uint64(0xFFFFFFFF)
+        z = interleave_bits(a, b)
+        zpart = (z >> self.shift).astype(np.uint64)
+        return batch.append_column("z", pa.array(z, type=pa.uint64())).append_column(
+            "zpart", pa.array(zpart, type=pa.uint64())
+        )
+
+
+def _make_run_writer(root: str, target_rows: int, ckpt_dir: str, base_snapshot: int):
+    """Per-zpart group fn: sort by z, write target-size files, checkpoint."""
+
+    def write_run(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"record": pa.array([], type=pa.string())})
+        t0 = time.monotonic()
+        part_id = int(group.column("zpart")[0].as_py())
+        group = group.sort_by(
+            [("z", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        body = group.drop_columns(["z", "zpart"])
+        outs = []
+        for off in range(0, body.num_rows, target_rows):
+            chunk = body.slice(off, target_rows)
+            outs.append(write_data_file(chunk, root, sort_within=False))
+        lin = lineage_record(
+            op="zorder",
+            partition_id=part_id,
+            inputs=[{"snapshot": base_snapshot}],
+            outputs=[{"path": o.path, "checksum": o.checksum} for o in outs],
+            rows_in=group.num_rows,
+            rows_out=sum(o.rows for o in outs),
+            duration_s=time.monotonic() - t0,
+        )
+        record = {"datafiles": [o.to_json() for o in outs], "lineage": lin}
+        Checkpoint.write_record(ckpt_dir, part_id, record)
+        return pa.table({"record": pa.array([json.dumps(record)], type=pa.string())})
+
+    return write_run
+
+
+def cluster(
+    table: TranscriptTable,
+    ts_bucket_us: int = 3_600_000_000,  # 1 hour
+    target_rows: int = 200_000,
+    part_bits: int | None = None,
+    snapshot_id: int | None = None,
+    encoder_concurrency: Any = None,
+) -> Snapshot:
+    """Z-order-cluster the snapshot; returns the new snapshot.
+
+    ``part_bits`` controls shuffle fan-out (2^bits deterministic partitions);
+    by default it is sized so a partition holds ~2 target files.  Resumable:
+    completed partitions are filtered out before the shuffle on rerun.
+    """
+    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    files = table.files(base)
+    if not files:
+        return table.snapshot(base)
+    total_rows = sum(f.rows for f in files)
+    if part_bits is None:
+        part_bits = int(np.clip(np.ceil(np.log2(max(1, total_rows / (2 * target_rows)))), 2, 12))
+
+    # ts origin from manifest stats (min over files) keeps buckets small ints
+    ts_mins = [f.stats["ts"][0] for f in files if "ts" in f.stats]
+    ts_origin_us = (
+        int(pd.Timestamp(min(ts_mins)).value // 1000) if ts_mins else 0
+    )
+
+    op_id = f"zorder-s{base}-b{ts_bucket_us}-p{part_bits}"
+    ckpt = Checkpoint(table.root, op_id)
+    done = ckpt.completed()
+    done_parts = set(int(k) for k in done)
+
+    results: list[dict[str, Any]] = list(done.values())
+
+    if encoder_concurrency is None:
+        import ray
+
+        # actor pool sized to the cluster minus headroom for read/shuffle stages
+        encoder_concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    ds = table.scan(base)
+    encoder_kwargs = dict(
+        ts_origin_us=ts_origin_us, bucket_us=ts_bucket_us, part_bits=part_bits
+    )
+    enc = ds.map_batches(
+        ZKeyEncoder,
+        fn_constructor_kwargs=encoder_kwargs,
+        batch_format="pyarrow",
+        concurrency=encoder_concurrency,
+    )
+    if done_parts:
+        done_arr = pa.array(list(done_parts), type=pa.uint64())
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.invert(pc.is_in(t.column("zpart"), value_set=done_arr)))
+
+        enc = enc.map_batches(drop_done, batch_format="pyarrow")
+
+    out = enc.groupby("zpart").map_groups(
+        _make_run_writer(table.root, target_rows, ckpt.dir, base),
+        batch_format="pyarrow",
+    )
+    for row in out.take_all():
+        results.append(json.loads(row["record"]))
+
+    added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]
+    snap = table.commit(
+        added,
+        removed_paths=[f.path for f in files],
+        operation="zorder",
+        summary={
+            "part_bits": part_bits,
+            "ts_bucket_us": ts_bucket_us,
+            "target_rows": target_rows,
+        },
+        base_snapshot_id=base,
+    )
+    store_lineage(table.root, snap.snapshot_id, [r["lineage"] for r in results])
+    ckpt.clear()
+    return snap

@@ -1,0 +1,131 @@
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from quanterra_pipeline_ray.schema import TRANSCRIPTS_SCHEMA
+from quanterra_pipeline_ray.state.manifest import DataFile, TranscriptTable
+from quanterra_pipeline_ray.stages.merge import merge_into, prune_touched_files
+from quanterra_pipeline_ray.synth import content_fingerprint, fragment_table, generate_transcripts
+
+
+def _make(tmp_path, n_files=6, **gen):
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(
+        **{"n_convs": 25, "seed": 11, "mean_turns": 8, "hot_convs": 1, "hot_turns": 60, **gen}
+    )
+    paths = fragment_table(data, os.path.join(root, "data", "frags"), n_files)
+    table.register_fragments(paths)
+    return table, data
+
+
+def _source_from(data: pa.Table, update_every=5, new_conv="conv-new-x", deletes=0) -> pa.Table:
+    df = data.to_pandas()
+    upd = df.iloc[::update_every].copy()
+    upd["text"] = "UPDATED " + upd["text"]
+    upd["__op"] = "upsert"
+    new = pd.DataFrame(
+        {
+            "conv_id": [new_conv] * 3,
+            "turn_idx": np.array([0, 1, 2], dtype=np.int32),
+            "role": ["user", "assistant", "user"],
+            "text": ["hello", "hi there", "bye"],
+            "tool": ["", "", ""],
+            "ts": pd.to_datetime([1, 2, 3], unit="s").astype("datetime64[us]"),
+            "__op": ["upsert"] * 3,
+        }
+    )
+    parts = [upd, new]
+    if deletes:
+        dele = df.iloc[1 :: len(df) // deletes].head(deletes).copy()
+        dele = dele[~dele.set_index(["conv_id", "turn_idx"]).index.isin(
+            upd.set_index(["conv_id", "turn_idx"]).index
+        )]
+        dele["__op"] = "delete"
+        parts.append(dele)
+    return pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False)
+
+
+def _expected(data: pa.Table, source: pa.Table) -> pd.DataFrame:
+    tgt = data.to_pandas()
+    src = source.to_pandas().drop_duplicates(["conv_id", "turn_idx"], keep="last")
+    tgt = tgt.merge(src[["conv_id", "turn_idx"]], on=["conv_id", "turn_idx"], how="left", indicator=True)
+    tgt = tgt[tgt.pop("_merge") == "left_only"]
+    ins = src[src["__op"] != "delete"].drop(columns="__op")
+    out = pd.concat([tgt, ins], ignore_index=True).sort_values(["conv_id", "turn_idx"])
+    return out.reset_index(drop=True)
+
+
+def _got(table: TranscriptTable) -> pd.DataFrame:
+    return (
+        table.read_all().to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("threshold", [200_000, 0], ids=["broadcast", "shuffle"])
+def test_merge_upsert_insert_delete(tmp_path, threshold):
+    table, data = _make(tmp_path)
+    source = _source_from(data, deletes=4)
+    snap = merge_into(table, source, broadcast_threshold=threshold, target_rows=1000)
+    assert snap.operation == "merge"
+    exp = _expected(data, source)
+    got = _got(table)
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, check_like=True
+    )
+    # text updated where source matched
+    joined = got.merge(
+        source.to_pandas()[["conv_id", "turn_idx", "__op"]], on=["conv_id", "turn_idx"], how="inner"
+    )
+    assert (joined[joined["__op"] == "upsert"].merge(got, on=["conv_id", "turn_idx"]))[
+        "text_y"
+    ].str.startswith(("UPDATED", "h", "b")).all()
+
+
+def test_merge_partition_pruning(tmp_path):
+    table, data = _make(tmp_path)
+    files = table.files()
+    # source touching exactly one conversation
+    one_conv = data.to_pandas()["conv_id"].iloc[0]
+    src_df = data.to_pandas()
+    src_df = src_df[src_df["conv_id"] == one_conv].head(2).copy()
+    src_df["text"] = "X " + src_df["text"]
+    source = pa.Table.from_pandas(src_df, preserve_index=False)
+    touched = prune_touched_files(files, np.array([one_conv], dtype=object))
+    assert 0 < len(touched) <= len(files)
+    snap = merge_into(table, source)
+    # untouched files carried forward byte-identical into the new snapshot
+    new_paths = {f.path for f in table.files()}
+    untouched = [f.path for f in files if f not in touched]
+    assert set(untouched) <= new_paths
+    exp = _expected(data, source.append_column("__op", pa.array(["upsert"] * source.num_rows)))
+    pd.testing.assert_frame_equal(_got(table), exp, check_dtype=False, check_like=True)
+
+
+def test_merge_duplicate_source_keys_deterministic(tmp_path):
+    table, data = _make(tmp_path)
+    df = data.to_pandas().head(1)
+    dup = pd.concat([df, df], ignore_index=True)
+    dup["text"] = ["first write", "second write"]
+    dup["ts"] = pd.to_datetime([100, 200], unit="s").astype("datetime64[us]")
+    source = pa.Table.from_pandas(dup, preserve_index=False)
+    merge_into(table, source)
+    got = _got(table)
+    row = got.merge(df[["conv_id", "turn_idx"]], on=["conv_id", "turn_idx"])
+    assert row["text"].tolist() == ["second write"]  # max ts wins
+
+
+def test_merge_empty_source_is_noop_scan(tmp_path):
+    table, data = _make(tmp_path)
+    before = content_fingerprint(table.read_all())
+    source = TRANSCRIPTS_SCHEMA.empty_table()
+    merge_into(table, source)
+    assert content_fingerprint(table.read_all()) == before
+
+
+def test_prune_no_stats_means_touched():
+    f = DataFile(path="data/x.parquet", rows=1, bytes=1, checksum="c", stats={})
+    assert prune_touched_files([f], np.array(["k"], dtype=object)) == [f]
