@@ -1,44 +1,487 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship maintenance pipeline (compact → Z-order →
+MERGE) on a transcripts table synthesized from sf0.001.  ``queries()`` maps
+every implemented operator to a callable over ``sf_dir``; ``oracle_sql()``
+gives the DuckDB-equivalent SQL where the op is SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
+
+Maintenance ops run over a transcripts table DERIVED from the ``events``
+view by :data:`quanterra_pipeline_ray.synth.TRANSCRIPTS_FROM_EVENTS_SQL`, so
+DuckDB can oracle-check scan equality after compaction / clustering /
+merge / expiry / crash-resume.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 
+from quanterra_pipeline_ray.state.manifest import TranscriptTable
+from quanterra_pipeline_ray.synth import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    fragment_table,
+    transcripts_from_events,
+)
+
+_SCRATCH = "/tmp/qpr_queries"
+
+
+# --------------------------------------------------------------------- utils
+def _result(table: pa.Table) -> pa.Table:
+    """Cast large_string -> string so result schema matches DuckDB's."""
+    cols = []
+    for field in table.schema:
+        col = table.column(field.name)
+        if field.type == pa.large_string():
+            col = col.cast(pa.string())
+        cols.append(col)
+    return pa.table(dict(zip(table.schema.names, cols)))
+
+
+def _maint_table(sf_dir: str, tag: str, n_files: int = 16) -> tuple[TranscriptTable, pa.Table]:
+    root = os.path.join(_SCRATCH, f"{tag}-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = TranscriptTable.create(root)
+    data = transcripts_from_events(sf_dir)
+    paths = fragment_table(data, os.path.join(root, "data", "frags"), n_files)
+    table.register_fragments(paths)
+    return table, data
+
+
+def _merge_source(data: pa.Table) -> pa.Table:
+    """SQL-mirrorable merge source: updates (turn_idx%7==3), deletes
+    (turn_idx%13==5 and not updated), inserts (conversation 'cNEW')."""
+    df = data.to_pandas()
+    upd = df[df["turn_idx"] % 7 == 3].copy()
+    upd["text"] = "UPDATED " + upd["text"]
+    upd["__op"] = "upsert"
+    dele = df[(df["turn_idx"] % 13 == 5) & (df["turn_idx"] % 7 != 3)].copy()
+    dele["__op"] = "delete"
+    ins = pd.DataFrame(
+        {
+            "conv_id": ["cNEW", "cNEW"],
+            "turn_idx": np.array([0, 1], dtype=np.int32),
+            "role": ["user", "assistant"],
+            "text": ["hello", "hi"],
+            "tool": ["", ""],
+            "ts": pd.to_datetime(
+                ["2024-06-01 00:00:00", "2024-06-01 00:01:00"]
+            ).astype("datetime64[us]"),
+            "__op": ["upsert", "upsert"],
+        }
+    )
+    return pa.Table.from_pandas(pd.concat([upd, dele, ins], ignore_index=True), preserve_index=False)
+
+
+# ----------------------------------------------------------- maintenance ops
+def _q_maint_scan(sf_dir: str) -> pa.Table:
+    table, _ = _maint_table(sf_dir, "scan")
+    return _result(table.read_all())
+
+
+def _q_maint_compact(sf_dir: str) -> pa.Table:
+    from quanterra_pipeline_ray.stages.compaction import compact
+
+    table, _ = _maint_table(sf_dir, "compact")
+    compact(table, target_bytes=4 << 20)
+    return _result(table.read_all())
+
+
+def _q_maint_zorder(sf_dir: str) -> pa.Table:
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.zorder import cluster
+
+    table, _ = _maint_table(sf_dir, "zorder")
+    compact(table, target_bytes=4 << 20)
+    cluster(table, target_rows=5000)
+    return _result(table.read_all())
+
+
+def _q_maint_merge(sf_dir: str) -> pa.Table:
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    table, data = _maint_table(sf_dir, "merge")
+    compact(table, target_bytes=4 << 20)
+    merge_into(table, _merge_source(data), target_rows=100_000)
+    return _result(table.read_all())
+
+
+def _q_maint_merge_shuffle(sf_dir: str) -> pa.Table:
+    """Same MERGE, forced through the hash-shuffle groupby plan."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    table, data = _maint_table(sf_dir, "mergeshuf")
+    compact(table, target_bytes=4 << 20)
+    merge_into(table, _merge_source(data), target_rows=100_000, broadcast_threshold=0)
+    return _result(table.read_all())
+
+
+def _q_maint_expire(sf_dir: str) -> pa.Table:
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.expire import expire_snapshots
+
+    table, _ = _maint_table(sf_dir, "expire")
+    compact(table, target_bytes=4 << 20)
+    expire_snapshots(table, keep_last=1)
+    return _result(table.read_all())
+
+
+def _q_maint_resume(sf_dir: str) -> pa.Table:
+    """Crash-resume: one compaction bin pre-completed (its checkpoint record
+    exists), then the op re-runs and must replay only the rest."""
+    from quanterra_pipeline_ray.stages import compaction as comp
+    from quanterra_pipeline_ray.state.checkpoint import Checkpoint
+
+    table, _ = _maint_table(sf_dir, "resume")
+    base = table.current_snapshot_id()
+    target = 4 << 20
+    bins, _carried = comp.plan_bins(table.files(base), target)
+    ckpt = Checkpoint(table.root, f"compact-s{base}-t{target}")
+    if bins:
+        spec = {
+            "bin_id": 0,
+            "root": table.root,
+            "paths": [f.path if f.path.startswith("/") else table._p(f.path) for f in bins[0]],
+            "rel_paths": [f.path for f in bins[0]],
+            "checksums": [f.checksum for f in bins[0]],
+            "ckpt_dir": ckpt.dir,
+        }
+        comp._compact_bins_batch(pd.DataFrame({"spec": [json.dumps(spec)]}))
+    comp.compact(table, target_bytes=target)
+    return _result(table.read_all())
+
+
+# ---------------------------------------------------------- training-data ops
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    doubled = ds.union(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+    return exact_dedup(doubled, "doc_id", "text")
+
+
+def _q_text_stats(sf_dir: str):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import TextStats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(TextStats(), batch_format="pandas")
+    return out.map_batches(
+        lambda b: b[["doc_id", "n_chars_txt", "n_tokens", "token_chars", "n_punct", "quality_score"]],
+        batch_format="pandas",
+    )
+
+
+def _q_token_count(sf_dir: str):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import TokenCounter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(TokenCounter(), batch_format="pandas").map_batches(
+        lambda b: b[["doc_id", "n_bpe_tokens"]], batch_format="pandas"
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import Fingerprinter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(Fingerprinter(), batch_format="pandas").map_batches(
+        lambda b: b[["doc_id", "fingerprint"]], batch_format="pandas"
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import LangId
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2).map_batches(
+        lambda b: b[["doc_id", "lang_pred", "lang_conf"]], batch_format="pandas"
+    )
+
+
+def _q_minhash_dedup(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import minhash_lsh_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.8)
+
+
+def _q_simhash_pairs(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import simhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(ds, "doc_id", "text", max_hamming=3)
+
+
+def _q_similarity_topk(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.similarity import brute_force_topk
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.sort_values("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in emb.head(3)["embedding"]])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, q, k=10)
+    qids = emb.head(3)["vec_id"].to_numpy()
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out[["query_id", "vec_id"]].astype(np.int64)
+
+
+def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.similarity import ivf_topk
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in emb.head(3)["embedding"]])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, k=10, n_lists=16, nprobe=4)
+
+
+def _q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.similarity import embedding_near_dup_pairs
+
+    base = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    shifted = base.map_batches(
+        lambda b: b.assign(vec_id=b["vec_id"] + 10_000), batch_format="pandas"
+    )
+    pairs = embedding_near_dup_pairs(base.union(shifted), threshold=0.999)
+    return pairs[["a", "b"]].astype(np.int64)
+
+
+def _q_media_decode(sf_dir: str):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.multimodal import decode_features, synth_media_table
+
+    out = decode_features(rd.from_arrow(synth_media_table(64)), feature_dim=16)
+
+    # flatten the feature vector to scalar columns (driver compare hashes
+    # sorted scalar values; a list column is not hashable)
+    def flatten(b: pd.DataFrame) -> pd.DataFrame:
+        feats = np.stack([np.asarray(f) for f in b["features"]])
+        return pd.DataFrame(
+            {
+                "media_id": b["media_id"].to_numpy(),
+                "media_type": b["media_type"].to_numpy(),
+                "n_features": np.full(len(b), feats.shape[1], dtype=np.int64),
+                "f0": feats[:, 0].astype(np.float64),
+                "f1": feats[:, 1].astype(np.float64),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ contract
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: compact + Z-order + MERGE over sf0.001-derived transcripts."""
+    from quanterra_pipeline_ray.pipelines.maintenance import run_maintenance
+
+    sf_dir = "/root/testdata/sf0.001"
+    table, data = _maint_table(sf_dir, "entry")
+    run_maintenance(
+        table,
+        merge_source=_merge_source(data),
+        target_bytes=4 << 20,
+        target_rows=100_000,
+    )
+    return table.scan()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from quanterra_pipeline_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # lakehouse maintenance (scan-equality against derived transcripts)
+        "maint_scan": _q_maint_scan,
+        "maint_compact": _q_maint_compact,
+        "maint_zorder": _q_maint_zorder,
+        "maint_merge": _q_maint_merge,
+        "maint_merge_shuffle": _q_maint_merge_shuffle,
+        "maint_expire": _q_maint_expire,
+        "maint_resume": _q_maint_resume,
+        # relational engine ops
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "orders_per_nation": rel.orders_per_nation,
+        "lineitems_per_region": rel.lineitems_per_region,
+        "topk_orders": rel.topk_orders,
+        "events_hourly": rel.events_hourly,
+        "events_sessions": rel.events_sessions,
+        "distinct_event_types": rel.distinct_event_types,
+        "docs_stats_by_lang": rel.docs_stats_by_lang,
+        # training-data ops
+        "dedup_exact_docs": _q_dedup_exact,
+        "text_stats_docs": _q_text_stats,
+        "token_count_docs": _q_token_count,
+        "fingerprint_docs": _q_fingerprint,
+        "lang_id_docs": _q_lang_id,
+        "minhash_dedup_docs": _q_minhash_dedup,
+        "simhash_pairs_docs": _q_simhash_pairs,
+        "similarity_topk": _q_similarity_topk,
+        "ivf_topk_embeddings": _q_ivf_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "media_decode_features": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t = TRANSCRIPTS_FROM_EVENTS_SQL
+    scan_sql = f"WITH t AS ({t}) SELECT * FROM t"
+    merge_sql = f"""
+WITH t AS ({t}),
+upd AS (
+  SELECT conv_id, turn_idx, role, 'UPDATED ' || text AS text, tool, ts
+  FROM t WHERE turn_idx % 7 = 3
+),
+kept AS (
+  SELECT * FROM t WHERE turn_idx % 7 <> 3 AND turn_idx % 13 <> 5
+),
+ins AS (
+  SELECT 'cNEW' AS conv_id, CAST(0 AS INTEGER) AS turn_idx, 'user' AS role,
+         'hello' AS text, '' AS tool, TIMESTAMP '2024-06-01 00:00:00' AS ts
+  UNION ALL
+  SELECT 'cNEW', CAST(1 AS INTEGER), 'assistant', 'hi', '',
+         TIMESTAMP '2024-06-01 00:01:00'
+)
+SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+""".strip()
+    return {
+        "maint_scan": scan_sql,
+        "maint_compact": scan_sql,
+        "maint_zorder": scan_sql,
+        "maint_expire": scan_sql,
+        "maint_resume": scan_sql,
+        "maint_merge": merge_sql,
+        "maint_merge_shuffle": merge_sql,
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       SUM(l_extendedprice) / COUNT(*) AS avg_price,
+       SUM(l_discount) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""".strip(),
+        "orders_per_nation": """
+SELECT n_name, COUNT(*) AS order_count, MAX(o_totalprice) AS max_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""".strip(),
+        "lineitems_per_region": """
+SELECT r_name, COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE l_shipdate < TIMESTAMP '1995-06-01'
+GROUP BY r_name
+""".strip(),
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""".strip(),
+        "events_hourly": """
+SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+""".strip(),
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id
+""".strip(),
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "docs_stats_by_lang": """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
+FROM documents GROUP BY lang
+""".strip(),
+        "dedup_exact_docs": "SELECT * FROM documents",
+        "text_stats_docs": r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_txt,
+       LEN(regexp_extract_all(text, '\S+')) AS n_tokens,
+       LENGTH(regexp_replace(text, '\s', '', 'g')) AS token_chars,
+       LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) AS quality_score
+FROM documents
+""".strip(),
+        "token_count_docs": r"""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]')) AS n_bpe_tokens
+FROM documents
+""".strip(),
+        "fingerprint_docs": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "similarity_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM s
+)
+SELECT query_id, vec_id FROM r WHERE rn <= 10
+""".strip(),
+        "embedding_near_dups": """
+WITH c AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings
+),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(x.embedding, y.embedding) AS sim
+  FROM c x JOIN c y ON x.vec_id < y.vec_id
+)
+SELECT a, b FROM p WHERE sim >= 0.999
+""".strip(),
+    }

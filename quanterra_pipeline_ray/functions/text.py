@@ -1,0 +1,181 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All operators are vectorized ``map_batches`` stages over an arbitrary text
+column; stateful pieces (compiled regexes, stopword tables) live in callable
+classes constructed once per actor — the Ray-native version of the
+reference's per-process singletons (reference
+`src/clients/google_cloud_storage_client.py:14-38`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------- stats
+
+
+class TextStats:
+    """Adds integer text statistics + a quality score.
+
+    Output columns (exact arithmetic, so a SQL oracle can reproduce them
+    bit-for-bit): ``n_chars_txt`` (length), ``n_tokens`` (count of ``\\S+``
+    runs), ``token_chars`` (non-whitespace chars), ``n_punct``
+    (``.,;:!?`` count), and ``quality_score = token_chars / n_chars_txt``
+    (single IEEE division of identical ints — deterministic cross-engine).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.tok = re.compile(r"\S+")
+        self.ws = re.compile(r"\s")
+        self.punct = re.compile(r"[.,;:!?]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].astype(str)
+        n_chars = s.str.len().astype(np.int64)
+        n_tokens = s.str.count(self.tok).astype(np.int64)
+        token_chars = (n_chars - s.str.count(self.ws)).astype(np.int64)
+        batch["n_chars_txt"] = n_chars
+        batch["n_tokens"] = n_tokens
+        batch["token_chars"] = token_chars
+        batch["n_punct"] = s.str.count(self.punct).astype(np.int64)
+        batch["quality_score"] = token_chars / n_chars.clip(lower=1)
+        return batch
+
+
+class TokenCounter:
+    """BPE-ish token estimate: words + punctuation as separate tokens.
+
+    The regex mirrors common byte-pair pretokenizers (word pieces, numerals,
+    punctuation runs) without shipping a vocab; counting is vectorized.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.pat = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_bpe_tokens"] = (
+            batch[self.text_col].astype(str).str.count(self.pat).astype(np.int64)
+        )
+        return batch
+
+
+# --------------------------------------------------------------- language id
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+}
+
+
+class LangId:
+    """Heuristic language id: stopword hits per language + CJK char ratio.
+
+    Deterministic, vocabulary-only (no model); emits ``lang_pred`` and
+    ``lang_conf``.  Not SQL-expressible — verified by unit tests only.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.cjk = re.compile(r"[一-鿿぀-ヿ]")
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].astype(str)
+        cjk_ratio = texts.str.count(self.cjk) / texts.str.len().clip(lower=1)
+        preds, confs = [], []
+        for text, cjk in zip(texts, cjk_ratio):
+            if cjk > 0.2:
+                preds.append("zh")
+                confs.append(float(cjk))
+                continue
+            words = [w.lower() for w in self.word.findall(text)[:200]]
+            if not words:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            scores = {
+                lang: sum(w in table for w in words) / len(words)
+                for lang, table in self.tables.items()
+            }
+            best = max(scores, key=scores.get)
+            preds.append(best if scores[best] > 0 else "und")
+            confs.append(scores[best])
+        batch["lang_pred"] = preds
+        batch["lang_conf"] = confs
+        return batch
+
+
+# -------------------------------------------------------------- fingerprints
+
+
+def fnv1a64(values: "pd.Series | list[str]") -> np.ndarray:
+    """Vectorized-ish 64-bit FNV-1a over UTF-8 bytes (deterministic)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for i, v in enumerate(values):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in str(v).encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * int(prime) & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+class Fingerprinter:
+    """Document fingerprint column: md5 hex of the raw text (matches SQL
+    ``md5(text)``) — exact-dup key that any engine can reproduce."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.out_col] = [
+            hashlib.md5(str(t).encode("utf-8")).hexdigest() for t in batch[self.text_col]
+        ]
+        return batch
+
+
+class RollingFingerprinter:
+    """Rolling (Rabin-Karp style) window fingerprints for shingle-level
+    provenance: emits the min and max 64-bit window hash per document.
+    Vectorized with numpy over byte arrays."""
+
+    def __init__(self, text_col: str = "text", window: int = 16, base: int = 257):
+        self.text_col = text_col
+        self.window = window
+        self.base = np.uint64(base)
+
+    def _doc(self, text: str) -> tuple[int, int]:
+        data = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+        w = self.window
+        if len(data) < w:
+            h = np.uint64(0)
+            for b in data:
+                h = h * self.base + np.uint64(b)
+            return int(h), int(h)
+        # cumulative polynomial hash of every window, fully vectorized
+        powers = np.power(self.base, np.arange(w, dtype=np.uint64), dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(data, w).astype(np.uint64)
+        hashes = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+        return int(hashes.min()), int(hashes.max())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mins, maxs = zip(*(self._doc(t) for t in batch[self.text_col]))
+        batch["rfp_min"] = np.array(mins, dtype=np.uint64)
+        batch["rfp_max"] = np.array(maxs, dtype=np.uint64)
+        return batch

@@ -1,0 +1,264 @@
+"""Relational operators over the test star schema, Ray-Data-first.
+
+These demonstrate the engine's general query capabilities (scan-prune,
+vectorized filter/project, partial pre-aggregation before the groupby
+shuffle, broadcast joins, top-k, windows) and are each paired with a DuckDB
+oracle in ``__ray_entry__``.
+
+Scale notes baked into every operator:
+* reads pass ``columns=[...]`` so only needed columns leave storage,
+* aggregations pre-combine inside ``map_batches`` (one row per key per
+  block) before the small ``groupby`` shuffle,
+* dimension tables (region/nation/customer) are broadcast via ``ray.put``
+  and joined with vectorized pandas maps inside ``map_batches`` — no
+  all-to-all shuffle for small-side joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ------------------------------------------------------------------ TPC-H Q1
+def q1_pricing_summary(sf_dir: str, ship_before: str = "1998-09-01"):
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums/avgs/counts.
+
+    Partial aggregation per batch → tiny groupby → final avg computation.
+    """
+    rd = _rd()
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    ]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    cutoff = np.datetime64(ship_before, "us")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] < cutoff]
+        if not len(b):
+            return pd.DataFrame()
+        disc_price = b["l_extendedprice"] * (1 - b["l_discount"])
+        charge = disc_price * (1 + b["l_tax"])
+        g = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": b["l_quantity"],
+                "sum_base_price": b["l_extendedprice"],
+                "sum_disc_price": disc_price,
+                "sum_charge": charge,
+                "sum_disc": b["l_discount"],
+                "count_order": 1,
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    out = agg.to_pandas()
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    out["avg_disc"] = out["sum_disc"] / out["count_order"]
+    out = out.drop(columns=["sum_disc"])
+    out["count_order"] = out["count_order"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------- broadcast dim joins
+def orders_per_nation(sf_dir: str):
+    """Orders per customer nation: broadcast customer->nation dim maps into a
+    vectorized per-batch lookup; integer/string outputs only."""
+    import ray
+
+    rd = _rd()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    c2n = cust.set_index("c_custkey")["c_nationkey"].to_dict()
+    n2name = nation.set_index("n_nationkey")["n_name"].to_dict()
+    ref = ray.put((c2n, n2name))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        c2n_, n2name_ = ray.get(ref)
+        nk = b["o_custkey"].map(c2n_)
+        b = pd.DataFrame({"n_name": nk.map(n2name_), "o_totalprice": b["o_totalprice"]})
+        g = b.groupby("n_name", as_index=False).agg(
+            order_count=("o_totalprice", "size"), max_price=("o_totalprice", "max")
+        )
+        return g
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    from ray.data.aggregate import Max, Sum
+
+    out = (
+        ds.map_batches(attach, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("order_count", alias_name="order_count"), Max("max_price", alias_name="max_price"))
+        .to_pandas()
+    )
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def lineitems_per_region(sf_dir: str, ship_before: str = "1995-06-01"):
+    """4-way join lineitem→orders→customer→nation→region as broadcast maps:
+    lineitem is the only large side; everything else ships once per actor."""
+    import ray
+
+    rd = _rd()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    o2c = orders.set_index("o_orderkey")["o_custkey"]
+    c2n = cust.set_index("c_custkey")["c_nationkey"]
+    n2r = nation.set_index("n_nationkey")["n_regionkey"]
+    r2name = region.set_index("r_regionkey")["r_name"]
+    o2region = o2c.map(c2n).map(n2r).map(r2name)  # one composed map, built once
+    ref = ray.put(o2region.to_dict())
+
+    cutoff = np.datetime64(ship_before, "us")
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        b = b[b["l_shipdate"] < cutoff]
+        if not len(b):
+            return pd.DataFrame({"r_name": [], "n_items": []})
+        r = b["l_orderkey"].map(m)
+        g = pd.DataFrame({"r_name": r}).groupby("r_name", as_index=False).size()
+        return g.rename(columns={"size": "n_items"})
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(attach, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+# --------------------------------------------------------------- sort / top-k
+def topk_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by total price (deterministic tiebreak on key)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    # distributed top-k: per-block top-k, then tiny driver-side final sort
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+
+    out = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+# ------------------------------------------------------------------- windows
+def events_hourly(sf_dir: str):
+    """Tumbling 1h window: events per (user_id, hour). Int outputs only."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        hour = (us // 3_600_000_000) * 3_600_000_000
+        g = pd.DataFrame({"user_id": b["user_id"], "hour": hour.astype("datetime64[us]")})
+        return g.groupby(["user_id", "hour"], as_index=False).size().rename(columns={"size": "n_events"})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["hour"] = out["hour"].astype("datetime64[us]")
+    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+
+def events_sessions(sf_dir: str, gap_s: int = 1800):
+    """Session count per user: 30-min-gap sessionization inside map_groups
+    (partition by user, sort by ts within the group — the documented ordering
+    assumption for stream-shaped work)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    gap_us = gap_s * 1_000_000
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        new_session = np.ones(len(g), dtype=np.int64)
+        if len(us) > 1:
+            new_session[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_session.sum())]})
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def distinct_event_types(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def docs_stats_by_lang(sf_dir: str):
+    """Per-language doc stats — exact integer aggregation with per-batch
+    pre-combine before the shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            sum_chars=("n_chars", "sum"),
+            max_chars=("n_chars", "max"),
+            min_chars=("n_chars", "min"),
+        )
+        return g
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Max("max_chars", alias_name="max_chars"),
+            Min("min_chars", alias_name="min_chars"),
+        )
+        .to_pandas()
+    )
+    for c in ["n_docs", "sum_chars", "max_chars", "min_chars"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)

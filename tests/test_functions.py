@@ -1,0 +1,112 @@
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from quanterra_pipeline_ray.functions.multimodal import (
+    FrameSampler,
+    MediaDecoder,
+    decode_features,
+    synth_media_table,
+)
+from quanterra_pipeline_ray.functions.text import (
+    Fingerprinter,
+    LangId,
+    RollingFingerprinter,
+    TextStats,
+    TokenCounter,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_text_stats_matches_manual():
+    df = pd.DataFrame({"text": ["hello world", "  a  b  ", "", "one.two, three!"]})
+    out = TextStats()(df.copy())
+    assert out["n_tokens"].tolist() == [2, 2, 0, 2]
+    assert out["n_chars_txt"].tolist() == [11, 8, 0, 15]
+    assert out["token_chars"].tolist() == [10, 2, 0, 14]
+    assert out["n_punct"].tolist() == [0, 0, 0, 3]
+    assert out["quality_score"][0] == 10 / 11
+
+
+def test_token_counter():
+    df = pd.DataFrame({"text": ["hello, world! x2"]})
+    out = TokenCounter()(df.copy())
+    # hello , world ! x 2
+    assert out["n_bpe_tokens"].tolist() == [6]
+
+
+def test_langid_heuristic():
+    df = pd.DataFrame(
+        {
+            "text": [
+                "the cat and the dog sat in a box of it",
+                "der hund und die katze ist nicht da",
+                "le chat est un animal que les gens",
+                "el perro y la casa es una cosa que",
+                "深層学習 はとても面白い技術です 深層",
+                "zzz qqq xxx",
+            ]
+        }
+    )
+    out = LangId()(df.copy())
+    assert out["lang_pred"].tolist()[:5] == ["en", "de", "fr", "es", "zh"]
+    assert out["lang_pred"].tolist()[5] == "und"
+
+
+def test_fingerprint_matches_md5():
+    df = pd.DataFrame({"text": ["abc", "x y z"]})
+    out = Fingerprinter()(df.copy())
+    assert out["fingerprint"][0] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_rolling_fingerprint_deterministic_and_shift_invariant_content():
+    r = RollingFingerprinter(window=4)
+    a = r(pd.DataFrame({"text": ["abcdefgh"]}))
+    b = r(pd.DataFrame({"text": ["abcdefgh"]}))
+    assert a["rfp_min"][0] == b["rfp_min"][0]
+    # a shared window produces overlapping fingerprint ranges
+    c = r(pd.DataFrame({"text": ["xxabcdef"]}))
+    assert a["rfp_min"][0] != 0
+
+
+def test_text_stats_on_documents_dataset():
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    out = ds.map_batches(TextStats(), batch_format="pandas")
+    row = out.take(1)[0]
+    assert row["n_chars_txt"] == len(row["text"])
+    assert out.count() == 500
+
+
+# ------------------------------------------------------------------ multimodal
+def test_media_decoder_stub_raises_without_fake():
+    t = synth_media_table(4)
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake=False)(t.to_pandas())
+
+
+def test_media_decode_plumbing():
+    ds = rd.from_arrow(synth_media_table(32))
+    out = decode_features(ds, feature_dim=16)
+    rows = out.take_all()
+    assert len(rows) == 32
+    assert all(len(r["features"]) == 16 for r in rows)
+    # deterministic: same payload -> same features
+    again = decode_features(rd.from_arrow(synth_media_table(32)), feature_dim=16).take_all()
+    a = {r["media_id"]: list(r["features"]) for r in rows}
+    b = {r["media_id"]: list(r["features"]) for r in again}
+    assert a == b
+
+
+def test_frame_sampler_expands_rows():
+    t = synth_media_table(30, seed=3)
+    n_videos = sum(1 for v in t.column("media_type").to_pylist() if v == "video")
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"n_frames": 4, "fake": True},
+        batch_format="pandas", concurrency=2,
+    )
+    assert out.count() == n_videos * 4

@@ -1,0 +1,66 @@
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from quanterra_pipeline_ray.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus():
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    return df, np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+
+
+def test_brute_force_topk_matches_numpy():
+    df, mat = _corpus()
+    q = mat[:3]
+    ds = rd.from_pandas(df)
+    got = brute_force_topk(ds, q, k=5)
+    # oracle: plain numpy cosine
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = qn @ mn.T
+    for qi in range(3):
+        mine = got[got["query_id"] == qi]["vec_id"].tolist()
+        order = np.lexsort((df["vec_id"].to_numpy(), -scores[qi]))
+        expect = df["vec_id"].to_numpy()[order][:5].tolist()
+        assert mine == expect
+    # self-match is rank 1
+    assert got[got["query_id"] == 0].iloc[0]["vec_id"] == df["vec_id"][0]
+
+
+def test_ivf_topk_recall():
+    df, mat = _corpus()
+    q = mat[:5]
+    ds = rd.from_pandas(df)
+    exact = brute_force_topk(ds, q, k=5)
+    approx = ivf_topk(ds, q, k=5, n_lists=8, nprobe=4)
+    # recall@5 of the approximate index is decent on 500 vectors
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / 5)
+    assert np.mean(recalls) >= 0.5
+    # self-vector always found (its list is the nearest probed)
+    for qi in range(5):
+        assert df["vec_id"][qi] in set(approx[approx["query_id"] == qi]["vec_id"])
+
+
+def test_embedding_near_dup_pairs_finds_planted():
+    df, mat = _corpus()
+    df = df.head(50).copy()
+    dup = df.head(2).copy()
+    dup["vec_id"] = dup["vec_id"] + 9000  # identical vectors -> cosine 1.0
+    all_df = pd.concat([df, dup], ignore_index=True)
+    ds = rd.from_pandas(all_df)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.999)
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (df["vec_id"][0], df["vec_id"][0] + 9000) in found
+    assert (df["vec_id"][1], df["vec_id"][1] + 9000) in found
+    assert (pairs["cosine"] >= 0.999).all()
