@@ -96,6 +96,7 @@ def run_maintenance(
     target_rows: int = 200_000,
     expire_keep_last: int = 2,
     do_expire: bool = False,
+    part_bits: int | None = None,
 ) -> MaintenanceReport:
     """compact → Z-order cluster → MERGE (→ optional expire); timed per stage."""
     rep = MaintenanceReport()
@@ -108,7 +109,7 @@ def run_maintenance(
     rep.files["compacted"] = len(table.files())
 
     t0 = time.monotonic()
-    s2 = cluster(table, target_rows=target_rows)
+    s2 = cluster(table, target_rows=target_rows, part_bits=part_bits)
     rep.timings_s["zorder"] = time.monotonic() - t0
     rep.snapshots["zorder"] = s2.snapshot_id
     rep.files["clustered"] = len(table.files())

@@ -27,6 +27,32 @@ def _rd():
     return rd
 
 
+def bucketed_groupby(ds, keys: list[str], combine, n_buckets: int = 64):
+    """High-cardinality groupby without per-key reducer overhead.
+
+    Adds ``__bkt = hash(keys) % n_buckets`` so Ray shuffles into a BOUNDED
+    number of groups, then runs ``combine`` (a vectorized pandas groupby) once
+    per bucket.  Rows with equal keys always share a bucket, so per-bucket
+    combines are exact.  Use after a per-batch partial aggregation.
+    """
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for kcol in keys:
+            h ^= pd.util.hash_pandas_object(b[kcol], index=False).to_numpy(dtype=np.uint64)
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return combine(g.drop(columns="__bkt"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------------ TPC-H Q1
 def q1_pricing_summary(sf_dir: str, ship_before: str = "1998-09-01"):
     """TPC-H Q1 shape: per (returnflag, linestatus) sums/avgs/counts.
@@ -191,14 +217,13 @@ def events_hourly(sf_dir: str):
         g = pd.DataFrame({"user_id": b["user_id"], "hour": hour.astype("datetime64[us]")})
         return g.groupby(["user_id", "hour"], as_index=False).size().rename(columns={"size": "n_events"})
 
-    from ray.data.aggregate import Sum
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "hour"], as_index=False)["n_events"].sum()
 
-    out = (
-        ds.map_batches(bucket, batch_format="pandas")
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("n_events", alias_name="n_events"))
-        .to_pandas()
-    )
+    # (user, hour) cardinality is unbounded -> bucketed reduce, not per-key
+    out = bucketed_groupby(
+        ds.map_batches(bucket, batch_format="pandas"), ["user_id", "hour"], combine
+    ).to_pandas()
     out["n_events"] = out["n_events"].astype(np.int64)
     out["hour"] = out["hour"].astype("datetime64[us]")
     return out.sort_values(["user_id", "hour"]).reset_index(drop=True)

@@ -62,6 +62,18 @@ def _normalize_source(source: pa.Table) -> pa.Table:
     return body.append_column(OP_COL, ops)
 
 
+def _composite_key(t: pa.Table) -> pa.Array:
+    """Vectorized composite (conv_id, turn_idx) key as a single binary column
+    (Arrow C++ kernel; '\\x1f' cannot appear in a decimal turn_idx)."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        t.column("conv_id").cast(pa.string()),
+        pc.cast(t.column("turn_idx"), pa.string()),
+        "\x1f",
+    ).combine_chunks()
+
+
 def _dedupe_source(src: pd.DataFrame) -> pd.DataFrame:
     """Deterministic tiebreak for duplicate source keys: max (ts, text) wins."""
     if src.duplicated(KEY).any():
@@ -99,31 +111,80 @@ def prune_touched_files(files: list[DataFile], source_conv_ids: np.ndarray) -> l
 
 
 # ---------------------------------------------------------------- shuffle plan
+def _resolve_arrow(tgt: pa.Table, src: pa.Table, del_col: str = "__del") -> pa.Table:
+    """Arrow-native MERGE resolution.
+
+    Only the composite KEY column (plus ts for tiebreaks) ever touches
+    pandas — the wide ``text`` column stays in Arrow, which is what keeps the
+    shuffle plan from being pandas-conversion-bound at scale.
+    Semantics identical to :func:`_resolve`: source wins on key match,
+    duplicate source keys resolve to max ``(ts, text)``, deletes drop rows.
+    """
+    import pyarrow.compute as pc
+
+    skey = pd.Series(_composite_key(src).to_pandas()) if src.num_rows else pd.Series([], dtype=object)
+    if src.num_rows and skey.duplicated().any():
+        ts = src.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = pd.DataFrame({"k": skey, "ts": ts}).reset_index()
+        dup_keys = set(skey[skey.duplicated(keep=False)])
+        # text tiebreak only for rows whose (key, ts) still ties — rare
+        in_dup = order["k"].isin(dup_keys)
+        text_tb = pd.Series("", index=order.index, dtype=object)
+        if in_dup.any():
+            text_tb[in_dup] = (
+                src.column("text").take(pa.array(order.index[in_dup].to_numpy())).to_pylist()
+            )
+        order["txt"] = text_tb
+        keep_idx = (
+            order.sort_values(["k", "ts", "txt"], kind="mergesort")
+            .drop_duplicates("k", keep="last")["index"]
+            .to_numpy()
+        )
+        keep_idx.sort()
+        src = src.take(pa.array(keep_idx))
+        skey = skey.iloc[keep_idx].reset_index(drop=True)
+    if tgt.num_rows and src.num_rows:
+        tkey = _composite_key(tgt)
+        drop = pc.is_in(tkey, value_set=pa.array(skey.to_numpy(), type=pa.binary()).cast(tkey.type))
+        tgt = tgt.filter(pc.invert(drop))
+    if src.num_rows:
+        ins = src.filter(pc.equal(src.column(del_col), 0)).drop_columns([del_col])
+        from ..schema import ensure_schema as _ensure
+
+        parts = [t for t in (tgt, _ensure(ins)) if t.num_rows] or [tgt]
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    return tgt
+
+
 def _make_bucket_resolver(root: str, target_rows: int, ckpt_dir: str, base_snapshot: int):
-    def resolve_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if not len(group):
-            return pd.DataFrame({"record": pd.Series([], dtype=object)})
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"record": pa.array([], type=pa.string())})
+        import pyarrow.compute as pc
+
         t0 = time.monotonic()
-        bucket = int(group["__bucket"].iloc[0])
-        tgt = group[group["__src"] == 0].drop(columns=["__src", "__bucket", OP_COL])
-        src = group[group["__src"] == 1].drop(columns=["__src", "__bucket"])
-        merged = _resolve(tgt, src)
+        bucket = int(group.column("__bucket")[0].as_py())
+        src_mask = pc.equal(group.column("__src"), 1)
+        tgt = group.filter(pc.invert(src_mask)).drop_columns(["__src", "__bucket", "__del"])
+        src = group.filter(src_mask).drop_columns(["__src", "__bucket"])
+        merged = _resolve_arrow(tgt, src)
         outs = []
-        for off in range(0, len(merged), target_rows):
-            chunk = pa.Table.from_pandas(merged.iloc[off : off + target_rows], preserve_index=False)
-            outs.append(write_data_file(chunk, root))
+        for off in range(0, max(merged.num_rows, 1), target_rows):
+            chunk = merged.slice(off, target_rows)
+            if chunk.num_rows:
+                outs.append(write_data_file(chunk, root))
         lin = lineage_record(
             op="merge",
             partition_id=bucket,
             inputs=[{"snapshot": base_snapshot}],
             outputs=[{"path": o.path, "checksum": o.checksum} for o in outs],
-            rows_in=len(group),
+            rows_in=group.num_rows,
             rows_out=sum(o.rows for o in outs),
             duration_s=time.monotonic() - t0,
         )
         record = {"datafiles": [o.to_json() for o in outs], "lineage": lin}
         Checkpoint.write_record(ckpt_dir, bucket, record)
-        return pd.DataFrame({"record": [json.dumps(record)]})
+        return pa.table({"record": pa.array([json.dumps(record)], type=pa.string())})
 
     return resolve_bucket
 
@@ -135,8 +196,7 @@ class _BucketTagger:
         self.b = np.uint64(num_buckets)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        conv = t.column("conv_id").to_pandas()
-        bucket = (key_hash64(conv) % self.b).astype(np.int64)
+        bucket = (key_hash64(t.column("conv_id")) % self.b).astype(np.int64)
         return t.append_column("__bucket", pa.array(bucket, type=pa.int64()))
 
 
@@ -147,23 +207,36 @@ def _make_merge_file_task(source_ref):
     driver, `ray.get` zero-copy in every task — no per-task reshipping)."""
 
     def _merge_file_task(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
         import ray
 
+        # zero-copy read of the broadcast source (Arrow, deduped driver-side);
+        # the composite key array is computed once per task, not per file
         src_table: pa.Table = ray.get(source_ref)
-        src = src_table.to_pandas()
+        skey = _composite_key(src_table)
         records = []
         for spec_json in batch["spec"]:
             spec = json.loads(spec_json)
             t0 = time.monotonic()
-            tgt = ensure_schema(pq.read_table(spec["path"]), TRANSCRIPTS_SCHEMA).to_pandas()
-            # semi-join: which source keys live in THIS file (update lands here)
-            hit_flags = src[KEY].merge(tgt[KEY], on=KEY, how="left", indicator=True)[
-                "_merge"
-            ].to_numpy()
-            hits = src[hit_flags == "both"]
-            merged = _resolve(tgt, hits) if len(hits) else tgt.sort_values(KEY, kind="mergesort")
-            out = write_data_file(pa.Table.from_pandas(merged, preserve_index=False), spec["root"])
-            matched = hits[KEY].to_dict(orient="list")
+            tgt = ensure_schema(pq.read_table(spec["path"]), TRANSCRIPTS_SCHEMA)
+            tkey = _composite_key(tgt)
+            # semi-join: source keys present in THIS file (their update lands here)
+            src_hit = pc.is_in(skey, value_set=tkey)
+            hits = src_table.filter(src_hit)
+            if hits.num_rows:
+                hkey = skey.filter(src_hit)
+                kept = tgt.filter(pc.invert(pc.is_in(tkey, value_set=hkey)))
+                ins = hits.filter(pc.not_equal(hits.column(OP_COL), "delete")).drop_columns(
+                    [OP_COL]
+                )
+                merged = pa.concat_tables([kept, ensure_schema(ins)])
+            else:
+                merged = tgt
+            out = write_data_file(merged, spec["root"])
+            matched = {
+                "conv_id": hits.column("conv_id").to_pylist(),
+                "turn_idx": hits.column("turn_idx").to_pylist(),
+            }
             lin = lineage_record(
                 op="merge",
                 partition_id=spec["file_id"],
@@ -242,6 +315,9 @@ def _merge_broadcast(
     ckpt = Checkpoint(table.root, op_id)
     done = ckpt.completed()
 
+    # dedupe once driver-side so every task can trust key uniqueness
+    src_df = _dedupe_source(source.to_pandas())
+    source = pa.Table.from_pandas(src_df, preserve_index=False)
     source_ref = ray.put(source)
     items = []
     results: list[dict[str, Any]] = []
@@ -275,8 +351,6 @@ def _merge_broadcast(
     for r in results:
         m = r["matched"]
         matched.update(zip(m["conv_id"], m["turn_idx"]))
-    src_df = source.to_pandas()
-    src_df = _dedupe_source(src_df)
     key_tuples = list(zip(src_df["conv_id"], src_df["turn_idx"]))
     is_new = np.array([k not in matched for k in key_tuples], dtype=bool)
     inserts = src_df[is_new & (src_df[OP_COL] != "delete")].drop(columns=[OP_COL])
@@ -319,6 +393,7 @@ def _merge_shuffle(
     num_buckets: int | None,
 ) -> tuple[Snapshot, list[dict]]:
     import pyarrow.compute as pc
+    import ray
     import ray.data as rd
 
     n_src = source.num_rows if isinstance(source, pa.Table) else source.count()
@@ -336,26 +411,34 @@ def _merge_shuffle(
 
     def tag_target(t: pa.Table) -> pa.Table:
         t = ensure_schema(t)
-        t = t.append_column(OP_COL, pa.array(["upsert"] * t.num_rows, type=pa.string()))
+        t = t.append_column("__del", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
         return t.append_column("__src", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
 
     def tag_source(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = _normalize_source(t)
+        dele = pc.cast(pc.equal(t.column(OP_COL), "delete"), pa.int8())
+        t = t.drop_columns([OP_COL]).append_column("__del", dele)
         return t.append_column("__src", pa.array(np.ones(t.num_rows, dtype=np.int8)))
 
     if isinstance(source, pa.Table):
         source_ds = rd.from_arrow(tag_source(source))
     else:
         source_ds = source.map_batches(tag_source, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nblocks = int(max(cpus, sum(f.bytes for f in touched) // (64 << 20)))
     parts = []
     if paths:
-        parts.append(rd.read_parquet(paths).map_batches(tag_target, batch_format="pyarrow"))
+        parts.append(
+            rd.read_parquet(paths, override_num_blocks=nblocks).map_batches(
+                tag_target, batch_format="pyarrow"
+            )
+        )
     parts.append(source_ds)
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-    import ray
-
-    tagger_pool = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    tagger_pool = max(2, cpus // 2)
     ds = ds.map_batches(
         _BucketTagger, fn_constructor_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow", concurrency=tagger_pool,
@@ -367,9 +450,12 @@ def _merge_shuffle(
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
+    # materialize before the shuffle: sort-based groupby executes its
+    # upstream twice otherwise (boundary sampling + the shuffle itself)
+    ds = ds.materialize()
     out = ds.groupby("__bucket").map_groups(
         _make_bucket_resolver(table.root, target_rows, ckpt.dir, base),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     for row in out.take_all():
         results.append(json.loads(row["record"]))

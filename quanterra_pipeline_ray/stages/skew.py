@@ -20,9 +20,22 @@ import pandas as pd
 import pyarrow as pa
 
 
-def key_hash64(keys: pd.Series | np.ndarray) -> np.ndarray:
-    """Deterministic fixed-key siphash of a key column (vectorized)."""
-    return pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy(dtype=np.uint64)
+def key_hash64(keys) -> np.ndarray:
+    """Deterministic 64-bit hash of a key column, vectorized.
+
+    Accepts Arrow arrays/chunked arrays (hashed natively, zero object
+    conversion — the hot path) or any sequence.  Polars' hash with a fixed
+    seed is deterministic across processes for a given polars version, which
+    is all replay idempotency needs within one run."""
+    import polars as pl
+
+    if isinstance(keys, pa.ChunkedArray):
+        s = pl.from_arrow(keys)
+    elif isinstance(keys, pa.Array):
+        s = pl.from_arrow(pa.chunked_array([keys]))
+    else:
+        s = pl.Series(np.asarray(keys, dtype=object))
+    return s.hash(seed=0).to_numpy().astype(np.uint64)
 
 
 def salted_partition(

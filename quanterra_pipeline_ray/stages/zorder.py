@@ -57,10 +57,11 @@ def interleave_bits(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (_spread_bits(a) << np.uint64(1)) | _spread_bits(b)
 
 
-def conv_hash32(conv_id: pd.Series | np.ndarray) -> np.ndarray:
-    """Deterministic vectorized 32-bit hash of conv_id (fixed-key siphash)."""
-    h = pd.util.hash_pandas_object(pd.Series(conv_id), index=False).to_numpy(dtype=np.uint64)
-    return (h >> np.uint64(32)).astype(np.uint64)
+def conv_hash32(conv_id) -> np.ndarray:
+    """Deterministic vectorized 32-bit hash of conv_id (arrow-native)."""
+    from ..stages.skew import key_hash64
+
+    return (key_hash64(conv_id) >> np.uint64(32)).astype(np.uint64)
 
 
 class ZKeyEncoder:
@@ -74,16 +75,20 @@ class ZKeyEncoder:
     def __init__(self, ts_origin_us: int, bucket_us: int, part_bits: int):
         self.ts_origin = np.int64(ts_origin_us)
         self.bucket_us = np.int64(max(1, bucket_us))
-        self.shift = np.uint64(64 - part_bits)
+        self.part_shift = np.uint64(32 - part_bits)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv = batch.column("conv_id").to_pandas()
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        a = conv_hash32(conv)
+        a = conv_hash32(batch.column("conv_id"))
         bucket = np.maximum(ts - self.ts_origin, 0) // self.bucket_us
         b = (bucket.astype(np.uint64)) & np.uint64(0xFFFFFFFF)
         z = interleave_bits(a, b)
-        zpart = (z >> self.shift).astype(np.uint64)
+        # Partition on the top bits of the (uniform) conv hash, NOT of z: the
+        # ts-bucket's high bits are ~always zero, so z's top bits collapse to
+        # 2 values and would funnel the whole shuffle through 2 reducers.
+        # Since bucket < 2^(31-part_bits) in practice, fixing the top hash
+        # bits still yields (near-)disjoint z ranges per partition.
+        zpart = (a >> self.part_shift).astype(np.uint64)
         return batch.append_column("z", pa.array(z, type=pa.uint64())).append_column(
             "zpart", pa.array(zpart, type=pa.uint64())
         )
@@ -141,7 +146,14 @@ def cluster(
         return table.snapshot(base)
     total_rows = sum(f.rows for f in files)
     if part_bits is None:
-        part_bits = int(np.clip(np.ceil(np.log2(max(1, total_rows / (2 * target_rows)))), 2, 12))
+        import ray
+
+        # ~2 partitions per CPU so the reduce stage saturates the cluster,
+        # but never partitions smaller than ~target_rows/4 rows
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        want = max(2 * cpus, total_rows // max(1, target_rows))
+        cap = max(1, total_rows // max(1, target_rows // 4))
+        part_bits = int(np.clip(np.ceil(np.log2(max(2, min(want, cap)))), 1, 12))
 
     # ts origin from manifest stats (min over files) keeps buckets small ints
     ts_mins = [f.stats["ts"][0] for f in files if "ts" in f.stats]
@@ -156,12 +168,17 @@ def cluster(
 
     results: list[dict[str, Any]] = list(done.values())
 
-    if encoder_concurrency is None:
-        import ray
+    import ray
 
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    if encoder_concurrency is None:
         # actor pool sized to the cluster minus headroom for read/shuffle stages
-        encoder_concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
-    ds = table.scan(base)
+        encoder_concurrency = max(2, cpus // 2)
+    # ~64 MiB blocks (lower-bounded by one block per CPU): tiny blocks make
+    # the sort shuffle overhead-bound, giant blocks starve parallelism
+    total_bytes = sum(f.bytes for f in files)
+    nblocks = int(max(cpus, total_bytes // (64 << 20)))
+    ds = table.scan(base, override_num_blocks=nblocks)
     encoder_kwargs = dict(
         ts_origin_us=ts_origin_us, bucket_us=ts_bucket_us, part_bits=part_bits
     )
@@ -181,6 +198,11 @@ def cluster(
 
         enc = enc.map_batches(drop_done, batch_format="pyarrow")
 
+    # materialize the encoded dataset: the sort-based groupby samples key
+    # boundaries by executing its upstream, so an unmaterialized pipeline
+    # would run the read+encode TWICE (one block-sized working set per task;
+    # the object store spills if the encoded table exceeds it)
+    enc = enc.materialize()
     out = enc.groupby("zpart").map_groups(
         _make_run_writer(table.root, target_rows, ckpt.dir, base),
         batch_format="pyarrow",

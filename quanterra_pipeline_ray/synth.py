@@ -72,7 +72,10 @@ def generate_transcripts(
     conv_ord = np.repeat(np.arange(n_convs), lengths)
     turn_idx = (np.arange(total) - np.repeat(starts, lengths)).astype(np.int32)
 
-    conv_id = pd.Series(conv_ord).map(lambda i: f"conv-{seed}-{i:08d}").to_numpy(dtype=object)
+    # build one string per conversation, then repeat (vectorized; never one
+    # Python format call per row)
+    conv_pool = np.array([f"conv-{seed}-{i:08d}" for i in range(n_convs)], dtype=object)
+    conv_id = np.repeat(conv_pool, lengths)
 
     conv_salt = rng.integers(0, 1 << 31, size=n_convs)
     row_salt = np.repeat(conv_salt, lengths) + turn_idx.astype(np.int64) * 2654435761
@@ -190,6 +193,51 @@ def fragment_table(
         pq.write_table(table.slice(lo, hi - lo), path, compression="zstd")
         paths.append(path)
     return paths
+
+
+def fragment_table_with_entries(
+    table: pa.Table, out_dir: str, n_files: int, seed: int = 7
+) -> list[dict]:
+    """Like :func:`fragment_table` but also returns manifest-ready DataFile
+    entries (checksum + stats computed from the in-memory bytes, no re-read).
+
+    Lets a benchmark generate input ONCE and register it into many fresh
+    table roots without driver-side re-reading."""
+    import hashlib as _hashlib
+    import io
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .state.manifest import table_stats
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = table.num_rows
+    perm = np.random.default_rng(seed).permutation(n)
+    table = table.take(pa.array(perm))
+    bounds = np.linspace(0, n, n_files + 1).astype(int)
+    entries = []
+    for i in range(n_files):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi <= lo:
+            continue
+        chunk = table.slice(lo, hi - lo)
+        buf = io.BytesIO()
+        pq.write_table(chunk, buf, compression="zstd")
+        payload = buf.getvalue()
+        path = os.path.join(out_dir, f"frag-{i:05d}.parquet")
+        with open(path, "wb") as f:
+            f.write(payload)
+        entries.append(
+            {
+                "path": path,
+                "rows": chunk.num_rows,
+                "bytes": len(payload),
+                "checksum": _hashlib.sha256(payload).hexdigest(),
+                "stats": table_stats(chunk),
+            }
+        )
+    return entries
 
 
 def content_fingerprint(table: pa.Table) -> str:
