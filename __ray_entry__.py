@@ -277,6 +277,77 @@ def _q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     return pairs[["a", "b"]].astype(np.int64)
 
 
+def _q_semi_join_events(sf_dir: str):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.envelope import substring_semi_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    return substring_semi_join(ds, "event_type", ["ck", "se"])  # click, purchase
+
+
+def _q_split_key_docs(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.envelope import split_composite_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+
+    def compose(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(t.column("lang"), t.column("source"), ".")
+        return t.append_column("k", k)
+
+    out = split_composite_key(ds.map_batches(compose, batch_format="pyarrow"), "k")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "code", "exchange"]), batch_format="pyarrow"
+    )
+
+
+def _q_storage_keys_events(sf_dir: str):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.envelope import storage_key
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        key = storage_key("events", t.column("ts"), t.column("user_id"), t.column("event_id"))
+        return pa.table({"event_id": t.column("event_id"), "obj_key": key})
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _q_csv_roundtrip_events(sf_dir: str):
+    import duckdb
+
+    from quanterra_pipeline_ray.sources.csv import CSVSourceConfig, read_validated_csv
+
+    path = os.path.join(_SCRATCH, f"events-{os.path.basename(os.path.normpath(sf_dir))}.csv")
+    os.makedirs(_SCRATCH, exist_ok=True)
+    duckdb.connect().execute(
+        f"COPY (SELECT event_id, event_type FROM '{sf_dir}/events.parquet' ORDER BY event_id) "
+        f"TO '{path}' (HEADER, DELIMITER ',')"
+    )
+    cfg = CSVSourceConfig(header_row=0, required_columns=("event_id", "event_type"), encoding="utf-8")
+    return read_validated_csv(path, cfg)
+
+
+def _q_ingest_flow(sf_dir: str):
+    from quanterra_pipeline_ray.pipelines.ingest import market_data_flow
+
+    out = os.path.join(_SCRATCH, "ingest-landing")
+    shutil.rmtree(out, ignore_errors=True)
+    res = market_data_flow(
+        out,
+        exchanges=["US", "LSE", "TO"],
+        data_types=["eod", "dividends"],
+        symbols_per_exchange=3,
+        allowed_exchange_suffixes=[".US", ".TO"],
+    )
+    return pd.DataFrame([res])[["stored_rows", "quarantined_rows"]]
+
+
 def _q_media_decode(sf_dir: str):
     import ray.data as rd
 
@@ -350,6 +421,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "media_decode_features": _q_media_decode,
+        # ingestion-layer operators (reference parity)
+        "semi_join_events": _q_semi_join_events,
+        "split_key_docs": _q_split_key_docs,
+        "storage_keys_events": _q_storage_keys_events,
+        "csv_roundtrip_events": _q_csv_roundtrip_events,
+        "ingest_flow": _q_ingest_flow,
     }
 
 
@@ -454,6 +531,21 @@ SELECT doc_id,
 FROM documents
 """.strip(),
         "fingerprint_docs": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "semi_join_events": """
+SELECT event_id, event_type FROM events
+WHERE event_type LIKE '%ck' OR event_type LIKE '%se'
+""".strip(),
+        "split_key_docs": """
+SELECT doc_id, lang AS code, source AS exchange FROM documents
+""".strip(),
+        "storage_keys_events": """
+SELECT event_id,
+       'eodhd/events/' || strftime(ts, '%Y/%m/%d') || '/' ||
+       CAST(user_id AS VARCHAR) || '/' || CAST(event_id AS VARCHAR) ||
+       '.json.gz' AS obj_key
+FROM events
+""".strip(),
+        "csv_roundtrip_events": "SELECT event_id, event_type FROM events",
         "similarity_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings

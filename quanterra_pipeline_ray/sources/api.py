@@ -1,0 +1,166 @@
+"""API-client fan-out source with retry, bounded concurrency, and per-item
+failure isolation.
+
+Rebuilds the reference's ingestion-side operator set Ray-natively:
+
+* generic client with app-level retry + exponential backoff (reference
+  `src/clients/api/base_api_client.py:25-41`: 3 attempts, 4–10 s backoff);
+* cartesian fan-out with a bounded semaphore (reference
+  `eodhd_processor.py:172-185`: exchanges × data_types under
+  ``Semaphore(8)``) → ``from_items(product) → map_batches(ClientStage,
+  concurrency=N)`` — the actor-pool size IS the semaphore;
+* per-item failure isolation: failed items become quarantine rows instead of
+  failing the task (reference swallows per-item errors to ``[]`` + log,
+  `eodhd_processor.py:107-109`), with a per-stage ``on_error`` policy knob
+  ('skip' | 'raise') covering the reference's inconsistency (Yahoo raises,
+  EODHD skips — `yahoo_finance_processor.py:50-51` vs
+  `eodhd_processor.py:107-109`).
+
+No network exists in this sandbox: :class:`DeterministicFakeAPI` computes a
+seeded, deterministic payload per request so tests are exact.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import time
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+
+
+class RetryError(RuntimeError):
+    pass
+
+
+def with_retries(
+    fn: Callable[[], Any],
+    attempts: int = 3,
+    backoff_s: float = 0.05,
+    max_backoff_s: float = 0.4,
+    retry_on: tuple[type[Exception], ...] = (Exception,),
+    sleep: Callable[[float], None] = time.sleep,
+) -> Any:
+    """App-level retry with exponential backoff (tenacity-shaped)."""
+    delay = backoff_s
+    last: Exception | None = None
+    for _ in range(attempts):
+        try:
+            return fn()
+        except retry_on as exc:  # noqa: PERF203 - retry loop
+            last = exc
+            sleep(delay)
+            delay = min(delay * 2, max_backoff_s)
+    raise RetryError(f"gave up after {attempts} attempts: {last}") from last
+
+
+class DeterministicFakeAPI:
+    """Seeded stand-in for the market-data APIs (no network in sandbox).
+
+    ``fail_every``: every Nth request raises once (then succeeds on retry),
+    exercising the retry path deterministically.
+    """
+
+    def __init__(self, seed: int = 42, fail_every: int = 0):
+        self.seed = seed
+        self.fail_every = fail_every
+        self._calls = 0
+
+    def get(self, endpoint: str, **params: Any) -> dict[str, Any]:
+        self._calls += 1
+        if self.fail_every and self._calls % self.fail_every == 0:
+            raise ConnectionError(f"transient failure on call {self._calls}")
+        key = f"{endpoint}|{json.dumps(params, sort_keys=True)}"
+        rng = np.random.default_rng(abs(hash((self.seed, key))) % (1 << 32))
+        return {
+            "endpoint": endpoint,
+            "params": params,
+            "value": round(float(rng.uniform(1, 1000)), 4),
+            "volume": int(rng.integers(0, 1_000_000)),
+        }
+
+
+def fanout_items(*dimensions: list) -> list[dict[str, Any]]:
+    """Cartesian product of request dimensions as a control-dataset item list
+    (the reference's exchanges × data_types / instruments × endpoints)."""
+    keys = [f"dim{i}" for i in range(len(dimensions))]
+    return [dict(zip(keys, combo)) for combo in itertools.product(*dimensions)]
+
+
+class FetchStage:
+    """Actor-pool fetch stage: one client per actor (reference holds one
+    client per flow), per-item try/except with quarantine routing."""
+
+    def __init__(
+        self,
+        endpoint_col: str = "endpoint",
+        on_error: str = "skip",
+        seed: int = 42,
+        fail_every: int = 0,
+        attempts: int = 3,
+    ):
+        self.client = DeterministicFakeAPI(seed=seed, fail_every=fail_every)
+        self.endpoint_col = endpoint_col
+        self.on_error = on_error
+        self.attempts = attempts
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in batch.iterrows():
+            req = {k: row[k] for k in batch.columns if k != self.endpoint_col}
+            try:
+                payload = with_retries(
+                    lambda: self.client.get(str(row[self.endpoint_col]), **req),
+                    attempts=self.attempts,
+                    backoff_s=0.001,
+                    sleep=lambda _s: None,
+                )
+                out.append(
+                    {
+                        **{c: row[c] for c in batch.columns},
+                        "ok": True,
+                        "error": "",
+                        "payload": json.dumps(payload, sort_keys=True),
+                    }
+                )
+            except Exception as exc:
+                if self.on_error == "raise":
+                    raise
+                out.append(
+                    {
+                        **{c: row[c] for c in batch.columns},
+                        "ok": False,
+                        "error": str(exc),
+                        "payload": "",
+                    }
+                )
+        return pd.DataFrame(out)
+
+
+def fetch_fanout(
+    items: list[dict[str, Any]],
+    concurrency: int = 8,
+    on_error: str = "skip",
+    seed: int = 42,
+    fail_every: int = 0,
+):
+    """``from_items(product) → map_batches(FetchStage, concurrency=N)``.
+
+    Returns ``(ok_ds, quarantine_ds)`` — the quarantine dataset carries the
+    failed items + error strings (per-item failure isolation as data, not
+    exceptions).
+    """
+    import ray.data as rd
+
+    ds = rd.from_items(items, override_num_blocks=max(1, min(len(items), concurrency * 4)))
+    fetched = ds.map_batches(
+        FetchStage,
+        fn_constructor_kwargs=dict(on_error=on_error, seed=seed, fail_every=fail_every),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    ok = fetched.filter(lambda r: r["ok"])
+    quarantine = fetched.filter(lambda r: not r["ok"])
+    return ok, quarantine
