@@ -107,6 +107,16 @@ def _q_maint_zorder(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_hilbert(sf_dir: str) -> pa.Table:
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.zorder import cluster
+
+    table, _ = _maint_table(sf_dir, "hilbert")
+    compact(table, target_bytes=4 << 20)
+    cluster(table, target_rows=5000, curve="hilbert")
+    return _result(table.read_all())
+
+
 def _q_maint_merge(sf_dir: str) -> pa.Table:
     from quanterra_pipeline_ray.stages.compaction import compact
     from quanterra_pipeline_ray.stages.merge import merge_into
@@ -396,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_scan": _q_maint_scan,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
+        "maint_hilbert": _q_maint_hilbert,
         "maint_merge": _q_maint_merge,
         "maint_merge_shuffle": _q_maint_merge_shuffle,
         "maint_expire": _q_maint_expire,
@@ -455,6 +466,7 @@ SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
         "maint_scan": scan_sql,
         "maint_compact": scan_sql,
         "maint_zorder": scan_sql,
+        "maint_hilbert": scan_sql,
         "maint_expire": scan_sql,
         "maint_resume": scan_sql,
         "maint_merge": merge_sql,

@@ -165,24 +165,37 @@ def minhash_lsh_dedup(
     the cluster — only band-collision candidates reach the driver.
     """
     rows_per_band = num_hashes // bands
-    hasher_kwargs = dict(
-        text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
-    )
-    sigs = ds.map_batches(
-        MinHasher, fn_constructor_kwargs=hasher_kwargs,
-        batch_format="pandas", concurrency=concurrency,
-    )
-    band_ds = sigs.map_batches(
-        lambda b: _band_rows(b, id_col, bands, rows_per_band), batch_format="pandas"
-    )
-
-    # coarse-bucket the band rows (bounded Ray group count); the fine-grained
-    # (band, band_hash) grouping happens vectorized via a pandas self-merge
     n_buckets = 64
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        b["__bkt"] = (b["band_hash"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
-        return b
+    class MinHashBandStage(MinHasher):
+        """Fused stage: signature + banding in one pass, emitting compact
+        numeric (band, band_hash, id, bucket) rows — no object-dtype
+        signature arrays ever enter the object store."""
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
+            b = _band_rows(
+                pd.DataFrame({id_col: batch[id_col].to_numpy(), "__sig": list(sigs)}),
+                id_col,
+                bands,
+                rows_per_band,
+            )
+            b["__bkt"] = (b["band_hash"].to_numpy(dtype=np.uint64) % n_buckets).astype(
+                np.int64
+            )
+            return b
+
+    band_ds = ds.map_batches(
+        MinHashBandStage,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    # coarse-bucketed pair extraction: bounded Ray group count; fine-grained
+    # (band, band_hash) grouping happens vectorized via a pandas self-merge
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["band", "band_hash", id_col]].drop_duplicates()
@@ -195,14 +208,16 @@ def minhash_lsh_dedup(
         )
 
     pairs = (
-        band_ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("__bkt")
+        band_ds.groupby("__bkt")
         .map_groups(emit_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
 
     if len(pairs):
+        import ray
+        import ray.data as rd
+
         cand_ids = set(pairs["a"]).union(pairs["b"])
         texts = (
             ds.map_batches(
@@ -213,11 +228,45 @@ def minhash_lsh_dedup(
             .set_index(id_col)[text_col]
             .to_dict()
         )
-        keep = [
-            ngram_jaccard(texts[a], texts[b], shingle_k) >= threshold
-            for a, b in zip(pairs["a"], pairs["b"])
+        # distributed, shingle-cached exact verification (candidate sets can
+        # be large when the corpus shares vocabulary — never a driver loop)
+        texts_ref = ray.put(texts)
+
+        class VerifyJaccard:
+            def __init__(self):
+                self.texts = ray.get(texts_ref)
+                self.cache: dict = {}
+
+            def _sh(self, i):
+                s = self.cache.get(i)
+                if s is None:
+                    s = _shingle_hashes(self.texts[i], shingle_k)
+                    self.cache[i] = s
+                return s
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                keep = np.empty(len(b), dtype=bool)
+                for pos, (x, y) in enumerate(zip(b["a"], b["b"])):
+                    sa, sb = self._sh(x), self._sh(y)
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    union = sa.size + sb.size - inter
+                    keep[pos] = (inter / union if union else 1.0) >= threshold
+                return b[keep]
+
+        # pool must leave CPUs free for upstream tasks (an actor pool that
+        # reserves every CPU starves the input stage and live-locks)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        verify_conc = int(np.clip(min(concurrency, cpus - 1), 1, 16))
+        chunks = [
+            c.reset_index(drop=True)
+            for c in np.array_split(pairs.reset_index(drop=True), verify_conc * 4)
+            if len(c)
         ]
-        pairs = pairs[np.array(keep, dtype=bool)] if len(keep) else pairs
+        pairs = (
+            rd.from_pandas(chunks)
+            .map_batches(VerifyJaccard, batch_format="pandas", concurrency=verify_conc)
+            .to_pandas()
+        )
 
     uf = _UnionFind()
     all_ids = ds.map_batches(lambda b: b[[id_col]], batch_format="pandas").to_pandas()[id_col]

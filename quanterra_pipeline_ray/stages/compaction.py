@@ -62,13 +62,12 @@ def plan_bins(
     # if it merges with nothing — carry it forward instead of burning IO,
     # unless it is the only content (so tests over tiny tables still compact).
     if len(bins) > 1:
-        keep: list[list[DataFile]] = []
-        for b in bins:
-            if len(b) == 1:
-                carried.append(b[0])
-            else:
-                keep.append(b)
-        bins = keep if keep else bins
+        keep = [b for b in bins if len(b) > 1]
+        singles = [b[0] for b in bins if len(b) == 1]
+        # a singleton bin merges with nothing — carrying it forward beats a
+        # pointless rewrite, whether or not other bins remain
+        carried.extend(singles)
+        bins = keep
     return bins, carried
 
 

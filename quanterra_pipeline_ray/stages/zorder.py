@@ -57,6 +57,39 @@ def interleave_bits(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (_spread_bits(a) << np.uint64(1)) | _spread_bits(b)
 
 
+def hilbert_d(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Vectorized Hilbert-curve distance of 2-D points (``bits`` per axis).
+
+    Standard xy→d transform (rotate/reflect per quadrant), iterated from the
+    top bit down with numpy boolean arrays — no Python loop over rows.
+    Hilbert preserves locality strictly better than Morton at the cost of a
+    few more vector ops per level.
+    """
+    x = x.astype(np.uint64) & np.uint64((1 << bits) - 1)
+    y = y.astype(np.uint64) & np.uint64((1 << bits) - 1)
+    x = x.copy()
+    y = y.copy()
+    d = np.zeros_like(x, dtype=np.uint64)
+    s = np.uint64(1) << np.uint64(bits - 1)
+    one = np.uint64(1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.uint64)
+        ry = ((y & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        flip = (ry == 0) & (rx == 1)
+        x_f = s - one - x
+        y_f = s - one - y
+        x = np.where(flip, x_f, x)
+        y = np.where(flip, y_f, y)
+        swap = ry == 0
+        x2 = np.where(swap, y, x)
+        y2 = np.where(swap, x, y)
+        x, y = x2, y2
+        s >>= one
+    return d
+
+
 def conv_hash32(conv_id) -> np.ndarray:
     """Deterministic vectorized 32-bit hash of conv_id (arrow-native)."""
     from ..stages.skew import key_hash64
@@ -72,17 +105,28 @@ class ZKeyEncoder:
     per-process singleton clients (`google_cloud_storage_client.py:14-38`).
     """
 
-    def __init__(self, ts_origin_us: int, bucket_us: int, part_bits: int):
+    def __init__(self, ts_origin_us: int, bucket_us: int, part_bits: int, curve: str = "z"):
+        if curve not in ("z", "hilbert"):
+            raise ValueError(f"unknown curve {curve!r}")
         self.ts_origin = np.int64(ts_origin_us)
         self.bucket_us = np.int64(max(1, bucket_us))
         self.part_shift = np.uint64(32 - part_bits)
+        self.curve = curve
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         a = conv_hash32(batch.column("conv_id"))
         bucket = np.maximum(ts - self.ts_origin, 0) // self.bucket_us
         b = (bucket.astype(np.uint64)) & np.uint64(0xFFFFFFFF)
-        z = interleave_bits(a, b)
+        if self.curve == "hilbert":
+            # 16 bits per axis (top hash bits / bucket low bits) -> 32-bit d;
+            # hash bits drive the partitioning either way
+            z = hilbert_d(a >> np.uint64(16), b, bits=16) << np.uint64(32) | (
+                interleave_bits(a & np.uint64(0xFFFF), b >> np.uint64(16))
+                & np.uint64(0xFFFFFFFF)
+            )
+        else:
+            z = interleave_bits(a, b)
         # Partition on the top bits of the (uniform) conv hash, NOT of z: the
         # ts-bucket's high bits are ~always zero, so z's top bits collapse to
         # 2 values and would funnel the whole shuffle through 2 reducers.
@@ -133,6 +177,7 @@ def cluster(
     part_bits: int | None = None,
     snapshot_id: int | None = None,
     encoder_concurrency: Any = None,
+    curve: str = "z",
 ) -> Snapshot:
     """Z-order-cluster the snapshot; returns the new snapshot.
 
@@ -161,7 +206,7 @@ def cluster(
         int(pd.Timestamp(min(ts_mins)).value // 1000) if ts_mins else 0
     )
 
-    op_id = f"zorder-s{base}-b{ts_bucket_us}-p{part_bits}"
+    op_id = f"zorder-s{base}-b{ts_bucket_us}-p{part_bits}-{curve}"
     ckpt = Checkpoint(table.root, op_id)
     done = ckpt.completed()
     done_parts = set(int(k) for k in done)
@@ -180,7 +225,7 @@ def cluster(
     nblocks = int(max(cpus, total_bytes // (64 << 20)))
     ds = table.scan(base, override_num_blocks=nblocks)
     encoder_kwargs = dict(
-        ts_origin_us=ts_origin_us, bucket_us=ts_bucket_us, part_bits=part_bits
+        ts_origin_us=ts_origin_us, bucket_us=ts_bucket_us, part_bits=part_bits, curve=curve
     )
     enc = ds.map_batches(
         ZKeyEncoder,

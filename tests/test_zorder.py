@@ -89,7 +89,7 @@ def test_cluster_resume_after_crash_before_commit(tmp_path, monkeypatch):
         cluster(table, target_rows=400, part_bits=3)
     monkeypatch.undo()
 
-    ckpt = Checkpoint(table.root, f"zorder-s{base}-b3600000000-p3")
+    ckpt = Checkpoint(table.root, f"zorder-s{base}-b3600000000-p3-z")
     assert ckpt.completed(), "crashed run left completion records"
     assert table.current_snapshot_id() == base  # nothing committed
 
@@ -108,3 +108,11 @@ def test_cluster_is_deterministic(tmp_path):
     names1 = sorted(f.checksum for f in t1.files())
     names2 = sorted(f.checksum for f in t2.files())
     assert names1 == names2  # identical input -> byte-identical clustered files
+
+
+def test_cluster_hilbert_scan_equality(tmp_path):
+    table, data = _make(tmp_path)
+    before = content_fingerprint(table.read_all())
+    snap = cluster(table, target_rows=500, part_bits=4, curve="hilbert")
+    assert snap.operation == "zorder"
+    assert content_fingerprint(table.read_all()) == before
