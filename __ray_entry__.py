@@ -287,6 +287,45 @@ def _q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     return pairs[["a", "b"]].astype(np.int64)
 
 
+def _q_quality_filter(sf_dir: str):
+    """Quality gate: keep docs whose non-ws/char ratio >= 0.8 and token count
+    >= 20 (the classic pre-training text-quality filter shape)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import TextStats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = ds.map_batches(TextStats(), batch_format="pandas")
+    return scored.map_batches(
+        lambda b: b[(b["quality_score"] >= 0.8) & (b["n_tokens"] >= 20)][
+            ["doc_id", "n_tokens"]
+        ],
+        batch_format="pandas",
+    )
+
+
+def _q_length_histogram(sf_dir: str):
+    """Document length histogram in 100-char buckets (int-only aggregate)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import bucketed_groupby
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"bucket": (b["n_chars"] // 100) * 100})
+        return g.groupby("bucket", as_index=False).size().rename(columns={"size": "n_docs"})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bucket", as_index=False)["n_docs"].sum()
+
+    out = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"), ["bucket"], combine
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def _q_semi_join_events(sf_dir: str):
     import ray.data as rd
 
@@ -432,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "media_decode_features": _q_media_decode,
+        "quality_filter_docs": _q_quality_filter,
+        "length_histogram_docs": _q_length_histogram,
         # ingestion-layer operators (reference parity)
         "semi_join_events": _q_semi_join_events,
         "split_key_docs": _q_split_key_docs,
@@ -543,6 +584,16 @@ SELECT doc_id,
 FROM documents
 """.strip(),
         "fingerprint_docs": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "quality_filter_docs": r"""
+SELECT doc_id, LEN(regexp_extract_all(text, '\S+')) AS n_tokens
+FROM documents
+WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >= 0.8
+  AND LEN(regexp_extract_all(text, '\S+')) >= 20
+""".strip(),
+        "length_histogram_docs": """
+SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n_docs
+FROM documents GROUP BY (n_chars // 100) * 100
+""".strip(),
         "semi_join_events": """
 SELECT event_id, event_type FROM events
 WHERE event_type LIKE '%ck' OR event_type LIKE '%se'

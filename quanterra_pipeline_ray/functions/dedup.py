@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import pool_size
 from .text import Fingerprinter
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -191,7 +192,7 @@ def minhash_lsh_dedup(
             text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
         ),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
 
     # coarse-bucketed pair extraction: bounded Ray group count; fine-grained
@@ -256,7 +257,7 @@ def minhash_lsh_dedup(
         # pool must leave CPUs free for upstream tasks (an actor pool that
         # reserves every CPU starves the input stage and live-locks)
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        verify_conc = int(np.clip(min(concurrency, cpus - 1), 1, 16))
+        verify_conc = pool_size(max(concurrency, cpus // 2))
         chunks = [
             c.reset_index(drop=True)
             for c in np.array_split(pairs.reset_index(drop=True), verify_conc * 4)
@@ -314,7 +315,7 @@ def simhash_dedup(
     Hamming distance ≤ 3; candidates verified by exact popcount."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas", concurrency=pool_size(concurrency),
     )
 
     n_buckets = 64

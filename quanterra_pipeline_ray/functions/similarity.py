@@ -18,6 +18,9 @@ import pandas as pd
 import pyarrow as pa
 
 
+from ..util import pool_size as _pool_size
+
+
 def _stack(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
@@ -81,7 +84,7 @@ def brute_force_topk(
         CosineScorer,
         fn_constructor_kwargs=dict(queries=queries, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     )
     return _global_topk(local, k, id_col)
 
@@ -115,8 +118,9 @@ def ivf_topk(
     every batch to rows whose list is probed by ANY query, then scores — at
     scale the list assignment is precomputed once and reused across queries.
     """
-    sample = ds.random_sample(min(1.0, (n_lists * 8) / max(1, ds.count())), seed=seed)
-    sample_vecs = _stack(sample.to_pandas()[vec_col])
+    # deterministic coarse sample: first blocks (read order is deterministic)
+    sample = ds.limit(n_lists * 8).to_pandas()
+    sample_vecs = _stack(sample[vec_col])
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample_vecs), size=min(n_lists, len(sample_vecs)), replace=False)
     centroids = _normalize(sample_vecs[idx])
@@ -129,7 +133,7 @@ def ivf_topk(
         _CentroidAssigner,
         fn_constructor_kwargs=dict(centroids=centroids, vec_col=vec_col),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency, pools_in_pipeline=2),
     )
     pruned = assigned.map_batches(
         lambda b: b[b["__list"].isin(probed)], batch_format="pandas"
@@ -163,7 +167,7 @@ def ivf_topk(
         _ProbeScorer,
         fn_constructor_kwargs=dict(queries=queries, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency, pools_in_pipeline=2),
     )
     return _global_topk(local, k, id_col)
 

@@ -30,6 +30,8 @@ from typing import Any, Callable
 import numpy as np
 import pandas as pd
 
+from ..util import pool_size
+
 
 class RetryError(RuntimeError):
     pass
@@ -159,7 +161,7 @@ def fetch_fanout(
         FetchStage,
         fn_constructor_kwargs=dict(on_error=on_error, seed=seed, fail_every=fail_every),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )
     ok = fetched.filter(lambda r: r["ok"])
     quarantine = fetched.filter(lambda r: not r["ok"])
