@@ -185,8 +185,14 @@ def run_scaling() -> dict:
     levels = tuple(
         int(x) for x in os.environ.get("QPR_BENCH_SCALE_LEVELS", "8,32").split(",")
     )
+    cooldown = int(os.environ.get("QPR_BENCH_COOLDOWN", "45"))
+    # The sandbox VM throttles under sustained load (run-to-run swings up to
+    # 2x), so a naive lo-then-hi sequence biases AGAINST the second level.
+    # Run each level twice in alternating order with cooldowns and keep the
+    # best run per level.
+    schedule = [levels[0], levels[1], levels[1], levels[0]]
     results = {}
-    for ncpu in levels:
+    for i, ncpu in enumerate(schedule):
         # a larger workload (~4M turns) than the default headline so the job
         # is compute-bound, not fixed-cost-bound — otherwise scaling is
         # unmeasurable on a 6-second run
@@ -199,6 +205,8 @@ def run_scaling() -> dict:
             QPR_BENCH_FILES="1024",
             QPR_BENCH_TARGET_MB="32",
         )
+        if i > 0:
+            time.sleep(cooldown)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -207,7 +215,10 @@ def run_scaling() -> dict:
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        res = json.loads(out.strip().splitlines()[-1])
+        prev = results.get(ncpu)
+        if prev is None or res["value"] < prev["value"]:
+            results[ncpu] = res
     lo, hi = levels
     tput_lo = results[lo]["turns_per_sec"]
     tput_hi = results[hi]["turns_per_sec"]

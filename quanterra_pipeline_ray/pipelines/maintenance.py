@@ -73,8 +73,16 @@ def build_fragmented_table(
 
 
 def default_merge_source(data: pa.Table, update_every: int = 20, seed: int = 7) -> pa.Table:
-    """Deterministic merge source: ~1/update_every updates + one new conversation."""
-    df = data.to_pandas().iloc[::update_every].copy()
+    """Deterministic merge source: every ``update_every``-th CONVERSATION gets
+    all its turns updated, plus one new conversation.
+
+    Updating whole conversations (not every Nth row) is the realistic merge
+    shape — it lets manifest-stats partition pruning skip files that contain
+    no touched conversation, which is the point of pruning at 100 TB."""
+    df = data.to_pandas()
+    convs = df["conv_id"].unique()
+    touched = set(convs[::update_every])
+    df = df[df["conv_id"].isin(touched)].copy()
     df["text"] = "UPDATED " + df["text"]
     new = pd.DataFrame(
         {

@@ -95,10 +95,28 @@ def _resolve(tgt: pd.DataFrame, src: pd.DataFrame) -> pd.DataFrame:
 
 
 def prune_touched_files(files: list[DataFile], source_conv_ids: np.ndarray) -> list[DataFile]:
-    """Files whose conv_id [min,max] stats contain at least one source key."""
+    """Files whose key-range stats contain at least one source conversation.
+
+    Two range tests, whichever stats a file carries:
+    * ``conv_hash32`` [min,max] — written by the Z-order/Hilbert writer;
+      hash-clustered files span the full lexical conv_id range, so only the
+      hash range prunes there;
+    * ``conv_id`` lexical [min,max] — everything else.
+    Files with no stats are assumed touched.
+    """
+    from .zorder import conv_hash32
+
     keys = np.sort(np.asarray(source_conv_ids, dtype=object))
+    hashes = np.sort(conv_hash32(keys)) if len(keys) else np.array([], dtype=np.uint64)
     touched = []
     for f in files:
+        hstats = f.stats.get("conv_hash32")
+        if hstats is not None:
+            lo = np.searchsorted(hashes, np.uint64(hstats[0]), side="left")
+            hi = np.searchsorted(hashes, np.uint64(hstats[1]), side="right")
+            if lo < hi:
+                touched.append(f)
+            continue
         stats = f.stats.get("conv_id")
         if stats is None:
             touched.append(f)  # no stats -> must assume touched
@@ -286,7 +304,15 @@ def merge_into(
         src_convs = np.asarray(source.unique("conv_id"), dtype=object)
     touched = prune_touched_files(files, src_convs)
 
-    if n_src <= broadcast_threshold:
+    # broadcast beats the shuffle whenever the source fits worker memory:
+    # the whole plan degenerates to independent per-file rewrite tasks (no
+    # all-to-all).  Row threshold OR byte cap (in-memory Arrow size).
+    src_bytes = source.nbytes if isinstance(source, pa.Table) else None
+    use_broadcast = broadcast_threshold > 0 and (
+        n_src <= broadcast_threshold
+        or (src_bytes is not None and src_bytes <= 256 * 1024 * 1024)
+    )
+    if use_broadcast:
         if not isinstance(source, pa.Table):
             batches = list(source.iter_batches(batch_format="pyarrow", batch_size=65536))
             source = (
@@ -450,9 +476,6 @@ def _merge_shuffle(
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
-    # materialize before the shuffle: sort-based groupby executes its
-    # upstream twice otherwise (boundary sampling + the shuffle itself)
-    ds = ds.materialize()
     out = ds.groupby("__bucket").map_groups(
         _make_bucket_resolver(table.root, target_rows, ckpt.dir, base),
         batch_format="pyarrow",

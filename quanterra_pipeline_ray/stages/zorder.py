@@ -153,7 +153,18 @@ def _make_run_writer(root: str, target_rows: int, ckpt_dir: str, base_snapshot: 
         outs = []
         for off in range(0, body.num_rows, target_rows):
             chunk = body.slice(off, target_rows)
-            outs.append(write_data_file(chunk, root, sort_within=False))
+            # conv-HASH range stats: after hash-based clustering, files span
+            # the full lexical conv_id range, so MERGE pruning must test
+            # source conv hashes against the file's hash range instead
+            h = conv_hash32(chunk.column("conv_id"))
+            outs.append(
+                write_data_file(
+                    chunk,
+                    root,
+                    sort_within=False,
+                    extra_stats={"conv_hash32": [int(h.min()), int(h.max())]},
+                )
+            )
         lin = lineage_record(
             op="zorder",
             partition_id=part_id,
@@ -243,11 +254,6 @@ def cluster(
 
         enc = enc.map_batches(drop_done, batch_format="pyarrow")
 
-    # materialize the encoded dataset: the sort-based groupby samples key
-    # boundaries by executing its upstream, so an unmaterialized pipeline
-    # would run the read+encode TWICE (one block-sized working set per task;
-    # the object store spills if the encoded table exceeds it)
-    enc = enc.materialize()
     out = enc.groupby("zpart").map_groups(
         _make_run_writer(table.root, target_rows, ckpt.dir, base),
         batch_format="pyarrow",

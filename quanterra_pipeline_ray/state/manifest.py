@@ -128,6 +128,7 @@ def write_data_file(
     schema: pa.Schema = TRANSCRIPTS_SCHEMA,
     sort_within: bool = True,
     compression: str = "zstd",
+    extra_stats: dict[str, list[Any]] | None = None,
 ) -> DataFile:
     """Serialize ``table`` to a content-addressed parquet file under ``root``/data.
 
@@ -148,8 +149,11 @@ def write_data_file(
     abspath = os.path.join(root, rel)
     if not os.path.exists(abspath):
         _atomic_write(abspath, payload)
+    stats = table_stats(table)
+    if extra_stats:
+        stats.update(extra_stats)
     return DataFile(
-        path=rel, rows=table.num_rows, bytes=len(payload), checksum=sha, stats=table_stats(table)
+        path=rel, rows=table.num_rows, bytes=len(payload), checksum=sha, stats=stats
     )
 
 
