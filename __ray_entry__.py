@@ -107,6 +107,21 @@ def _q_maint_zorder(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_append(sf_dir: str) -> pa.Table:
+    """Distributed append path: Dataset -> validated, content-addressed
+    data files -> one snapshot commit -> scan."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.stages.append import append_dataset
+
+    root = os.path.join(_SCRATCH, f"append-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = TranscriptTable.create(root)
+    data = transcripts_from_events(sf_dir)
+    append_dataset(table, rd.from_arrow(data), rows_per_file=2000)
+    return _result(table.read_all())
+
+
 def _q_maint_hilbert(sf_dir: str) -> pa.Table:
     from quanterra_pipeline_ray.stages.compaction import compact
     from quanterra_pipeline_ray.stages.zorder import cluster
@@ -443,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # lakehouse maintenance (scan-equality against derived transcripts)
         "maint_scan": _q_maint_scan,
+        "maint_append": _q_maint_append,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -505,6 +521,7 @@ SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
 """.strip()
     return {
         "maint_scan": scan_sql,
+        "maint_append": scan_sql,
         "maint_compact": scan_sql,
         "maint_zorder": scan_sql,
         "maint_hilbert": scan_sql,
