@@ -58,6 +58,13 @@ def q1_pricing_summary(sf_dir: str, ship_before: str = "1998-09-01"):
     """TPC-H Q1 shape: per (returnflag, linestatus) sums/avgs/counts.
 
     Partial aggregation per batch → tiny groupby → final avg computation.
+
+    Arithmetic is EXACT decimal: the 2-decimal money/rate columns are scaled
+    to int64 "cents" per batch, summed as integers (associative — parallel
+    partials cannot drift), and divided back once at the end.  This matches
+    a SQL engine's ``SUM(CAST(x AS DECIMAL))::DOUBLE`` bit-for-bit as long
+    as the scaled sums stay below 2^53 (true through ~sf0.3 for the charge
+    column; beyond that, keep 128-bit partials).
     """
     rd = _rd()
     cols = [
@@ -76,17 +83,19 @@ def q1_pricing_summary(sf_dir: str, ship_before: str = "1998-09-01"):
         b = b[b["l_shipdate"] < cutoff]
         if not len(b):
             return pd.DataFrame()
-        disc_price = b["l_extendedprice"] * (1 - b["l_discount"])
-        charge = disc_price * (1 + b["l_tax"])
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax = np.round(b["l_tax"].to_numpy() * 100).astype(np.int64)
         g = pd.DataFrame(
             {
-                "l_returnflag": b["l_returnflag"],
-                "l_linestatus": b["l_linestatus"],
-                "sum_qty": b["l_quantity"],
-                "sum_base_price": b["l_extendedprice"],
-                "sum_disc_price": disc_price,
-                "sum_charge": charge,
-                "sum_disc": b["l_discount"],
+                "l_returnflag": b["l_returnflag"].to_numpy(),
+                "l_linestatus": b["l_linestatus"].to_numpy(),
+                "qty_c": q,
+                "price_c": p,
+                "disc_price_c": p * (100 - disc),  # 1e-4 units
+                "charge_c": p * (100 - disc) * (100 + tax),  # 1e-6 units
+                "disc_c": disc,
                 "count_order": 1,
             }
         )
@@ -96,20 +105,31 @@ def q1_pricing_summary(sf_dir: str, ship_before: str = "1998-09-01"):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("sum_charge", alias_name="sum_charge"),
-        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("price_c", alias_name="price_c"),
+        Sum("disc_price_c", alias_name="disc_price_c"),
+        Sum("charge_c", alias_name="charge_c"),
+        Sum("disc_c", alias_name="disc_c"),
         Sum("count_order", alias_name="count_order"),
     )
     out = agg.to_pandas()
-    out["avg_qty"] = out["sum_qty"] / out["count_order"]
-    out["avg_price"] = out["sum_base_price"] / out["count_order"]
-    out["avg_disc"] = out["sum_disc"] / out["count_order"]
-    out = out.drop(columns=["sum_disc"])
-    out["count_order"] = out["count_order"].astype(np.int64)
-    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    n = out["count_order"].astype(np.int64)
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": out["qty_c"] / 100.0,
+            "sum_base_price": out["price_c"] / 100.0,
+            "sum_disc_price": out["disc_price_c"] / 10_000.0,
+            "sum_charge": out["charge_c"] / 1_000_000.0,
+            # two-step division matches SQL's (exact-sum::DOUBLE) / COUNT(*)
+            "avg_qty": (out["qty_c"] / 100.0) / n,
+            "avg_price": (out["price_c"] / 100.0) / n,
+            "avg_disc": (out["disc_c"] / 100.0) / n,
+            "count_order": n,
+        }
+    )
+    return res.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------- broadcast dim joins
