@@ -105,13 +105,28 @@ class ZKeyEncoder:
     per-process singleton clients (`google_cloud_storage_client.py:14-38`).
     """
 
-    def __init__(self, ts_origin_us: int, bucket_us: int, part_bits: int, curve: str = "z"):
+    def __init__(
+        self,
+        ts_origin_us: int,
+        bucket_us: int,
+        part_bits: int,
+        curve: str = "z",
+        hot_convs: frozenset | None = None,
+        salt_buckets: int = 64,
+    ):
         if curve not in ("z", "hilbert"):
             raise ValueError(f"unknown curve {curve!r}")
         self.ts_origin = np.int64(ts_origin_us)
         self.bucket_us = np.int64(max(1, bucket_us))
         self.part_shift = np.uint64(32 - part_bits)
+        self.num_parts = np.uint64(1 << part_bits)
         self.curve = curve
+        # salted repartition for hot conversations: all turns of a conv share
+        # a hash, so one huge conversation would pin a whole reducer; hot
+        # convs instead spread across partitions by coarse ts range, keeping
+        # each salted slice time-contiguous (state built once per actor)
+        self.hot = frozenset(hot_convs or ())
+        self.salt_div = np.uint64(max(1, salt_buckets))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -133,6 +148,12 @@ class ZKeyEncoder:
         # Since bucket < 2^(31-part_bits) in practice, fixing the top hash
         # bits still yields (near-)disjoint z ranges per partition.
         zpart = (a >> self.part_shift).astype(np.uint64)
+        if self.hot:
+            conv_ids = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+            mask = np.isin(conv_ids, list(self.hot))
+            if mask.any():
+                salt = (b[mask] // self.salt_div).astype(np.uint64)
+                zpart[mask] = (zpart[mask] + salt) % self.num_parts
         return batch.append_column("z", pa.array(z, type=pa.uint64())).append_column(
             "zpart", pa.array(zpart, type=pa.uint64())
         )
@@ -189,6 +210,7 @@ def cluster(
     snapshot_id: int | None = None,
     encoder_concurrency: Any = None,
     curve: str = "z",
+    hot_conv_threshold_rows: int | None = None,
 ) -> Snapshot:
     """Z-order-cluster the snapshot; returns the new snapshot.
 
@@ -235,8 +257,23 @@ def cluster(
     total_bytes = sum(f.bytes for f in files)
     nblocks = int(max(cpus, total_bytes // (64 << 20)))
     ds = table.scan(base, override_num_blocks=nblocks)
+    hot: frozenset = frozenset()
+    if hot_conv_threshold_rows:
+        from .skew import find_hot_keys
+
+        hot = frozenset(
+            find_hot_keys(
+                table.scan(base, columns=["conv_id"]),
+                key="conv_id",
+                threshold_rows=hot_conv_threshold_rows,
+            )
+        )
     encoder_kwargs = dict(
-        ts_origin_us=ts_origin_us, bucket_us=ts_bucket_us, part_bits=part_bits, curve=curve
+        ts_origin_us=ts_origin_us,
+        bucket_us=ts_bucket_us,
+        part_bits=part_bits,
+        curve=curve,
+        hot_convs=hot,
     )
     enc = ds.map_batches(
         ZKeyEncoder,

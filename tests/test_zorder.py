@@ -116,3 +116,29 @@ def test_cluster_hilbert_scan_equality(tmp_path):
     snap = cluster(table, target_rows=500, part_bits=4, curve="hilbert")
     assert snap.operation == "zorder"
     assert content_fingerprint(table.read_all()) == before
+
+
+def test_cluster_salts_hot_conversations(tmp_path):
+    # one conversation dominates; salted repartition must spread it across
+    # multiple z-partitions while scan equality still holds
+    table, data = _make(tmp_path, n_convs=10, hot_convs=1, hot_turns=800, mean_turns=5)
+    before = content_fingerprint(table.read_all())
+    snap = cluster(table, target_rows=200, part_bits=3, hot_conv_threshold_rows=500)
+    assert content_fingerprint(table.read_all()) == before
+
+    # encoder-level: without salting all turns of a conv share one zpart;
+    # with the conv marked hot they spread across several (by ts range)
+    import pyarrow as pa
+
+    from quanterra_pipeline_ray.stages.zorder import ZKeyEncoder
+
+    df = data.to_pandas()
+    hot_conv = df.groupby("conv_id").size().idxmax()
+    hot_rows = pa.Table.from_pandas(df[df["conv_id"] == hot_conv], preserve_index=False)
+    plain = ZKeyEncoder(ts_origin_us=0, bucket_us=3_600_000_000, part_bits=3)
+    salted = ZKeyEncoder(
+        ts_origin_us=0, bucket_us=3_600_000_000, part_bits=3,
+        hot_convs=frozenset([hot_conv]), salt_buckets=4,
+    )
+    assert len(set(plain(hot_rows).column("zpart").to_pylist())) == 1
+    assert len(set(salted(hot_rows).column("zpart").to_pylist())) >= 2
