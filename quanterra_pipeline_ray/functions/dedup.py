@@ -59,14 +59,11 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 # ------------------------------------------------------------------- minhash
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """All k-char-shingle polynomial hashes of a document (vectorized)."""
-    data = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
-    if len(data) < k:
-        data = np.pad(data, (0, k - len(data)), constant_values=32)
-    base = np.uint64(1000003)
-    powers = np.power(base, np.arange(k, dtype=np.uint64), dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    return np.unique((windows * powers[::-1]).sum(axis=1, dtype=np.uint64))
+    """Distinct k-char-shingle hashes of a document (shared rolling-hash
+    kernel, see :func:`..functions.text.rolling_window_hashes`)."""
+    from .text import rolling_window_hashes
+
+    return np.unique(rolling_window_hashes(text, k))
 
 
 class MinHasher:

@@ -125,10 +125,12 @@ class FrameSampler:
 
 def decode_features(ds, feature_dim: int = 32, concurrency: int = 2, batch_size: int = 16):
     """Corpus-level decode: small batches (binary payloads), actor pool."""
+    from ..util import pool_size
+
     return ds.map_batches(
         MediaDecoder,
         fn_constructor_kwargs=dict(feature_dim=feature_dim, fake=True),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool_size(concurrency),
     )

@@ -123,18 +123,6 @@ class LangId:
 # -------------------------------------------------------------- fingerprints
 
 
-def fnv1a64(values: "pd.Series | list[str]") -> np.ndarray:
-    """Vectorized-ish 64-bit FNV-1a over UTF-8 bytes (deterministic)."""
-    out = np.empty(len(values), dtype=np.uint64)
-    prime = np.uint64(0x100000001B3)
-    for i, v in enumerate(values):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in str(v).encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * int(prime) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
-
-
 class Fingerprinter:
     """Document fingerprint column: md5 hex of the raw text (matches SQL
     ``md5(text)``) — exact-dup key that any engine can reproduce."""
@@ -150,32 +138,38 @@ class Fingerprinter:
         return batch
 
 
+def rolling_window_hashes(text: str, window: int, base: int = 1000003) -> np.ndarray:
+    """All ``window``-byte rolling (Rabin-Karp) polynomial hashes of a
+    document, fully vectorized over the utf-8 byte array.
+
+    Shared kernel: this is both the shingle hasher behind MinHash-LSH
+    (:mod:`.dedup`) and the provenance fingerprint window hash
+    (:class:`RollingFingerprinter`).  Short documents are space-padded to one
+    window.
+    """
+    data = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+    if len(data) < window:
+        data = np.pad(data, (0, window - len(data)), constant_values=32)
+    b = np.uint64(base)
+    powers = np.power(b, np.arange(window, dtype=np.uint64), dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, window).astype(np.uint64)
+    return (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+
+
 class RollingFingerprinter:
-    """Rolling (Rabin-Karp style) window fingerprints for shingle-level
-    provenance: emits the min and max 64-bit window hash per document.
-    Vectorized with numpy over byte arrays."""
+    """Rolling window fingerprints for shingle-level provenance: emits the
+    min and max 64-bit window hash per document (same kernel as the MinHash
+    shingle hasher, so provenance fingerprints and LSH shingles agree)."""
 
     def __init__(self, text_col: str = "text", window: int = 16, base: int = 257):
         self.text_col = text_col
         self.window = window
-        self.base = np.uint64(base)
-
-    def _doc(self, text: str) -> tuple[int, int]:
-        data = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
-        w = self.window
-        if len(data) < w:
-            h = np.uint64(0)
-            for b in data:
-                h = h * self.base + np.uint64(b)
-            return int(h), int(h)
-        # cumulative polynomial hash of every window, fully vectorized
-        powers = np.power(self.base, np.arange(w, dtype=np.uint64), dtype=np.uint64)
-        windows = np.lib.stride_tricks.sliding_window_view(data, w).astype(np.uint64)
-        hashes = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
-        return int(hashes.min()), int(hashes.max())
+        self.base = base
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mins, maxs = zip(*(self._doc(t) for t in batch[self.text_col]))
-        batch["rfp_min"] = np.array(mins, dtype=np.uint64)
-        batch["rfp_max"] = np.array(maxs, dtype=np.uint64)
+        hashes = [
+            rolling_window_hashes(t, self.window, self.base) for t in batch[self.text_col]
+        ]
+        batch["rfp_min"] = np.array([h.min() for h in hashes], dtype=np.uint64)
+        batch["rfp_max"] = np.array([h.max() for h in hashes], dtype=np.uint64)
         return batch

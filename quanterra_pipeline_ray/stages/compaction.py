@@ -100,6 +100,87 @@ def _compact_bins_batch(batch) -> "Any":
     return pd.DataFrame({"record": records})
 
 
+class CompactionOp:
+    """Small-file compaction as a :class:`..stages.protocol.MaintenanceOp`.
+
+    ``plan`` is pure driver-side bin packing over manifest entries; ``run``
+    executes the bins as stateless Ray Data tasks (skipping checkpointed
+    ones); ``commit`` performs the copy-on-write snapshot swap.  The op holds
+    its parameters and per-run planning state, mirroring how the reference
+    binds config into a flow instance (reference
+    `src/orchestration/pipelines/ingest/eodhd_pipeline.py:30-47`).
+    """
+
+    def __init__(
+        self,
+        target_bytes: int = DEFAULT_TARGET_BYTES,
+        carry_forward_ratio: float = 0.75,
+    ):
+        self.target_bytes = target_bytes
+        self.carry_forward_ratio = carry_forward_ratio
+        self._base: int | None = None
+        self._ckpt: Checkpoint | None = None
+        self._n_bins = 0
+        self._n_carried = 0
+
+    def plan(self, table: TranscriptTable, snapshot_id: int) -> list[dict[str, Any]]:
+        files = table.files(snapshot_id)
+        bins, carried = plan_bins(files, self.target_bytes, self.carry_forward_ratio)
+        self._base = snapshot_id
+        self._n_bins, self._n_carried = len(bins), len(carried)
+        self._ckpt = Checkpoint(table.root, f"compact-s{snapshot_id}-t{self.target_bytes}")
+        return [
+            {
+                "bin_id": i,
+                "root": table.root,
+                "paths": [f.path if f.path.startswith("/") else table._p(f.path) for f in b],
+                "rel_paths": [f.path for f in b],
+                "checksums": [f.checksum for f in b],
+                "ckpt_dir": self._ckpt.dir,
+            }
+            for i, b in enumerate(bins)
+        ]
+
+    def run(self, table: TranscriptTable, partitions: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        import ray.data as rd
+
+        done = self._ckpt.completed()
+        results: list[dict[str, Any]] = []
+        items = []
+        for spec in partitions:
+            if str(spec["bin_id"]) in done:
+                results.append(done[str(spec["bin_id"])])
+            else:
+                items.append({"spec": json.dumps(spec)})
+        if items:
+            ds = rd.from_items(items, override_num_blocks=len(items))
+            out = ds.map_batches(
+                _compact_bins_batch, batch_size=None, batch_format="pandas"
+            ).take_all()
+            results.extend(json.loads(r["record"]) for r in out)
+        return results
+
+    def commit(self, table: TranscriptTable, results: list[dict[str, Any]]) -> Snapshot:
+        added = [DataFile.from_json(r["datafile"]) for r in results]
+        removed = [p for r in results for p in r["removed"]]
+        # dedup: two bins can never share inputs, but a resumed run may double-list
+        removed = list(dict.fromkeys(removed))
+        snap = table.commit(
+            added,
+            removed_paths=removed,
+            operation="compact",
+            summary={
+                "target_bytes": self.target_bytes,
+                "bins": self._n_bins,
+                "carried": self._n_carried,
+            },
+            base_snapshot_id=self._base,
+        )
+        store_lineage(table.root, snap.snapshot_id, [r["lineage"] for r in results])
+        self._ckpt.clear()
+        return snap
+
+
 def compact(
     table: TranscriptTable,
     target_bytes: int = DEFAULT_TARGET_BYTES,
@@ -111,56 +192,9 @@ def compact(
     Resumable: the op id is a pure function of (base snapshot, target size),
     so a rerun after a crash skips bins whose checkpoint records exist and
     replays only the rest; content-addressed outputs make replays idempotent.
+    Drives :class:`CompactionOp` through the generic
+    :func:`..stages.protocol.run_op` plan→run→commit loop.
     """
-    import ray.data as rd
+    from .protocol import run_op
 
-    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
-    files = table.files(base)
-    bins, carried = plan_bins(files, target_bytes, carry_forward_ratio)
-
-    op_id = f"compact-s{base}-t{target_bytes}"
-    ckpt = Checkpoint(table.root, op_id)
-    done = ckpt.completed()
-
-    items = []
-    results: list[dict[str, Any]] = []
-    for i, b in enumerate(bins):
-        if str(i) in done:
-            results.append(done[str(i)])
-            continue
-        items.append(
-            {
-                "spec": json.dumps(
-                    {
-                        "bin_id": i,
-                        "root": table.root,
-                        "paths": [
-                            f.path if f.path.startswith("/") else table._p(f.path) for f in b
-                        ],
-                        "rel_paths": [f.path for f in b],
-                        "checksums": [f.checksum for f in b],
-                        "ckpt_dir": ckpt.dir,
-                    }
-                )
-            }
-        )
-
-    if items:
-        ds = rd.from_items(items, override_num_blocks=len(items))
-        out = ds.map_batches(_compact_bins_batch, batch_size=None, batch_format="pandas").take_all()
-        results.extend(json.loads(r["record"]) for r in out)
-
-    added = [DataFile.from_json(r["datafile"]) for r in results]
-    removed = [p for r in results for p in r["removed"]]
-    # dedup: two bins can never share inputs, but a resumed run may double-list
-    removed = list(dict.fromkeys(removed))
-    snap = table.commit(
-        added,
-        removed_paths=removed,
-        operation="compact",
-        summary={"target_bytes": target_bytes, "bins": len(bins), "carried": len(carried)},
-        base_snapshot_id=base,
-    )
-    store_lineage(table.root, snap.snapshot_id, [r["lineage"] for r in results])
-    ckpt.clear()
-    return snap
+    return run_op(CompactionOp(target_bytes, carry_forward_ratio), table, snapshot_id)

@@ -7,11 +7,19 @@ delete expired snapshot/manifest JSONs, then delete data files unreachable
 from every retained snapshot.  Expiry is the ONLY deleter in the engine —
 compaction/cluster/merge never remove files, so readers pinned to a retained
 snapshot always resolve a complete file list.
+
+:func:`sweep_orphans` additionally collects data files that NO snapshot ever
+referenced — the debris of a crashed commit (files written, manifest swap
+never happened).  Files referenced by live checkpoint records are kept (an
+in-flight resumable op will commit them), and an age guard protects files an
+in-flight task wrote milliseconds ago.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from typing import Iterable
 
 from ..state.manifest import TranscriptTable
@@ -69,3 +77,69 @@ def expire_snapshots(
         "expired": [s.snapshot_id for s in expired],
         "deleted_files": to_delete,
     }
+
+
+def _checkpointed_paths(table: TranscriptTable) -> set[str]:
+    """Data-file paths referenced by any live checkpoint record (an
+    incomplete resumable op owns these until it commits or is cleared)."""
+    out: set[str] = set()
+    ckpt_root = table._p("checkpoints")
+    if not os.path.isdir(ckpt_root):
+        return out
+    for op_id in os.listdir(ckpt_root):
+        op_dir = os.path.join(ckpt_root, op_id)
+        if not os.path.isdir(op_dir):
+            continue
+        for name in os.listdir(op_dir):
+            if not (name.startswith("p-") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(op_dir, name)) as f:
+                    rec = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            for df in rec.get("datafiles", []):
+                out.add(df["path"])
+            if "datafile" in rec:
+                out.add(rec["datafile"]["path"])
+    return out
+
+
+def sweep_orphans(
+    table: TranscriptTable,
+    min_age_s: float = 3600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete data files no snapshot references and no checkpoint claims.
+
+    Complements :func:`expire_snapshots` (which only deletes files that an
+    *expired* snapshot referenced): a crashed commit leaves content-addressed
+    files under ``data/`` that never entered any manifest — invisible to
+    readers but leaking storage forever.  ``min_age_s`` guards files an
+    in-flight writer produced moments ago (commit-lag safety margin).
+    """
+    reachable: set[str] = set()
+    for s in table.snapshots():
+        reachable.update(f.path for f in table.files(s.snapshot_id))
+    reachable.update(_checkpointed_paths(table))
+
+    now = time.time()
+    orphans: list[str] = []
+    data_dir = table._p("data")
+    for dirpath, _dirnames, filenames in os.walk(data_dir):
+        for name in filenames:
+            abspath = os.path.join(dirpath, name)
+            rel = os.path.relpath(abspath, table.root)
+            if rel in reachable or abspath in reachable:
+                continue
+            if now - os.path.getmtime(abspath) < min_age_s:
+                continue
+            orphans.append(rel)
+    orphans.sort()
+    if not dry_run:
+        for rel in orphans:
+            try:
+                os.remove(table._p(rel))
+            except FileNotFoundError:
+                pass
+    return {"deleted_orphans": orphans, "reachable": len(reachable)}

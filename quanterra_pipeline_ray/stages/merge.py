@@ -94,6 +94,39 @@ def _resolve(tgt: pd.DataFrame, src: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(KEY, kind="mergesort")
 
 
+def _source_token(source: "pa.Table | Any") -> str:
+    """Order-independent content hash of the source's key/ts/op columns.
+
+    Folded into checkpoint op_ids so that two merges against the same base
+    snapshot with DIFFERENT sources never share checkpoint records (the
+    resumability contract in :mod:`..state.checkpoint` requires the op id to
+    be a pure function of base snapshot + source content + parameters).
+    Computed distributedly for Dataset sources; the driver sees one uint64
+    per block (wrap-add is commutative, so block order doesn't matter).
+    """
+    from .skew import _splitmix64, key_hash64
+
+    def batch_token(t: pa.Table) -> pa.Table:
+        h = key_hash64(t.column("conv_id"))
+        ti = t.column("turn_idx").cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        row = h ^ (ti * np.uint64(0x9E3779B97F4A7C15)) ^ _splitmix64(ts)
+        if OP_COL in t.column_names:
+            row ^= key_hash64(t.column(OP_COL).cast(pa.string()))
+        tok = int(_splitmix64(row).sum(dtype=np.uint64))
+        return pa.table({"tok": pa.array([tok], type=pa.uint64())})
+
+    if isinstance(source, pa.Table):
+        toks = batch_token(source).column("tok").to_numpy(zero_copy_only=False)
+    else:
+        toks = (
+            source.map_batches(batch_token, batch_format="pyarrow")
+            .to_pandas()["tok"]
+            .to_numpy(dtype=np.uint64)
+        )
+    return f"{np.uint64(toks.sum(dtype=np.uint64)):016x}"
+
+
 def prune_touched_files(files: list[DataFile], source_conv_ids: np.ndarray) -> list[DataFile]:
     """Files whose key-range stats contain at least one source conversation.
 
@@ -303,6 +336,7 @@ def merge_into(
         n_src = source.count()
         src_convs = np.asarray(source.unique("conv_id"), dtype=object)
     touched = prune_touched_files(files, src_convs)
+    src_token = _source_token(source)
 
     # broadcast beats the shuffle whenever the source fits worker memory:
     # the whole plan degenerates to independent per-file rewrite tasks (no
@@ -319,10 +353,12 @@ def merge_into(
                 pa.concat_tables(batches) if batches else TRANSCRIPTS_SCHEMA.empty_table()
             )
         snap, lineage = _merge_broadcast(
-            table, _normalize_source(source), touched, base, target_rows
+            table, _normalize_source(source), touched, base, target_rows, src_token
         )
     else:
-        snap, lineage = _merge_shuffle(table, source, touched, base, target_rows, num_buckets)
+        snap, lineage = _merge_shuffle(
+            table, source, touched, base, target_rows, num_buckets, src_token
+        )
     store_lineage(table.root, snap.snapshot_id, lineage)
     return snap
 
@@ -333,11 +369,12 @@ def _merge_broadcast(
     touched: list[DataFile],
     base: int,
     target_rows: int,
+    src_token: str = "",
 ) -> tuple[Snapshot, list[dict]]:
     import ray
     import ray.data as rd
 
-    op_id = f"merge-bcast-s{base}-{source.num_rows}"
+    op_id = f"merge-bcast-s{base}-{src_token}"
     ckpt = Checkpoint(table.root, op_id)
     done = ckpt.completed()
 
@@ -377,9 +414,9 @@ def _merge_broadcast(
     for r in results:
         m = r["matched"]
         matched.update(zip(m["conv_id"], m["turn_idx"]))
-    key_tuples = list(zip(src_df["conv_id"], src_df["turn_idx"]))
-    is_new = np.array([k not in matched for k in key_tuples], dtype=bool)
-    inserts = src_df[is_new & (src_df[OP_COL] != "delete")].drop(columns=[OP_COL])
+    src_keys = pd.MultiIndex.from_arrays([src_df["conv_id"], src_df["turn_idx"]])
+    is_new = ~src_keys.isin(pd.MultiIndex.from_tuples(list(matched) or [("", -1)]))
+    inserts = src_df[is_new & (src_df[OP_COL] != "delete").to_numpy()].drop(columns=[OP_COL])
 
     added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]
     lineage = [r["lineage"] for r in results]
@@ -417,6 +454,7 @@ def _merge_shuffle(
     base: int,
     target_rows: int,
     num_buckets: int | None,
+    src_token: str = "",
 ) -> tuple[Snapshot, list[dict]]:
     import pyarrow.compute as pc
     import ray
@@ -427,7 +465,7 @@ def _merge_shuffle(
     if num_buckets is None:
         num_buckets = int(np.clip((touched_rows + n_src) // target_rows + 1, 4, 1024))
 
-    op_id = f"merge-shuf-s{base}-b{num_buckets}"
+    op_id = f"merge-shuf-s{base}-b{num_buckets}-{src_token}"
     ckpt = Checkpoint(table.root, op_id)
     done = ckpt.completed()
     results: list[dict[str, Any]] = list(done.values())
@@ -464,7 +502,9 @@ def _merge_shuffle(
     parts.append(source_ds)
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-    tagger_pool = max(2, cpus // 2)
+    from ..util import pool_size
+
+    tagger_pool = pool_size(max(2, cpus // 2))
     ds = ds.map_batches(
         _BucketTagger, fn_constructor_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow", concurrency=tagger_pool,
@@ -488,7 +528,7 @@ def _merge_shuffle(
         added,
         removed_paths=[f.path for f in touched],
         operation="merge",
-        summary={"plan": "shuffle", "source_rows": source.num_rows, "buckets": num_buckets},
+        summary={"plan": "shuffle", "source_rows": n_src, "buckets": num_buckets},
         base_snapshot_id=base,
     )
     lineage = [r["lineage"] for r in results]

@@ -5,12 +5,13 @@ simply disables the biggest fan-out ("TODO memory and time limit issues",
 reference `src/models/config/pipeline_settings.py:79-84`).  Here skew is
 handled structurally:
 
-* :func:`salted_partition` — deterministic partition id ``hash(conv_id) % P``
-  with hot keys salted into ``n_salts`` sub-partitions, so one huge
-  conversation cannot pin a whole shuffle partition.
-* :func:`cap_partition_rows` — per-partition row-count cap applied before a
-  cluster sort: oversized partitions spill their overflow into sibling salted
-  partitions deterministically (row-ordinal based, no randomness).
+* :func:`key_hash64` — the version-stable key hash every shuffle partitions
+  on (uniform high bits, safe to persist into manifest stats).
+* :func:`find_hot_keys` — distributed detection of oversized keys.
+* :func:`salt_hot_zparts` — deterministic salting of hot keys across cluster
+  partitions by coarse time range (used by the Z-order encoder), so one huge
+  conversation cannot pin a whole shuffle partition while each salted slice
+  stays time-contiguous.
 """
 
 from __future__ import annotations
@@ -20,50 +21,69 @@ import pandas as pd
 import pyarrow as pa
 
 
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """Avalanche finalizer: uniform high bits even for short/similar keys."""
+    h = h + np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 def key_hash64(keys) -> np.ndarray:
-    """Deterministic 64-bit hash of a key column, vectorized.
+    """Deterministic, VERSION-STABLE 64-bit hash of a key column, vectorized.
 
-    Accepts Arrow arrays/chunked arrays (hashed natively, zero object
-    conversion — the hot path) or any sequence.  Polars' hash with a fixed
-    seed is deterministic across processes for a given polars version, which
-    is all replay idempotency needs within one run."""
-    import polars as pl
-
-    if isinstance(keys, pa.ChunkedArray):
-        s = pl.from_arrow(keys)
-    elif isinstance(keys, pa.Array):
-        s = pl.from_arrow(pa.chunked_array([keys]))
-    else:
-        s = pl.Series(np.asarray(keys, dtype=object))
-    return s.hash(seed=0).to_numpy().astype(np.uint64)
-
-
-def salted_partition(
-    keys: pd.Series | np.ndarray,
-    num_partitions: int,
-    hot_keys: set[str] | None = None,
-    n_salts: int = 8,
-    salt_ordinal: np.ndarray | None = None,
-) -> np.ndarray:
-    """Partition ids in ``[0, num_partitions)``; hot keys spread over salts.
-
-    ``salt_ordinal`` (e.g. ``turn_idx``) makes the salt deterministic per row;
-    without it, rows of a hot key round-robin by position within the batch.
+    Polynomial hash over utf-8 bytes (``sum(byte_i * P^(len-1-i)) mod 2^64``)
+    followed by a splitmix64 finalizer — pure numpy on the Arrow string
+    buffers, no per-row Python.  Implemented in-repo (not polars/pandas
+    ``hash``) because these hashes are PERSISTED into manifest stats
+    (``conv_hash32`` file ranges used by MERGE pruning); a library-version
+    bump must never silently change them.
     """
-    h = key_hash64(keys)
-    part = (h % np.uint64(num_partitions)).astype(np.int64)
-    if hot_keys:
-        keys_arr = np.asarray(keys, dtype=object)
-        mask = np.isin(keys_arr, list(hot_keys))
-        if mask.any():
-            if salt_ordinal is None:
-                salt = np.arange(len(keys_arr)) % n_salts
-            else:
-                salt = np.asarray(salt_ordinal) % n_salts
-            part[mask] = (
-                (h[mask] + key_hash64(salt[mask].astype(str))) % np.uint64(num_partitions)
-            ).astype(np.int64)
-    return part
+    if isinstance(keys, pa.ChunkedArray):
+        combined = keys.combine_chunks()
+        arr = (
+            combined.chunk(0)
+            if isinstance(combined, pa.ChunkedArray) and combined.num_chunks
+            else (pa.array([], type=keys.type) if isinstance(combined, pa.ChunkedArray) else combined)
+        )
+    elif isinstance(keys, pa.Array):
+        arr = keys
+    else:
+        arr = pa.array(np.asarray(keys, dtype=object).astype(str), type=pa.string())
+    if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = arr.fill_null("")
+    # buffers: [validity, offsets, data]
+    off_width = 8 if pa.types.is_large_string(arr.type) else 4
+    offsets = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64 if off_width == 8 else np.int32,
+        count=n + 1, offset=arr.offset * off_width,
+    ).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    starts = offsets[:-1] - offsets[0]
+    lens = np.diff(offsets)
+    total = int(lens.sum())
+    out = np.zeros(n, dtype=np.uint64)
+    if total:
+        max_len = int(lens.max())
+        powers = np.empty(max_len, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        if max_len > 1:
+            np.cumprod(np.full(max_len - 1, _FNV_PRIME, dtype=np.uint64), out=powers[1:])
+        owner = np.repeat(np.arange(n), lens)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - pos
+        terms = data.astype(np.uint64) * powers[exp]
+        nonempty = lens > 0
+        sums = np.add.reduceat(terms, starts[nonempty])
+        out[nonempty] = sums
+    return _splitmix64(out ^ lens.astype(np.uint64))
 
 
 def find_hot_keys(ds, key: str = "conv_id", threshold_rows: int = 1_000_000) -> set[str]:
@@ -75,19 +95,30 @@ def find_hot_keys(ds, key: str = "conv_id", threshold_rows: int = 1_000_000) -> 
     return {r[key] for r in hot}
 
 
-def cap_partition_rows(table: pa.Table, part_col: str, cap: int, num_partitions: int) -> pa.Table:
-    """Rewrite partition ids so no partition (within this batch) exceeds ``cap``.
+def salt_hot_zparts(
+    zpart: np.ndarray,
+    conv_ids: pa.Array | pa.ChunkedArray,
+    ts_bucket: np.ndarray,
+    hot_convs: frozenset,
+    num_parts: np.uint64,
+    salt_div: np.uint64,
+) -> np.ndarray:
+    """Spread rows of hot conversations across cluster partitions.
 
-    Overflow rows move to ``(part + k) % num_partitions`` by overflow ordinal —
-    deterministic given the batch's row order."""
-    part = table.column(part_col).to_numpy(zero_copy_only=False).copy()
-    out = part.copy()
-    for p in np.unique(part):
-        idx = np.nonzero(part == p)[0]
-        if len(idx) > cap:
-            overflow = idx[cap:]
-            bumps = 1 + (np.arange(len(overflow)) // cap)
-            out[overflow] = (p + bumps) % num_partitions
-    return table.set_column(
-        table.schema.get_field_index(part_col), part_col, pa.array(out, type=table.schema.field(part_col).type)
-    )
+    The salt is the row's coarse ts range (``ts_bucket // salt_div``), so each
+    salted slice of a hot conversation stays time-contiguous — locality within
+    a slice survives, but no single reducer owns the whole conversation.
+    Arrow-native membership test (`pc.is_in`), no Python row loop.
+    """
+    import pyarrow.compute as pc
+
+    if not hot_convs:
+        return zpart
+    mask = pc.is_in(
+        conv_ids, value_set=pa.array(sorted(hot_convs)).cast(conv_ids.type)
+    ).to_numpy(zero_copy_only=False)
+    if mask.any():
+        zpart = zpart.copy()
+        salt = (ts_bucket[mask] // salt_div).astype(np.uint64)
+        zpart[mask] = (zpart[mask] + salt) % num_parts
+    return zpart

@@ -149,11 +149,11 @@ class ZKeyEncoder:
         # bits still yields (near-)disjoint z ranges per partition.
         zpart = (a >> self.part_shift).astype(np.uint64)
         if self.hot:
-            conv_ids = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
-            mask = np.isin(conv_ids, list(self.hot))
-            if mask.any():
-                salt = (b[mask] // self.salt_div).astype(np.uint64)
-                zpart[mask] = (zpart[mask] + salt) % self.num_parts
+            from .skew import salt_hot_zparts
+
+            zpart = salt_hot_zparts(
+                zpart, batch.column("conv_id"), b, self.hot, self.num_parts, self.salt_div
+            )
         return batch.append_column("z", pa.array(z, type=pa.uint64())).append_column(
             "zpart", pa.array(zpart, type=pa.uint64())
         )
@@ -248,10 +248,12 @@ def cluster(
 
     import ray
 
+    from ..util import pool_size
+
     cpus = int(ray.cluster_resources().get("CPU", 4))
     if encoder_concurrency is None:
         # actor pool sized to the cluster minus headroom for read/shuffle stages
-        encoder_concurrency = max(2, cpus // 2)
+        encoder_concurrency = pool_size(max(2, cpus // 2))
     # ~64 MiB blocks (lower-bounded by one block per CPU): tiny blocks make
     # the sort shuffle overhead-bound, giant blocks starve parallelism
     total_bytes = sum(f.bytes for f in files)

@@ -59,3 +59,36 @@ def test_expire_dry_run_deletes_nothing(tmp_path):
     for p in result["deleted_files"]:
         assert os.path.exists(table._p(p))
     assert len(table.snapshots()) == 5
+
+
+def test_sweep_orphans_collects_crashed_commit_debris(tmp_path):
+    from quanterra_pipeline_ray.state.manifest import write_data_file
+    from quanterra_pipeline_ray.stages.expire import sweep_orphans
+    from quanterra_pipeline_ray.state.checkpoint import Checkpoint
+
+    table, n_rows = _table_with_history(tmp_path)
+    before_fp = content_fingerprint(table.read_all())
+    # simulate a crashed commit: a data file written but never committed
+    orphan = write_data_file(generate_transcripts(n_convs=2, seed=9, hot_convs=0), table.root)
+    # and one claimed by a live checkpoint record (must survive the sweep)
+    claimed = write_data_file(generate_transcripts(n_convs=2, seed=10, hot_convs=0), table.root)
+    Checkpoint(table.root, "op-in-flight").write(0, {"datafiles": [claimed.to_json()]})
+
+    res = sweep_orphans(table, min_age_s=0.0)
+    assert orphan.path in res["deleted_orphans"]
+    assert not os.path.exists(table._p(orphan.path))
+    assert claimed.path not in res["deleted_orphans"]
+    assert os.path.exists(table._p(claimed.path))
+    # committed data untouched
+    assert content_fingerprint(table.read_all()) == before_fp
+
+
+def test_sweep_orphans_age_guard(tmp_path):
+    from quanterra_pipeline_ray.state.manifest import write_data_file
+    from quanterra_pipeline_ray.stages.expire import sweep_orphans
+
+    table, _ = _table_with_history(tmp_path)
+    fresh = write_data_file(generate_transcripts(n_convs=1, seed=3, hot_convs=0), table.root)
+    res = sweep_orphans(table, min_age_s=3600.0)
+    assert fresh.path not in res["deleted_orphans"]
+    assert os.path.exists(table._p(fresh.path))

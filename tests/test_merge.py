@@ -129,3 +129,46 @@ def test_merge_empty_source_is_noop_scan(tmp_path):
 def test_prune_no_stats_means_touched():
     f = DataFile(path="data/x.parquet", rows=1, bytes=1, checksum="c", stats={})
     assert prune_touched_files([f], np.array(["k"], dtype=object)) == [f]
+
+
+def test_merge_checkpoint_op_id_captures_source_content(tmp_path):
+    """Two different sources with equal row counts must not share checkpoints."""
+    from quanterra_pipeline_ray.stages.merge import _source_token
+    import ray.data as rd
+
+    table, data = _make(tmp_path)
+    src_a = _source_from(data, update_every=5)
+    df_b = src_a.to_pandas()
+    df_b["ts"] = df_b["ts"] + pd.Timedelta(seconds=1)
+    src_b = pa.Table.from_pandas(df_b, preserve_index=False)
+    assert src_a.num_rows == src_b.num_rows
+    assert _source_token(src_a) != _source_token(src_b)
+    # Dataset and Table forms of the same source agree (block-order independent)
+    assert _source_token(rd.from_arrow(src_a)) == _source_token(src_a)
+
+
+def test_merge_shuffle_accepts_ray_dataset_source(tmp_path):
+    """Regression: Dataset source above the broadcast threshold must complete
+    (the shuffle-plan summary previously read source.num_rows and crashed)."""
+    import ray.data as rd
+
+    table, data = _make(tmp_path)
+    src = _source_from(data, update_every=4)
+    snap = merge_into(table, rd.from_arrow(src), target_rows=10_000, broadcast_threshold=0)
+    assert snap.summary["plan"] == "shuffle"
+    assert snap.summary["source_rows"] == src.num_rows
+    got = table.read_all()
+    assert got.num_rows > 0
+
+
+def test_run_op_protocol_drives_compaction(tmp_path):
+    from quanterra_pipeline_ray.stages.compaction import CompactionOp
+    from quanterra_pipeline_ray.stages.protocol import MaintenanceOp, run_op
+
+    table, data = _make(tmp_path)
+    op = CompactionOp(target_bytes=1 << 20)
+    assert isinstance(op, MaintenanceOp)
+    before = content_fingerprint(table.read_all())
+    snap = run_op(op, table)
+    assert snap.operation == "compact"
+    assert content_fingerprint(table.read_all()) == before
