@@ -235,17 +235,28 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
+    """Language id over the corpus; ``max_words=None`` makes the whole
+    heuristic SQL-expressible (stopword list_filter + argmax CASE)."""
     import ray.data as rd
 
     from quanterra_pipeline_ray.functions.text import LangId
+    from quanterra_pipeline_ray.util import pool_size
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2).map_batches(
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs={"max_words": None},
+        batch_format="pandas",
+        concurrency=pool_size(2),
+    ).map_batches(
         lambda b: b[["doc_id", "lang_pred", "lang_conf"]], batch_format="pandas"
     )
 
 
-def _q_minhash_dedup(sf_dir: str) -> pa.Table:
+def _q_minhash_dedup(sf_dir: str):
+    """Near-dup groups over the RAW documents table (the driver test data
+    plants near-duplicate pairs at char-5-gram Jaccard >= 0.92); the oracle
+    recomputes the exact gram-Jaccard pairs + connected components in SQL."""
     import ray.data as rd
 
     from quanterra_pipeline_ray.functions.dedup import minhash_lsh_dedup
@@ -254,13 +265,19 @@ def _q_minhash_dedup(sf_dir: str) -> pa.Table:
     return minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.8)
 
 
-def _q_simhash_pairs(sf_dir: str) -> pa.Table:
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash banding as the blocking structure, exact (md5) verify, over
+    the corpus doubled with planted exact copies — every (id, id+100000)
+    pair plus any natural exact dups must surface."""
     import ray.data as rd
 
-    from quanterra_pipeline_ray.functions.dedup import simhash_dedup
+    from quanterra_pipeline_ray.functions.dedup import simhash_exact_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dedup(ds, "doc_id", "text", max_hamming=3)
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shifted = base.map_batches(
+        lambda b: b.assign(doc_id=b["doc_id"] + 100_000), batch_format="pandas"
+    )
+    return simhash_exact_pairs(base.union(shifted), "doc_id", "text")
 
 
 def _q_similarity_topk(sf_dir: str) -> pd.DataFrame:
@@ -279,6 +296,10 @@ def _q_similarity_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF top-k with ``nprobe == n_lists``: every list probed, so the result
+    is provably exact (equals brute force / the SQL cross-join oracle) while
+    the full IVF machinery — seeded distributed centroid sample, assignment
+    stage, list pruning — still executes."""
     import ray.data as rd
 
     from quanterra_pipeline_ray.functions.similarity import ivf_topk
@@ -286,7 +307,10 @@ def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
     q = np.stack([np.asarray(v, dtype=np.float64) for v in emb.head(3)["embedding"]])
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, q, k=10, n_lists=16, nprobe=4)
+    out = ivf_topk(ds, q, k=10, n_lists=16, nprobe=16)
+    qids = emb.head(3)["vec_id"].to_numpy()
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out[["query_id", "vec_id"]].astype(np.int64)
 
 
 def _q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
@@ -398,42 +422,59 @@ def _q_csv_roundtrip_events(sf_dir: str):
 
 
 def _q_ingest_flow(sf_dir: str):
+    """Run the fan-out flow, then READ BACK the stored parquet partitions
+    and count rows per (endpoint, exchange) — the oracle derives the same
+    counts from the deterministic fan-out product (dimension fetch ×
+    semi-join filter × data types) in SQL."""
+    import ray.data as rd
+
     from quanterra_pipeline_ray.pipelines.ingest import market_data_flow
 
     out = os.path.join(_SCRATCH, "ingest-landing")
     shutil.rmtree(out, ignore_errors=True)
-    res = market_data_flow(
+    market_data_flow(
         out,
         exchanges=["US", "LSE", "TO"],
         data_types=["eod", "dividends"],
         symbols_per_exchange=3,
         allowed_exchange_suffixes=[".US", ".TO"],
     )
-    return pd.DataFrame([res])[["stored_rows", "quarantined_rows"]]
+    stored = rd.read_parquet(out)
+
+    def count_parts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["endpoint", "exchange"], as_index=False).size()
+        return g.rename(columns={"size": "n_rows"})
+
+    agg = stored.map_batches(count_parts, batch_format="pandas").to_pandas()
+    agg = agg.groupby(["endpoint", "exchange"], as_index=False)["n_rows"].sum()
+    agg["n_rows"] = agg["n_rows"].astype(np.int64)
+    agg["endpoint"] = agg["endpoint"].astype(str)
+    agg["exchange"] = agg["exchange"].astype(str)
+    return agg.sort_values(["endpoint", "exchange"]).reset_index(drop=True)
 
 
 def _q_media_decode(sf_dir: str):
+    """Actor-pool media decode over a documents-derived media table (payload
+    = utf-8 text bytes, so DuckDB's ``sha256`` recomputes ``sig``)."""
     import ray.data as rd
 
-    from quanterra_pipeline_ray.functions.multimodal import decode_features, synth_media_table
+    from quanterra_pipeline_ray.functions.multimodal import decode_features, media_from_documents
 
-    out = decode_features(rd.from_arrow(synth_media_table(64)), feature_dim=16)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = decode_features(media_from_documents(docs), feature_dim=16, batch_size=64)
 
-    # flatten the feature vector to scalar columns (driver compare hashes
-    # sorted scalar values; a list column is not hashable)
-    def flatten(b: pd.DataFrame) -> pd.DataFrame:
+    def project(b: pd.DataFrame) -> pd.DataFrame:
         feats = np.stack([np.asarray(f) for f in b["features"]])
         return pd.DataFrame(
             {
-                "media_id": b["media_id"].to_numpy(),
+                "media_id": b["media_id"].to_numpy().astype(np.int64),
                 "media_type": b["media_type"].to_numpy(),
                 "n_features": np.full(len(b), feats.shape[1], dtype=np.int64),
-                "f0": feats[:, 0].astype(np.float64),
-                "f1": feats[:, 1].astype(np.float64),
+                "sig": b["sig"].to_numpy(),
             }
         )
 
-    return out.map_batches(flatten, batch_format="pandas")
+    return out.map_batches(project, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ contract
@@ -602,6 +643,90 @@ SELECT doc_id,
 FROM documents
 """.strip(),
         "fingerprint_docs": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        # full LangId heuristic in SQL: word regex -> lowercase -> stopword
+        # hits per language -> insertion-order argmax -> single int division
+        "lang_id_docs": """
+WITH w AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, LEN(ws) AS n,
+    LEN(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en,
+    LEN(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS h_de,
+    LEN(list_filter(ws, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS h_fr,
+    LEN(list_filter(ws, x -> x IN ('el','la','los','las','y','es','un','una','que','por'))) AS h_es
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN n = 0 OR (h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0) THEN 'und'
+       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+       WHEN h_fr >= h_es THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  CASE WHEN n = 0 THEN 0.0 ELSE GREATEST(h_en, h_de, h_fr, h_es) / n END AS lang_conf
+FROM s
+""".strip(),
+        # exact char-5-gram Jaccard pairs (distinct substr grams, int-encoded
+        # for speed) + recursive-CTE connected components + min member label
+        "minhash_dedup_docs": """
+WITH RECURSIVE gs AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams_s
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_transform(grams_s,
+    s -> ((((ascii(substr(s,1,1))::BIGINT * 131 + ascii(substr(s,2,1))) * 131
+           + ascii(substr(s,3,1))) * 131 + ascii(substr(s,4,1))) * 131 + ascii(substr(s,5,1)))) AS grams
+  FROM gs
+),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         LEN(list_intersect(x.grams, y.grams)) AS inter,
+         LEN(x.grams) AS na, LEN(y.grams) AS nb
+  FROM g x JOIN g y
+    ON x.doc_id < y.doc_id
+   AND LEN(x.grams) >= 0.8 * LEN(y.grams)
+   AND LEN(y.grams) >= 0.8 * LEN(x.grams)
+),
+pairs AS (SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)),
+e AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs),
+r(s, d) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+),
+comp AS (SELECT s AS doc_id, MIN(d) AS dup_group FROM r GROUP BY s)
+SELECT d.doc_id, COALESCE(c.dup_group, d.doc_id) AS dup_group
+FROM documents d LEFT JOIN comp c USING (doc_id)
+""".strip(),
+        "simhash_pairs_docs": """
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM c x JOIN c y ON x.text = y.text AND x.doc_id < y.doc_id
+""".strip(),
+        "media_decode_features": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(16 AS BIGINT) AS n_features,
+       sha256(text) AS sig
+FROM documents
+""".strip(),
+        "ingest_flow": """
+WITH symbols AS (
+  SELECT 'SYM' || CAST(n.i AS VARCHAR) || '.' || e.ex AS symbol, e.ex AS exchange
+  FROM (VALUES ('US'), ('LSE'), ('TO')) e(ex), (VALUES (0), (1), (2)) n(i)
+),
+kept AS (SELECT * FROM symbols WHERE symbol LIKE '%.US' OR symbol LIKE '%.TO'),
+dt AS (SELECT * FROM (VALUES ('eod'), ('dividends')) d(endpoint))
+SELECT dt.endpoint, kept.exchange, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM dt, kept
+GROUP BY dt.endpoint, kept.exchange
+""".strip(),
         "quality_filter_docs": r"""
 SELECT doc_id, LEN(regexp_extract_all(text, '\S+')) AS n_tokens
 FROM documents
@@ -628,6 +753,25 @@ FROM events
 """.strip(),
         "csv_roundtrip_events": "SELECT event_id, event_type FROM events",
         "similarity_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM s
+)
+SELECT query_id, vec_id FROM r WHERE rn <= 10
+""".strip(),
+        # nprobe == n_lists probes every inverted list -> provably exact,
+        # so the brute-force cross-join SQL is a valid oracle
+        "ivf_topk_embeddings": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
   ORDER BY vec_id LIMIT 3

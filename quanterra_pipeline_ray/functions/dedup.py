@@ -6,16 +6,26 @@ Five families, each expressed Ray-Data-first:
   groupby → keep the lowest-id row per group.
 * **MinHash + LSH** — char-shingle rolling hashes → 64 minhash permutations
   per doc (numpy, no Python loop over shingles) → band rows → groupby on
-  ``(band, band_hash)`` → candidate pairs → exact shingle-Jaccard verify →
-  union-find connected components (driver-side; candidate set is
-  band-collision-bounded, documented assumption).
+  ``(band, band_hash)`` → candidate pairs → exact shingle-Jaccard verify
+  (bucketed shuffle join of candidate texts onto pair sides — texts never
+  touch the driver) → DISTRIBUTED connected components (min-label
+  propagation with pointer doubling over the pairs dataset).
 * **SimHash** — 64-bit sign-aggregated token-hash fingerprint; near-dup =
   Hamming distance ≤ k, found by banding the 64 bits into 4×16-bit keys
-  (pigeonhole: distance ≤ 3 guarantees one identical band).
-* **n-gram Jaccard** — exact pairwise verification kernel (shared with the
-  MinHash path) for candidate sets.
+  (pigeonhole: distance ≤ 3 guarantees one identical band); plus an
+  exact-duplicate variant that uses the same banding as the blocking
+  structure and verifies candidates by text equality.
+* **n-gram Jaccard** — exact char-k-gram verification kernel, byte-identical
+  to a SQL engine enumerating distinct ``substr(text, i, k)`` grams (the
+  driver's DuckDB oracle does exactly that).
 * **embedding cosine** — see :mod:`.similarity` (near-dup = pairs above a
-  cosine threshold).
+  cosine threshold, blocked by IVF list).
+
+Scale notes: every shuffle below is over candidate-bounded data (band
+collisions), never the corpus; the only corpus-wide passes are streaming
+``map_batches``.  The driver holds candidate *ids* (broadcast once) and the
+final component map (nodes that belong to some duplicate group) — both are
+O(candidates), documented assumptions of LSH dedup.
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ from ..util import pool_size
 from .text import Fingerprinter
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -57,7 +68,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return fp.groupby("__bkt").map_groups(dedupe_bucket, batch_format="pandas")
 
 
-# ------------------------------------------------------------------- minhash
+# ------------------------------------------------------------------- shingles
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Distinct k-char-shingle hashes of a document (shared rolling-hash
     kernel, see :func:`..functions.text.rolling_window_hashes`)."""
@@ -66,6 +77,29 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(rolling_window_hashes(text, k))
 
 
+def exact_shingles(text: str, k: int) -> np.ndarray:
+    """Distinct k-BYTE shingles of a document as a fixed-width byte array.
+
+    Exact (no hashing): equals the distinct-``substr(text, i, k)`` gram set a
+    SQL engine computes, for ASCII/1-byte text.  Short docs are space-padded
+    to one window (mirrors :func:`rolling_window_hashes`).
+    """
+    data = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)), constant_values=32)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    return np.unique(np.ascontiguousarray(windows).view(f"S{k}").ravel())
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact char-k-gram Jaccard similarity (verification kernel)."""
+    sa, sb = exact_shingles(a, k), exact_shingles(b, k)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+# ------------------------------------------------------------------- minhash
 class MinHasher:
     """Per-batch minhash signatures: ``num_hashes`` permutations
     ``(a*h + b) mod p`` over the doc's shingle-hash set, numpy end-to-end.
@@ -116,32 +150,238 @@ def _band_rows(batch: pd.DataFrame, id_col: str, bands: int, rows_per_band: int)
     )
 
 
-def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
-    """Exact char-k-gram Jaccard similarity (verification kernel)."""
-    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
-    inter = np.intersect1d(sa, sb, assume_unique=True).size
-    union = sa.size + sb.size - inter
-    return inter / union if union else 1.0
+# -------------------------------------------------- distributed pair plumbing
+def _dedupe_pairs(pairs_ds, n_buckets: int = 64):
+    """Distributed distinct over (a, b) pairs (bucketed, bounded group count)."""
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["a"], index=False).to_numpy(dtype=np.uint64)
+        h ^= pd.util.hash_pandas_object(b["b"], index=False).to_numpy(dtype=np.uint64)
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"]).drop(columns="__bkt")
+
+    return pairs_ds.map_batches(add_bkt, batch_format="pandas").groupby("__bkt").map_groups(
+        drop_dup, batch_format="pandas"
+    )
 
 
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict = {}
+def _attach_side_texts(pairs_ds, corpus_ds, id_col: str, text_col: str, n_buckets: int = 64):
+    """Bucketed shuffle join: each pair side gets its document's text.
 
-    def find(self, x):
-        p = self.parent.setdefault(x, x)
-        while p != self.parent[p]:
-            self.parent[p] = self.parent[self.parent[p]]
-            p = self.parent[p]
-        self.parent[x] = p
-        return p
+    The candidate-id set (ids only, candidate-bounded) is broadcast once to
+    filter the corpus; candidate TEXTS flow worker-to-worker through the
+    bucketed join — they never land on the driver.  Emits two rows per pair
+    ``(a, b, jid, text)``, one per side.
+    """
+    import ray
 
-    def union(self, x, y):
-        rx, ry = self.find(x), self.find(y)
-        if rx != ry:
-            # deterministic: smaller label becomes the root
-            lo, hi = (rx, ry) if rx <= ry else (ry, rx)
-            self.parent[hi] = lo
+    id_batches = pairs_ds.map_batches(
+        lambda b: pd.DataFrame({"jid": np.unique(np.concatenate([b["a"], b["b"]]))}),
+        batch_format="pandas",
+    ).to_pandas()
+    cand_ids = np.unique(id_batches["jid"].to_numpy())
+    ids_ref = ray.put(cand_ids)
+
+    def filter_corpus(b: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(ids_ref)
+        keep = b[np.isin(b[id_col].to_numpy(), cand)]
+        return pd.DataFrame(
+            {
+                "jid": keep[id_col].to_numpy(),
+                "a": np.full(len(keep), -1, dtype=np.int64),
+                "b": np.full(len(keep), -1, dtype=np.int64),
+                "text": keep[text_col].astype(str).to_numpy(),
+            }
+        )
+
+    def explode_sides(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jid": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+                "a": np.tile(b["a"].to_numpy(), 2),
+                "b": np.tile(b["b"].to_numpy(), 2),
+                "text": np.full(2 * len(b), "", dtype=object),
+            }
+        )
+
+    texts = corpus_ds.map_batches(filter_corpus, batch_format="pandas")
+    sides = pairs_ds.map_batches(explode_sides, batch_format="pandas")
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["jid"], index=False).to_numpy(dtype=np.uint64)
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tex = g[g["a"] == -1][["jid", "text"]]
+        side = g[g["a"] != -1][["jid", "a", "b"]]
+        out = side.merge(tex, on="jid", how="inner")
+        return out[["a", "b", "jid", "text"]]
+
+    return (
+        texts.union(sides)
+        .map_batches(add_bkt, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+def _verify_pairs(sided_ds, threshold: float, shingle_k: int, n_buckets: int = 64):
+    """Exact-Jaccard verification per pair, bucketed by pair key.
+
+    Shingle sets are computed once per distinct doc within a bucket (cache by
+    doc id).  The keep predicate ``inter >= threshold * union`` is the exact
+    integer/float form a SQL oracle reproduces bit-for-bit.
+    """
+
+    def add_pair_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["a"], index=False).to_numpy(dtype=np.uint64)
+        h ^= pd.util.hash_pandas_object(b["b"], index=False).to_numpy(dtype=np.uint64)
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cache: dict = {}
+
+        def sh(jid, text):
+            s = cache.get(jid)
+            if s is None:
+                s = exact_shingles(text, shingle_k)
+                cache[jid] = s
+            return s
+
+        rows_a, rows_b = [], []
+        for (a, b), grp in g.groupby(["a", "b"], sort=False):
+            grp = grp.drop_duplicates("jid")
+            if len(grp) < 2:
+                continue  # a side's text was missing from the corpus
+            s0 = sh(grp["jid"].iloc[0], grp["text"].iloc[0])
+            s1 = sh(grp["jid"].iloc[1], grp["text"].iloc[1])
+            inter = np.intersect1d(s0, s1, assume_unique=True).size
+            union = s0.size + s1.size - inter
+            if inter >= threshold * union:
+                rows_a.append(a)
+                rows_b.append(b)
+        return pd.DataFrame({"a": np.array(rows_a, dtype=np.int64), "b": np.array(rows_b, dtype=np.int64)})
+
+    return sided_ds.map_batches(add_pair_bkt, batch_format="pandas").groupby("__bkt").map_groups(
+        verify_bucket, batch_format="pandas"
+    )
+
+
+# --------------------------------------------- distributed connected components
+def connected_components(pairs_ds, n_buckets: int = 64, max_rounds: int = 30) -> dict:
+    """Connected components of an undirected pair graph, distributed.
+
+    Min-label propagation over Ray Data shuffles (two bucketed groupbys per
+    round: co-locate edges with source labels and emit messages, then
+    min-reduce at the target).  Each round the edge set is augmented with
+    symmetric label-pointer edges (hash-to-min), so convergence is
+    O(log n) rounds, not O(diameter).  Per-round state is materialized in
+    the object store (node-count-bounded, never the corpus).
+
+    Returns the final ``{node: component_min_label}`` dict — O(nodes in the
+    pair graph), the small side that callers broadcast to label a corpus.
+    """
+
+    def _bkt(vals: np.ndarray) -> np.ndarray:
+        h = (vals.astype(np.uint64) * _GOLDEN) >> np.uint64(40)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    # symmetric edge list bucketed by src node; kind 1 = edge, kind 0 = label
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        node = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]).astype(np.int64)
+        val = np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()]).astype(np.int64)
+        return pd.DataFrame(
+            {"node": node, "val": val, "kind": np.ones(2 * len(b), dtype=np.int8), "__bkt": _bkt(node)}
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+
+    # init = round 0 of propagation: label(x) = min(x, min nbr) per bucket
+    def init_min(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["val"].min()
+        lab = np.minimum(m["node"].to_numpy(), m["val"].to_numpy())
+        return pd.DataFrame({"node": m["node"].to_numpy(), "label": lab, "__bkt": _bkt(m["node"].to_numpy())})
+
+    labels = edges.groupby("__bkt").map_groups(init_min, batch_format="pandas").materialize()
+
+    def as_label_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """Current labels (kind 0) plus symmetric label-pointer edges
+        (kind 1, node <-> label): treating the label pointer as an edge is
+        the hash-to-min acceleration — safe (a label is always in the node's
+        component) and it makes label reach double per round, so convergence
+        is O(log n) rounds rather than O(diameter)."""
+        node = b["node"].to_numpy()
+        lab = b["label"].to_numpy()
+        ptr = lab != node
+        out = pd.DataFrame(
+            {
+                "node": np.concatenate([node, node[ptr], lab[ptr]]),
+                "val": np.concatenate([lab, lab[ptr], node[ptr]]),
+                "kind": np.concatenate(
+                    [
+                        np.zeros(len(b), dtype=np.int8),
+                        np.ones(int(ptr.sum()) * 2, dtype=np.int8),
+                    ]
+                ),
+            }
+        )
+        out["__bkt"] = _bkt(out["node"].to_numpy())
+        return out
+
+    def make_msgs(g: pd.DataFrame) -> pd.DataFrame:
+        """Per src-bucket: each edge sends its src's current label to the
+        other endpoint; current labels pass through tagged kind=0."""
+        lbl = g[g["kind"] == 0][["node", "val"]]
+        edg = g[g["kind"] == 1][["node", "val"]]
+        msg = edg.merge(lbl.rename(columns={"val": "label"}), on="node")
+        out = pd.concat(
+            [
+                lbl.assign(kind=np.int8(0)),
+                pd.DataFrame(
+                    {"node": msg["val"], "val": msg["label"], "kind": np.int8(1)}
+                ),
+            ],
+            ignore_index=True,
+        )
+        out["__bkt"] = _bkt(out["node"].to_numpy())
+        return out
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        """Per target-bucket: new label = min(current, incoming messages)."""
+        mn = g.groupby("node", as_index=False)["val"].min().rename(columns={"val": "label"})
+        old = g[g["kind"] == 0][["node", "val"]].drop_duplicates("node").rename(
+            columns={"val": "old"}
+        )
+        out = mn.merge(old, on="node", how="left")
+        out["old"] = out["old"].fillna(out["node"]).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "node": out["node"].to_numpy(),
+                "label": out["label"].to_numpy(),
+                "__bkt": _bkt(out["node"].to_numpy()),
+                "__changed": (out["label"].to_numpy() < out["old"].to_numpy()).astype(np.int64),
+            }
+        )
+
+    for _round in range(max_rounds):
+        unioned = edges.union(labels.map_batches(as_label_rows, batch_format="pandas"))
+        labels = (
+            unioned.groupby("__bkt")
+            .map_groups(make_msgs, batch_format="pandas")
+            .groupby("__bkt")
+            .map_groups(min_reduce, batch_format="pandas")
+            .materialize()
+        )
+        if not labels.sum("__changed"):
+            break
+
+    out = labels.to_pandas()
+    return dict(zip(out["node"].astype(np.int64), out["label"].astype(np.int64)))
 
 
 def minhash_lsh_dedup(
@@ -153,14 +393,15 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     concurrency: int = 4,
-) -> pa.Table:
-    """Near-duplicate groups via MinHash-LSH.
+):
+    """Near-duplicate groups via MinHash-LSH; returns a Dataset
+    ``(id_col, dup_group)`` where ``dup_group`` is the minimum member id of
+    the connected component of verified near-dup pairs.
 
-    Returns an Arrow table ``(id_col, dup_group)`` where ``dup_group`` is the
-    minimum member id of the connected component.  Candidate pairs (and only
-    they) are verified with exact shingle Jaccard; texts of candidate docs are
-    fetched with a broadcast id-set filter, so the full corpus never leaves
-    the cluster — only band-collision candidates reach the driver.
+    Fully distributed: banding → bucketed pair extraction → bucketed
+    text join + exact char-k-gram Jaccard verify → distributed connected
+    components.  No corpus-sized data ever reaches the driver; the driver
+    holds candidate ids and the final component map (both candidate-bounded).
     """
     rows_per_band = num_hashes // bands
     n_buckets = 64
@@ -194,7 +435,6 @@ def minhash_lsh_dedup(
 
     # coarse-bucketed pair extraction: bounded Ray group count; fine-grained
     # (band, band_hash) grouping happens vectorized via a pandas self-merge
-
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["band", "band_hash", id_col]].drop_duplicates()
         m = g.merge(g, on=["band", "band_hash"])
@@ -205,78 +445,43 @@ def minhash_lsh_dedup(
             .drop_duplicates()
         )
 
-    pairs = (
-        band_ds.groupby("__bkt")
-        .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs = _dedupe_pairs(
+        band_ds.groupby("__bkt").map_groups(emit_pairs, batch_format="pandas"), n_buckets
+    ).materialize()
 
-    if len(pairs):
-        import ray
-        import ray.data as rd
+    comp: dict = {}
+    if pairs.count() > 0:
+        sided = _attach_side_texts(pairs, ds, id_col, text_col, n_buckets)
+        verified = _verify_pairs(sided, threshold, shingle_k, n_buckets).materialize()
+        if verified.count() > 0:
+            comp = connected_components(verified, n_buckets)
 
-        cand_ids = set(pairs["a"]).union(pairs["b"])
-        texts = (
-            ds.map_batches(
-                lambda b: b[b[id_col].isin(cand_ids)][[id_col, text_col]],
-                batch_format="pandas",
-            )
-            .to_pandas()
-            .set_index(id_col)[text_col]
-            .to_dict()
-        )
-        # distributed, shingle-cached exact verification (candidate sets can
-        # be large when the corpus shares vocabulary — never a driver loop)
-        texts_ref = ray.put(texts)
+    import ray
 
-        class VerifyJaccard:
-            def __init__(self):
-                self.texts = ray.get(texts_ref)
-                self.cache: dict = {}
+    comp_ref = ray.put(comp)
 
-            def _sh(self, i):
-                s = self.cache.get(i)
-                if s is None:
-                    s = _shingle_hashes(self.texts[i], shingle_k)
-                    self.cache[i] = s
-                return s
+    def label_corpus(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(comp_ref)
+        ids = b[id_col].to_numpy()
+        if cmap:
+            grp = np.array([cmap.get(i, i) for i in ids], dtype=np.int64)
+        else:
+            grp = ids.astype(np.int64)
+        return pd.DataFrame({id_col: ids, "dup_group": grp})
 
-            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-                keep = np.empty(len(b), dtype=bool)
-                for pos, (x, y) in enumerate(zip(b["a"], b["b"])):
-                    sa, sb = self._sh(x), self._sh(y)
-                    inter = np.intersect1d(sa, sb, assume_unique=True).size
-                    union = sa.size + sb.size - inter
-                    keep[pos] = (inter / union if union else 1.0) >= threshold
-                return b[keep]
-
-        # pool must leave CPUs free for upstream tasks (an actor pool that
-        # reserves every CPU starves the input stage and live-locks)
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        verify_conc = pool_size(max(concurrency, cpus // 2))
-        chunks = [
-            c.reset_index(drop=True)
-            for c in np.array_split(pairs.reset_index(drop=True), verify_conc * 4)
-            if len(c)
-        ]
-        pairs = (
-            rd.from_pandas(chunks)
-            .map_batches(VerifyJaccard, batch_format="pandas", concurrency=verify_conc)
-            .to_pandas()
-        )
-
-    uf = _UnionFind()
-    all_ids = ds.map_batches(lambda b: b[[id_col]], batch_format="pandas").to_pandas()[id_col]
-    for i in all_ids:
-        uf.find(i)
-    for a, b in zip(pairs["a"], pairs["b"]):
-        uf.union(a, b)
-    groups = pd.DataFrame({id_col: all_ids, "dup_group": [uf.find(i) for i in all_ids]})
-    return pa.Table.from_pandas(groups.sort_values(id_col), preserve_index=False)
+    return ds.map_batches(label_corpus, batch_format="pandas")
 
 
 # ------------------------------------------------------------------- simhash
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR bit tricks, no Python loop)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 class SimHasher:
     """64-bit SimHash per document, vectorized via token explode + np.add.at."""
 
@@ -301,22 +506,7 @@ class SimHasher:
         return batch
 
 
-def simhash_dedup(
-    ds,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-    concurrency: int = 4,
-) -> pa.Table:
-    """Near-dup pairs by SimHash banding: 4×16-bit bands guarantee recall for
-    Hamming distance ≤ 3; candidates verified by exact popcount."""
-    sigs = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", concurrency=pool_size(concurrency),
-    )
-
-    n_buckets = 64
-
+def _simhash_band_rows(id_col: str, n_buckets: int = 64):
     def band_rows(b: pd.DataFrame) -> pd.DataFrame:
         sig = b["simhash"].to_numpy(dtype=np.uint64)
         out = []
@@ -331,6 +521,24 @@ def simhash_dedup(
         df["__bkt"] = (df["key"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
         return df
 
+    return band_rows
+
+
+def simhash_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    concurrency: int = 4,
+) -> pa.Table:
+    """Near-dup pairs by SimHash banding: 4×16-bit bands guarantee recall for
+    Hamming distance ≤ 3; candidates verified by vectorized popcount."""
+    sigs = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas", concurrency=pool_size(concurrency),
+    )
+    n_buckets = 64
+
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # fine grouping on (band, key) via vectorized self-merge; popcount verify
         g = g[["band", "key", id_col, "sig"]].drop_duplicates(subset=["band", "key", id_col])
@@ -339,7 +547,7 @@ def simhash_dedup(
         if not len(m):
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
         x = m["sig_x"].to_numpy(dtype=np.uint64) ^ m["sig_y"].to_numpy(dtype=np.uint64)
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        ham = popcount64(x)
         keep = ham <= max_hamming
         return pd.DataFrame(
             {
@@ -350,7 +558,7 @@ def simhash_dedup(
         )
 
     pairs = (
-        sigs.map_batches(band_rows, batch_format="pandas")
+        sigs.map_batches(_simhash_band_rows(id_col, n_buckets), batch_format="pandas")
         .groupby("__bkt")
         .map_groups(emit_pairs, batch_format="pandas")
         .to_pandas()
@@ -358,3 +566,59 @@ def simhash_dedup(
         .sort_values(["a", "b"])
     )
     return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+
+
+def simhash_exact_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+):
+    """Exact-duplicate pairs with SimHash banding as the blocking structure.
+
+    Identical texts have identical simhashes, so every true pair collides in
+    every band (perfect recall); candidates are then verified by md5 text
+    fingerprint equality inside the band group — the driver-checkable variant
+    of :func:`simhash_dedup` (whose Hamming-ball output is probabilistic and
+    has no SQL oracle).  Returns a Dataset of ``(a, b)`` with ``a < b``.
+    """
+    sigs = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas", concurrency=pool_size(concurrency),
+    )
+    n_buckets = 64
+
+    def add_fp(b: pd.DataFrame) -> pd.DataFrame:
+        return Fingerprinter(text_col=text_col, out_col="__fp")(b)
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        sig = b["simhash"].to_numpy(dtype=np.uint64)
+        # one band suffices for exact dups (identical sig -> identical band 0
+        # key), but keep all 4 so the blocking structure matches simhash_dedup
+        out = []
+        for band in range(4):
+            key = (sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out.append(
+                pd.DataFrame(
+                    {"band": band, "key": key, id_col: b[id_col].to_numpy(), "fp": b["__fp"].to_numpy()}
+                )
+            )
+        df = pd.concat(out, ignore_index=True)
+        df["__bkt"] = (df["key"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
+        return df
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["band", "key", id_col, "fp"]].drop_duplicates(subset=["band", "key", id_col])
+        m = g.merge(g, on=["band", "key"])
+        m = m[(m[f"{id_col}_x"] < m[f"{id_col}_y"]) & (m["fp_x"] == m["fp_y"])]
+        return (
+            m[[f"{id_col}_x", f"{id_col}_y"]]
+            .rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})
+            .drop_duplicates()
+        )
+
+    banded = sigs.map_batches(add_fp, batch_format="pandas").map_batches(
+        band_rows, batch_format="pandas"
+    )
+    pairs = banded.groupby("__bkt").map_groups(emit_pairs, batch_format="pandas")
+    return _dedupe_pairs(pairs, n_buckets)

@@ -84,13 +84,44 @@ class MediaDecoder:
         feats = [
             self._decode_one(p, t) for p, t in zip(batch["payload"], batch["media_type"])
         ]
+        # sig: payload checksum (provenance/idempotency key, same role as the
+        # reference's content-derived storage keys) — also the only output a
+        # SQL engine can recompute, so it anchors the driver oracle
+        sigs = [hashlib.sha256(p).hexdigest() for p in batch["payload"]]
         return pd.DataFrame(
             {
                 "media_id": batch["media_id"],
                 "media_type": batch["media_type"],
+                "sig": sigs,
                 "features": feats,
             }
         )
+
+
+def media_from_documents(ds, payload_bytes_col: str = "text"):
+    """Derive a media table from a text corpus: payload = utf-8 bytes.
+
+    Gives the decode plumbing a DRIVER-CHECKABLE corpus: the payload is a
+    deterministic function of a pre-registered table, so a SQL oracle can
+    recompute ``sha256(payload)``.  media_type cycles image/audio/video by
+    ``doc_id % 3`` (same CASE in SQL).
+    """
+    types = np.array(["image", "audio", "video"])
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        doc_id = b["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "media_id": doc_id.astype(np.int64),
+                "media_type": types[doc_id % 3],
+                "payload": [t.encode("utf-8") for t in b[payload_bytes_col].astype(str)],
+                "width": np.zeros(len(b), dtype=np.int32),
+                "height": np.zeros(len(b), dtype=np.int32),
+                "sample_rate": np.zeros(len(b), dtype=np.int32),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas")
 
 
 class FrameSampler:

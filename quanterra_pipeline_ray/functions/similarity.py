@@ -6,9 +6,19 @@
   per-query reduce keeps the global top-k.  This is the correctness baseline
   and is embarrassingly parallel over the corpus.
 * :func:`ivf_topk` — scale path: IVF-style inverted lists.  Coarse centroids
-  are a deterministic seeded sample; vectors are assigned to their nearest
-  centroid in a ``map_batches`` stage (broadcast centroid matrix); a query
-  searches only its ``nprobe`` nearest lists.
+  are a SEEDED DISTRIBUTED sample (hash-order top-n, unbiased w.r.t. block
+  order); vectors are assigned to their nearest centroid in a
+  ``map_batches`` stage (broadcast centroid matrix); a query searches only
+  its ``nprobe`` nearest lists.  With ``nprobe == n_lists`` the search is
+  provably exact (every list probed) while still exercising the IVF
+  machinery — the driver-checkable configuration.
+* :func:`ivf_assign` — materializes the list assignment as a column so a
+  table maintained at scale computes it ONCE and reuses it across queries
+  (the assignment is a maintenance artifact, not a per-query cost).
+* :func:`embedding_near_dup_pairs` — cosine near-dup pairs blocked by IVF
+  list: pairs are emitted only within a list (plus ``assign_probes`` nearest
+  lists for recall), one vectorized matmul per list — never an O(N²)
+  all-pairs, never a driver-side corpus materialization.
 """
 
 from __future__ import annotations
@@ -16,7 +26,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-
 
 from ..util import pool_size as _pool_size
 
@@ -89,15 +98,88 @@ def brute_force_topk(
     return _global_topk(local, k, id_col)
 
 
+def seeded_sample_vectors(
+    ds,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic UNBIASED distributed sample of ``n`` vectors.
+
+    Every row gets a seeded hash of its id; each block emits its local ``n``
+    smallest-hash rows, and the driver reduces to the global ``n`` smallest —
+    a uniform sample independent of block order/count (unlike ``ds.limit``,
+    which takes the first blocks and is biased by layout).
+    """
+    from ..stages.skew import _splitmix64
+
+    def local_min(b: pd.DataFrame) -> pd.DataFrame:
+        h = _splitmix64(
+            b[id_col].to_numpy().astype(np.uint64)
+            ^ np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        )
+        take = np.argsort(h, kind="stable")[:n]
+        return pd.DataFrame(
+            {
+                "__h": h[take],
+                id_col: b[id_col].to_numpy()[take],
+                vec_col: b[vec_col].to_numpy()[take],
+            }
+        )
+
+    cand = ds.map_batches(local_min, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["__h", id_col], kind="mergesort").head(n)
+    return _stack(cand[vec_col])
+
+
 class _CentroidAssigner:
-    def __init__(self, centroids: np.ndarray, vec_col: str):
+    """Adds ``__list`` (nearest-centroid id); with ``probes > 1`` emits one
+    row per probed list (multi-assign, used by near-dup blocking so border
+    vectors appear in their runner-up lists too)."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str, probes: int = 1):
         self.c = _normalize(np.asarray(centroids, dtype=np.float64))
         self.vec_col = vec_col
+        self.probes = min(probes, len(self.c))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         v = _normalize(_stack(batch[self.vec_col]))
-        batch["__list"] = np.argmax(v @ self.c.T, axis=1).astype(np.int64)
-        return batch
+        s = v @ self.c.T
+        if self.probes == 1:
+            batch["__list"] = np.argmax(s, axis=1).astype(np.int64)
+            return batch
+        top = np.argsort(-s, kind="stable", axis=1)[:, : self.probes]
+        reps = [batch.assign(__list=top[:, j].astype(np.int64)) for j in range(self.probes)]
+        return pd.concat(reps, ignore_index=True)
+
+
+def ivf_assign(
+    ds,
+    centroids: np.ndarray | None = None,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    concurrency: int = 4,
+    probes: int = 1,
+):
+    """Assign each vector to its nearest coarse centroid (``__list`` column).
+
+    Returns ``(assigned_ds, centroids)``.  At scale, run once as a
+    maintenance step, persist the ``__list`` column, and reuse across
+    queries; centroids default to a seeded distributed sample.
+    """
+    if centroids is None:
+        sample = seeded_sample_vectors(ds, n_lists, id_col, vec_col, seed)
+        centroids = _normalize(sample)
+    assigned = ds.map_batches(
+        _CentroidAssigner,
+        fn_constructor_kwargs=dict(centroids=centroids, vec_col=vec_col, probes=probes),
+        batch_format="pandas",
+        concurrency=_pool_size(concurrency, pools_in_pipeline=2),
+    )
+    return assigned, centroids
 
 
 def ivf_topk(
@@ -110,31 +192,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     concurrency: int = 4,
+    assigned=None,
+    centroids: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Approximate cosine top-k via IVF inverted lists.
 
-    Centroids = deterministic seeded corpus sample (cheap, good enough for a
-    coarse quantizer); recall grows with ``nprobe``.  The scan stage prunes
-    every batch to rows whose list is probed by ANY query, then scores — at
-    scale the list assignment is precomputed once and reused across queries.
+    Recall grows with ``nprobe``; ``nprobe == n_lists`` probes every list and
+    is exactly :func:`brute_force_topk` (the driver-checkable configuration).
+    Pass a persisted ``assigned`` dataset (from :func:`ivf_assign`) to skip
+    re-assignment — the scale path.
     """
-    # deterministic coarse sample: first blocks (read order is deterministic)
-    sample = ds.limit(n_lists * 8).to_pandas()
-    sample_vecs = _stack(sample[vec_col])
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample_vecs), size=min(n_lists, len(sample_vecs)), replace=False)
-    centroids = _normalize(sample_vecs[idx])
+    if assigned is None or centroids is None:
+        assigned, centroids = ivf_assign(
+            ds, centroids, n_lists, id_col, vec_col, seed, concurrency
+        )
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, : min(nprobe, len(centroids))]
+    probe_lists = np.argsort(-(q @ centroids.T), kind="stable", axis=1)[
+        :, : min(nprobe, len(centroids))
+    ]
     probed = np.unique(probe_lists)
 
-    assigned = ds.map_batches(
-        _CentroidAssigner,
-        fn_constructor_kwargs=dict(centroids=centroids, vec_col=vec_col),
-        batch_format="pandas",
-        concurrency=_pool_size(concurrency, pools_in_pipeline=2),
-    )
     pruned = assigned.map_batches(
         lambda b: b[b["__list"].isin(probed)], batch_format="pandas"
     )
@@ -177,28 +255,44 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_lists: int = 16,
+    assign_probes: int = 2,
+    seed: int = 42,
     concurrency: int = 4,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    Broadcast full normalized matrix (small corpus) or per-batch × corpus
-    blocked matmul; each batch emits only its above-threshold pairs."""
-    import ray
+    IVF-blocked: vectors are multi-assigned to their ``assign_probes``
+    nearest lists (border vectors land in their runner-up lists too, so a
+    near-identical pair is co-listed unless it straddles > ``assign_probes``
+    centroids — measure-zero for thresholds near 1); each list computes one
+    vectorized all-pairs matmul over ITS members only.  No corpus-level
+    materialization anywhere; output is candidate-bounded.
 
-    full = ds.map_batches(lambda b: b[[id_col, vec_col]], batch_format="pandas").to_pandas()
-    ids_all = full[id_col].to_numpy()
-    mat = _normalize(_stack(full[vec_col]))
-    mat_ref = ray.put((ids_all, mat))
+    Partitioning assumption (documented per the custom-operator contract):
+    a list's members fit one task's memory — at 100 TB choose
+    ``n_lists ≈ N / (rows-per-task)`` and salt oversized lists.
+    """
+    assigned, _ = ivf_assign(
+        ds, None, n_lists, id_col, vec_col, seed, concurrency, probes=assign_probes
+    )
 
-    def pairs_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        ids_a, m = ray.get(mat_ref)
-        v = _normalize(_stack(batch[vec_col]))
-        my_ids = batch[id_col].to_numpy()
-        s = v @ m.T
+    def pairs_in_list(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        m = _normalize(_stack(g[vec_col]))
+        s = m @ m.T
         ii, jj = np.nonzero(s >= threshold)
-        a, b = my_ids[ii], ids_a[jj]
+        a, b = ids[ii], ids[jj]
         keep = a < b
         return pd.DataFrame({"a": a[keep], "b": b[keep], "cosine": s[ii, jj][keep]})
 
-    out = ds.map_batches(pairs_batch, batch_format="pandas").to_pandas()
+    out = (
+        assigned.groupby("__list")
+        .map_groups(pairs_in_list, batch_format="pandas")
+        .to_pandas()
+    )
+    # multi-assign can emit the same pair from two lists -> distinct
     return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

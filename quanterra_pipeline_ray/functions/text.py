@@ -83,13 +83,20 @@ class LangId:
     """Heuristic language id: stopword hits per language + CJK char ratio.
 
     Deterministic, vocabulary-only (no model); emits ``lang_pred`` and
-    ``lang_conf``.  Not SQL-expressible — verified by unit tests only.
+    ``lang_conf``.  With ``max_words=None`` (score every word) the whole
+    heuristic is ANSI-SQL-expressible — word extraction is
+    ``regexp_extract_all(text, '[A-Za-z]+')``, hits are a list_filter
+    against the stopword sets, the argmax tiebreak is the en→de→fr→es
+    insertion order, and ``lang_conf = hits/words`` is one IEEE division of
+    identical ints — so a DuckDB oracle reproduces it bit-for-bit.  The
+    default caps scoring at 200 words to bound per-doc cost at scale.
     """
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", max_words: int | None = 200):
         import re
 
         self.text_col = text_col
+        self.max_words = max_words
         self.word = re.compile(r"[a-zA-Z]+")
         self.cjk = re.compile(r"[一-鿿぀-ヿ]")
         self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
@@ -103,7 +110,7 @@ class LangId:
                 preds.append("zh")
                 confs.append(float(cjk))
                 continue
-            words = [w.lower() for w in self.word.findall(text)[:200]]
+            words = [w.lower() for w in self.word.findall(text)[: self.max_words]]
             if not words:
                 preds.append("und")
                 confs.append(0.0)

@@ -167,40 +167,77 @@ def orders_per_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
-def lineitems_per_region(sf_dir: str, ship_before: str = "1995-06-01"):
-    """4-way join lineitem→orders→customer→nation→region as broadcast maps:
-    lineitem is the only large side; everything else ships once per actor."""
+def lineitems_per_region(sf_dir: str, ship_before: str = "1995-06-01", n_buckets: int = 64):
+    """4-way join lineitem→orders→customer→nation→region.
+
+    Physical plan for two FACT tables + three dims:
+    * customer/nation/region are true dimensions → composed into one
+      ``custkey → region`` map, broadcast once (``ray.put``), applied to
+      ORDERS batches vectorized (orders is scanned, never collected);
+    * lineitem is pre-aggregated per ``l_orderkey`` inside ``map_batches``
+      (one count row per orderkey per block) BEFORE the shuffle, so the
+      exchange carries ~one row per order instead of one per lineitem;
+    * lineitem⋈orders is a bucketed hash-shuffle join on ``l_orderkey``
+      (both sides are fact-sized; neither is ever broadcast or collected).
+    """
     import ray
 
     rd = _rd()
-    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
     region = pd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
-    o2c = orders.set_index("o_orderkey")["o_custkey"]
     c2n = cust.set_index("c_custkey")["c_nationkey"]
     n2r = nation.set_index("n_nationkey")["n_regionkey"]
     r2name = region.set_index("r_regionkey")["r_name"]
-    o2region = o2c.map(c2n).map(n2r).map(r2name)  # one composed map, built once
-    ref = ray.put(o2region.to_dict())
+    c2region = c2n.map(n2r).map(r2name)  # dimension-only composed map
+    ref = ray.put(c2region.to_dict())
 
     cutoff = np.datetime64(ship_before, "us")
 
-    def attach(b: pd.DataFrame) -> pd.DataFrame:
+    def orders_side(b: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "okey": b["o_orderkey"].to_numpy(),
+                "r_name": b["o_custkey"].map(m).to_numpy(),
+                "cnt": np.full(len(b), -1, dtype=np.int64),  # -1 marks the orders side
+            }
+        )
+
+    def lineitem_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] < cutoff]
         if not len(b):
-            return pd.DataFrame({"r_name": [], "n_items": []})
-        r = b["l_orderkey"].map(m)
-        g = pd.DataFrame({"r_name": r}).groupby("r_name", as_index=False).size()
-        return g.rename(columns={"size": "n_items"})
+            return pd.DataFrame({"okey": [], "r_name": [], "cnt": []}).astype(
+                {"okey": np.int64, "r_name": str, "cnt": np.int64}
+            )
+        g = (
+            pd.DataFrame({"okey": b["l_orderkey"].to_numpy()})
+            .groupby("okey", as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {"okey": g["okey"].to_numpy(), "r_name": "", "cnt": g["size"].to_numpy(dtype=np.int64)}
+        )
 
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["cnt"] == -1][["okey", "r_name"]].drop_duplicates("okey")
+        fact = g[g["cnt"] >= 0][["okey", "cnt"]]
+        j = fact.merge(dim, on="okey", how="inner")
+        return j.groupby("r_name", as_index=False)["cnt"].sum().rename(columns={"cnt": "n_items"})
+
+    orders_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_side, batch_format="pandas")
+    items_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(lineitem_partial, batch_format="pandas")
+
+    joined = bucketed_groupby(orders_ds.union(items_ds), ["okey"], join_bucket, n_buckets)
+
     from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(attach, batch_format="pandas")
-        .groupby("r_name")
+        joined.groupby("r_name")
         .aggregate(Sum("n_items", alias_name="n_items"))
         .to_pandas()
     )
@@ -249,23 +286,32 @@ def events_hourly(sf_dir: str):
     return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
 
 
-def events_sessions(sf_dir: str, gap_s: int = 1800):
-    """Session count per user: 30-min-gap sessionization inside map_groups
-    (partition by user, sort by ts within the group — the documented ordering
-    assumption for stream-shaped work)."""
+def events_sessions(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
+    """Session count per user: 30-min-gap sessionization.
+
+    Bucketed by user hash (bounded Ray group count — never one Ray group per
+    user); within a bucket ALL users are sessionized in one vectorized pandas
+    pass (sort by (user, ts, event_id), diff within user via shift compare).
+    """
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
     gap_us = gap_s * 1_000_000
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
         new_session = np.ones(len(g), dtype=np.int64)
-        if len(us) > 1:
-            new_session[1:] = (np.diff(us) > gap_us).astype(np.int64)
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_session.sum())]})
+        if len(g) > 1:
+            same_user = uid[1:] == uid[:-1]
+            new_session[1:] = (~same_user | (np.diff(us) > gap_us)).astype(np.int64)
+        out = pd.DataFrame({"user_id": uid, "n": new_session})
+        return (
+            out.groupby("user_id", as_index=False)["n"].sum().rename(columns={"n": "n_sessions"})
+        )
 
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    out = bucketed_groupby(ds, ["user_id"], sess_bucket, n_buckets).to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
 
 

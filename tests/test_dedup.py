@@ -75,3 +75,77 @@ def test_simhash_finds_near_dups():
     for i in range(5):
         assert (i, i + 10_000) in found  # exact dup -> hamming 0
     assert all(h <= 6 for h in pairs["hamming"])
+
+
+def test_connected_components_transitive_chain():
+    """Verdict r1 done-criterion: a-b, b-c chain topology must yield one
+    transitive group under the distributed min-label propagation."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import connected_components
+
+    pairs = rd.from_pandas(pd.DataFrame({"a": [10, 20, 50], "b": [20, 30, 60]}))
+    comp = connected_components(pairs)
+    assert comp == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
+
+
+def test_connected_components_long_chain_converges():
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import connected_components
+
+    n = 24
+    pairs = rd.from_pandas(pd.DataFrame({"a": list(range(n)), "b": list(range(1, n + 1))}))
+    comp = connected_components(pairs)
+    assert set(comp.values()) == {0} and len(comp) == n + 1
+
+
+def test_minhash_dedup_no_driver_corpus_materialization():
+    """minhash_lsh_dedup returns a lazy Dataset labeled via a broadcast
+    component map — the corpus itself is never collected."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import minhash_lsh_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again!",  # near-dup of 0
+                "completely different words about tables and shuffles here",
+                "another unrelated document mentioning manifests and snapshots",
+                "the quick brown fox jumps over the lazy dog again and again",   # exact dup of 0
+                "short text one", "short text two", "unrelated third phrase entirely",
+            ],
+        }
+    )
+    out = minhash_lsh_dedup(rd.from_pandas(df), threshold=0.8)
+    assert not isinstance(out, (pd.DataFrame, pa.Table))  # stays a Dataset
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[0, "dup_group"] == 0 and got.loc[1, "dup_group"] == 0
+    assert got.loc[4, "dup_group"] == 0
+    assert got.loc[2, "dup_group"] == 2 and got.loc[3, "dup_group"] == 3
+
+
+def test_popcount64_vectorized():
+    from quanterra_pipeline_ray.functions.dedup import popcount64
+
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63, 0x5555555555555555], dtype=np.uint64)
+    assert popcount64(x).tolist() == [0, 1, 2, 64, 1, 32]
+
+
+def test_simhash_exact_pairs_finds_planted_copies():
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import simhash_exact_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["alpha beta gamma delta", "epsilon zeta eta theta",
+                     "alpha beta gamma delta", "iota kappa lambda mu"],
+        }
+    )
+    pairs = simhash_exact_pairs(rd.from_pandas(df)).to_pandas()
+    assert list(map(tuple, pairs[["a", "b"]].to_numpy())) == [(0, 2)]

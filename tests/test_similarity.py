@@ -64,3 +64,51 @@ def test_embedding_near_dup_pairs_finds_planted():
     assert (df["vec_id"][0], df["vec_id"][0] + 9000) in found
     assert (df["vec_id"][1], df["vec_id"][1] + 9000) in found
     assert (pairs["cosine"] >= 0.999).all()
+
+
+def test_seeded_sample_is_block_order_independent():
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.similarity import seeded_sample_vectors
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(100, dtype=np.int64), "embedding": list(rng.normal(size=(100, 8)))}
+    )
+    a = seeded_sample_vectors(rd.from_pandas(df), 8)
+    perm = rng.permutation(100)
+    b = seeded_sample_vectors(rd.from_pandas([df.iloc[perm[:50]], df.iloc[perm[50:]]]), 8)
+    assert np.array_equal(a, b)
+
+
+def test_ivf_full_probe_matches_brute_force():
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(rng.normal(size=(200, 16)))}
+    )
+    q = np.stack(df["embedding"].head(2).to_numpy())
+    ds = rd.from_pandas(df)
+    bf = brute_force_topk(ds, q, k=5)
+    ivf = ivf_topk(ds, q, k=5, n_lists=8, nprobe=8)
+    assert bf["vec_id"].tolist() == ivf["vec_id"].tolist()
+
+
+def test_embedding_near_dups_blocked_finds_planted(tmp_path):
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(2)
+    base = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype=np.int64), "embedding": list(rng.normal(size=(60, 12)))}
+    )
+    copies = base.assign(vec_id=base["vec_id"] + 1000)
+    pairs = embedding_near_dup_pairs(
+        rd.from_pandas(pd.concat([base, copies], ignore_index=True)), threshold=0.999, n_lists=4
+    )
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert got == {(i, i + 1000) for i in range(60)}
