@@ -188,6 +188,53 @@ def _q_maint_resume(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_timetravel(sf_dir: str) -> pa.Table:
+    """Timestamp time travel: three commits at logical ts 100/200/300 (the
+    third is a compaction), scan ``as_of_ts=250`` -> the pre-compaction state
+    with both appends visible (turn_idx < 5 at ts 100, the rest at ts 200,
+    compaction at 300 rewrites files but not rows — so as-of 250 content
+    equals as-of 350 content, and equals the full derived table minus
+    nothing; the 150 cut would show only the first append)."""
+    import pyarrow.compute as pc
+
+    from quanterra_pipeline_ray.stages.compaction import compact
+
+    root = os.path.join(_SCRATCH, f"timetravel-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = TranscriptTable.create(root)
+    data = transcripts_from_events(sf_dir)
+    first = data.filter(pc.less(data.column("turn_idx"), 5))
+    rest = data.filter(pc.greater_equal(data.column("turn_idx"), 5))
+    table.append_table(first, commit_ts=100)
+    table.append_table(rest, commit_ts=200)
+    compact(table, target_bytes=4 << 20)  # logical ts 201
+
+    early = table.snapshot_as_of(150)  # only the first append
+    snap_250 = table.snapshot_as_of(250)
+    assert table.scan(early.snapshot_id, columns=["turn_idx"]).count() == first.num_rows
+    return _result(table.read_all(snap_250.snapshot_id))
+
+
+def _q_maint_changelog(sf_dir: str):
+    """Row-level changelog across compaction + MERGE: compaction rewrites
+    every byte but no rows (cancels out of the diff); the surviving delta is
+    exactly the MERGE's inserts + deletes (updates = delete + insert),
+    matching SQL EXCEPT in both directions."""
+    from quanterra_pipeline_ray.stages.changelog import changelog
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    table, data = _maint_table(sf_dir, "changelog")
+    base = table.current_snapshot_id()
+    compact(table, target_bytes=4 << 20)
+    merge_into(table, _merge_source(data), target_rows=100_000)
+    head = table.current_snapshot_id()
+    out = changelog(table, base, head)
+    return out.map_batches(
+        lambda t: _result(t), batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------- training-data ops
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
@@ -477,6 +524,77 @@ def _q_media_decode(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def _q_events_watermark_hourly(sf_dir: str):
+    """Streaming watermark windower over events with unbounded lateness —
+    every window finalizes, so the result equals the batch hourly aggregate
+    (late-drop behavior is unit-tested; it has no SQL analog)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.stages.streaming import windowed_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = windowed_counts(ds, window_us=3_600_000_000, lateness_us=None)
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"window_start": "hour"})
+        b["hour"] = b["hour"].astype("datetime64[us]")
+        return b[["user_id", "hour", "n_events"]]
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+# ------------------------------------------------------------ temporal joins
+def _q_asof_join_events(sf_dir: str):
+    """Attach to every non-signup event the latest signup ts <= event ts of
+    the same user (DuckDB ASOF JOIN oracle)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.temporal import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(lambda r: r["event_type"] != "signup").map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas"
+    )
+    right = ev.filter(lambda r: r["event_type"] == "signup").map_batches(
+        lambda b: b[["user_id", "ts"]], batch_format="pandas"
+    )
+    out = asof_join(left, right, on="ts", by="user_id", suffix="_signup")
+    return out.map_batches(
+        lambda b: b[["event_id", "user_id", "ts", "ts_signup"]], batch_format="pandas"
+    )
+
+
+def _q_range_join_events(sf_dir: str):
+    """Events within 1h after each signup of the same user (range join)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.temporal import range_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+    left = ev.filter(lambda r: r["event_type"] == "signup").map_batches(
+        lambda b: b[["user_id", "ts"]].drop_duplicates(), batch_format="pandas"
+    )
+    right = ev.filter(lambda r: r["event_type"] != "signup").map_batches(
+        lambda b: b[["user_id", "ts"]], batch_format="pandas"
+    )
+    out = range_join(left, right, on="ts", by="user_id", width_us=3_600_000_000)
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_id", "anchor_ts"], as_index=False).size()
+        return g.rename(columns={"size": "n_events"})
+
+    from quanterra_pipeline_ray.pipelines.relational import bucketed_groupby
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "anchor_ts"], as_index=False)["n_events"].sum()
+
+    res = bucketed_groupby(
+        out.map_batches(agg, batch_format="pandas"), ["user_id", "anchor_ts"], combine
+    ).to_pandas()
+    res["n_events"] = res["n_events"].astype(np.int64)
+    return res.sort_values(["user_id", "anchor_ts"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ contract
 def entry() -> Any:
     """Flagship: compact + Z-order + MERGE over sf0.001-derived transcripts."""
@@ -500,6 +618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lakehouse maintenance (scan-equality against derived transcripts)
         "maint_scan": _q_maint_scan,
         "maint_append": _q_maint_append,
+        "maint_timetravel": _q_maint_timetravel,
+        "maint_changelog": _q_maint_changelog,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -530,6 +650,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_features": _q_media_decode,
         "quality_filter_docs": _q_quality_filter,
         "length_histogram_docs": _q_length_histogram,
+        # streaming / temporal
+        "events_watermark_hourly": _q_events_watermark_hourly,
+        "asof_join_events": _q_asof_join_events,
+        "range_join_events": _q_range_join_events,
         # ingestion-layer operators (reference parity)
         "semi_join_events": _q_semi_join_events,
         "split_key_docs": _q_split_key_docs,
@@ -560,9 +684,32 @@ ins AS (
 )
 SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
 """.strip()
+    changelog_sql = f"""
+WITH t AS ({t}),
+upd AS (
+  SELECT conv_id, turn_idx, role, 'UPDATED ' || text AS text, tool, ts
+  FROM t WHERE turn_idx % 7 = 3
+),
+kept AS (
+  SELECT * FROM t WHERE turn_idx % 7 <> 3 AND turn_idx % 13 <> 5
+),
+ins AS (
+  SELECT 'cNEW' AS conv_id, CAST(0 AS INTEGER) AS turn_idx, 'user' AS role,
+         'hello' AS text, '' AS tool, TIMESTAMP '2024-06-01 00:00:00' AS ts
+  UNION ALL
+  SELECT 'cNEW', CAST(1 AS INTEGER), 'assistant', 'hi', '',
+         TIMESTAMP '2024-06-01 00:01:00'
+),
+m AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT 'insert' AS op, * FROM (SELECT * FROM m EXCEPT SELECT * FROM t)
+UNION ALL
+SELECT 'delete' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
+""".strip()
     return {
         "maint_scan": scan_sql,
         "maint_append": scan_sql,
+        "maint_timetravel": scan_sql,
+        "maint_changelog": changelog_sql,
         "maint_compact": scan_sql,
         "maint_zorder": scan_sql,
         "maint_hilbert": scan_sql,
@@ -736,6 +883,23 @@ WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >=
         "length_histogram_docs": """
 SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n_docs
 FROM documents GROUP BY (n_chars // 100) * 100
+""".strip(),
+        "events_watermark_hourly": """
+SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+""".strip(),
+        "asof_join_events": """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_signup
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup') l
+ASOF JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip(),
+        "range_join_events": """
+SELECT s.user_id, s.ts AS anchor_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT user_id, ts FROM events WHERE event_type <> 'signup') e
+  ON e.user_id = s.user_id AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
+GROUP BY s.user_id, s.ts
 """.strip(),
         "semi_join_events": """
 SELECT event_id, event_type FROM events

@@ -1,0 +1,89 @@
+"""Row-level changelog between two snapshots (incremental maintenance).
+
+Generalizes the reference's envelope-metadata provenance chains (reference
+`src/models/data/eodhd_models.py:22-27`) into a CDC surface: what changed
+between snapshot A and snapshot B, as ``insert`` / ``delete`` rows (an
+update is a delete of the old row plus an insert of the new one — the same
+decomposition SQL's ``EXCEPT`` produces, which is the driver oracle).
+
+Incremental by construction: files present in BOTH manifests cannot
+contribute (identical content cancels), so only the snapshots' file-set
+difference is scanned — a compaction that rewrites bytes but not rows
+yields an EMPTY changelog after scanning only the rewritten files, and a
+MERGE scans only its touched partitions.  The diff itself is one bucketed
+hash shuffle on the row key; full-row comparison happens vectorized per
+bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..schema import TRANSCRIPTS_SCHEMA
+from ..state.manifest import TranscriptTable
+
+_COLS = list(TRANSCRIPTS_SCHEMA.names)
+
+
+def changelog(
+    table: TranscriptTable,
+    from_snapshot: int,
+    to_snapshot: int,
+    n_buckets: int = 64,
+):
+    """Dataset of ``(op, conv_id, turn_idx, role, text, tool, ts)`` rows
+    describing the row-level delta ``to_snapshot - from_snapshot``."""
+    import ray.data as rd
+
+    old_files = {f.path for f in table.files(from_snapshot)}
+    new_files = {f.path for f in table.files(to_snapshot)}
+
+    def _abs(paths: set[str]) -> list[str]:
+        import os
+
+        return [p if os.path.isabs(p) else table._p(p) for p in sorted(paths)]
+
+    only_old = _abs(old_files - new_files)
+    only_new = _abs(new_files - old_files)
+
+    def empty_frame() -> pd.DataFrame:
+        out = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
+            ["op"] + _COLS,
+            ["object", "object", "int32", "object", "object", "object", "datetime64[us]"],
+        )})
+        return out
+
+    if not only_old and not only_new:
+        return rd.from_pandas(empty_frame())
+
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[_COLS].copy()
+            out["__side"] = np.int8(side)
+            h = pd.util.hash_pandas_object(out["conv_id"], index=False).to_numpy(dtype=np.uint64)
+            h ^= out["turn_idx"].to_numpy().astype(np.uint64)
+            out["__bkt"] = (h % n_buckets).astype(np.int64)
+            return out
+
+        return fn
+
+    parts = []
+    if only_old:
+        parts.append(rd.read_parquet(only_old).map_batches(tag(0), batch_format="pandas"))
+    if only_new:
+        parts.append(rd.read_parquet(only_new).map_batches(tag(1), batch_format="pandas"))
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["__side"] == 0][_COLS]
+        new = g[g["__side"] == 1][_COLS]
+        merged = old.merge(new, on=_COLS, how="outer", indicator=True)
+        ins = merged[merged["_merge"] == "right_only"][_COLS]
+        dele = merged[merged["_merge"] == "left_only"][_COLS]
+        out = pd.concat(
+            [ins.assign(op="insert"), dele.assign(op="delete")], ignore_index=True
+        )
+        return out[["op"] + _COLS] if len(out) else empty_frame()
+
+    return ds.groupby("__bkt").map_groups(diff_bucket, batch_format="pandas")

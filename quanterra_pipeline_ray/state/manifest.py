@@ -76,6 +76,11 @@ class Snapshot:
     manifest: str  # manifests/<name>.json, relative to root
     operation: str
     summary: dict[str, Any]
+    #: commit timestamp for time travel.  A LOGICAL clock by default
+    #: (parent's + 1) so replays and tests are deterministic; pass a real
+    #: epoch-us value through ``commit(..., commit_ts=...)`` for wall-clock
+    #: time travel.  Never read from the system clock inside the library.
+    commit_ts: int = 0
 
     def to_json(self) -> dict[str, Any]:
         return asdict(self)
@@ -88,6 +93,7 @@ class Snapshot:
             manifest=d["manifest"],
             operation=d.get("operation", ""),
             summary=d.get("summary", {}),
+            commit_ts=int(d.get("commit_ts", d.get("snapshot_id", 0))),
         )
 
 
@@ -215,6 +221,7 @@ class TranscriptTable:
         parent: int | None,
         operation: str,
         summary: dict[str, Any],
+        commit_ts: int | None = None,
     ) -> Snapshot:
         files = sorted(files, key=lambda f: f.path)
         manifest_doc = {"files": [f.to_json() for f in files]}
@@ -226,11 +233,15 @@ class TranscriptTable:
         # guard against concurrent committers racing to the same id
         while os.path.exists(self._p("snapshots", f"s{sid:06d}.json")):
             sid += 1
+        if commit_ts is None:
+            # logical clock: strictly increasing, deterministic under replay
+            commit_ts = 0 if parent is None else self.snapshot(parent).commit_ts + 1
         snap = Snapshot(
             snapshot_id=sid,
             parent_id=parent,
             manifest=mname,
             operation=operation,
+            commit_ts=int(commit_ts),
             summary={
                 **summary,
                 "total_rows": sum(f.rows for f in files),
@@ -252,6 +263,7 @@ class TranscriptTable:
         operation: str = "append",
         summary: dict[str, Any] | None = None,
         base_snapshot_id: int | None = None,
+        commit_ts: int | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: ``new = (base - removed) + added``."""
         base = self.current_snapshot_id() if base_snapshot_id is None else base_snapshot_id
@@ -267,12 +279,28 @@ class TranscriptTable:
             parent=base,
             operation=operation,
             summary={**(summary or {}), "added_files": len(added), "removed_files": len(removed)},
+            commit_ts=commit_ts,
         )
 
-    def append_table(self, table: pa.Table, operation: str = "append") -> Snapshot:
+    # -- time travel -------------------------------------------------------
+    def snapshot_as_of(self, ts: int) -> Snapshot:
+        """Latest snapshot with ``commit_ts <= ts`` (timestamp time travel).
+
+        ``commit_ts`` is the logical/epoch clock recorded at commit; readers
+        resolve the snapshot once at pin time, so the returned snapshot's
+        file list is stable regardless of later commits.
+        """
+        eligible = [s for s in self.snapshots() if s.commit_ts <= ts]
+        if not eligible:
+            raise ValueError(f"no snapshot committed at or before ts={ts}")
+        return max(eligible, key=lambda s: (s.commit_ts, s.snapshot_id))
+
+    def append_table(
+        self, table: pa.Table, operation: str = "append", commit_ts: int | None = None
+    ) -> Snapshot:
         """Driver-side convenience append of one in-memory Arrow table."""
         df = write_data_file(table, self.root, self.schema)
-        return self.commit([df], operation=operation)
+        return self.commit([df], operation=operation, commit_ts=commit_ts)
 
     def register_fragments(self, paths: Iterable[str], operation: str = "register") -> Snapshot:
         """Adopt pre-existing parquet fragments (e.g. synthetic input files).
@@ -307,16 +335,22 @@ class TranscriptTable:
         self,
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
+        as_of_ts: int | None = None,
         **read_kwargs: Any,
     ):
         """``ray.data.Dataset`` over exactly the snapshot's manifest file list.
 
         Readers resolve the file list ONCE at pin time — the backbone of
         snapshot isolation: compaction committing a newer snapshot never
-        changes what this dataset reads.
+        changes what this dataset reads.  ``as_of_ts`` pins to the latest
+        snapshot committed at or before that timestamp instead of an id.
         """
         import ray.data as rd
 
+        if as_of_ts is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_ts, not both")
+            snapshot_id = self.snapshot_as_of(as_of_ts).snapshot_id
         paths = self.file_paths(snapshot_id)
         if not paths:
             return rd.from_arrow(self.schema.empty_table())

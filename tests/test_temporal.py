@@ -1,0 +1,183 @@
+"""Temporal operators: as-of/range joins, time travel, changelog, streaming."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from quanterra_pipeline_ray.state.manifest import TranscriptTable
+from quanterra_pipeline_ray.synth import content_fingerprint, fragment_table, generate_transcripts
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ------------------------------------------------------------- as-of / range
+def test_asof_join_backward_semantics():
+    from quanterra_pipeline_ray.pipelines.temporal import asof_join
+
+    left = pd.DataFrame(
+        {
+            "item": np.array([1, 2, 3, 4], dtype=np.int64),
+            "k": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime([10, 25, 5, 50], unit="s").astype("datetime64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "ts": pd.to_datetime([10, 20, 60], unit="s").astype("datetime64[us]"),
+        }
+    )
+    out = (
+        asof_join(_rd().from_pandas(left), _rd().from_pandas(right), on="ts", by="k")
+        .to_pandas()
+        .sort_values("item")
+        .reset_index(drop=True)
+    )
+    # item 3 (ts=5 < first anchor) and item 4 (b's anchor is later) drop
+    assert out["item"].tolist() == [1, 2]
+    got = out["ts_right"].astype("int64").to_numpy() // 1_000_000
+    assert got.tolist() == [10, 20]  # exact match allowed; latest <= ts
+    assert out["item"].dtype == np.int64  # sentinel padding preserved dtypes
+
+
+def test_range_join_window_bounds():
+    from quanterra_pipeline_ray.pipelines.temporal import range_join
+
+    anchors = pd.DataFrame(
+        {"k": ["a"], "ts": pd.to_datetime([100], unit="s").astype("datetime64[us]")}
+    )
+    events = pd.DataFrame(
+        {
+            "k": ["a"] * 4,
+            "ts": pd.to_datetime([99, 100, 3699, 3700], unit="s").astype("datetime64[us]"),
+        }
+    )
+    out = range_join(
+        _rd().from_pandas(anchors), _rd().from_pandas(events), on="ts", by="k",
+        width_us=3_600_000_000,
+    ).to_pandas()
+    secs = sorted(out["ts"].astype("int64") // 1_000_000)
+    assert secs == [100, 3699]  # [anchor, anchor+width): 99 early, 3700 at bound
+
+
+# --------------------------------------------------------------- time travel
+def test_timestamp_time_travel(tmp_path):
+    from quanterra_pipeline_ray.stages.compaction import compact
+
+    table = TranscriptTable.create(str(tmp_path / "t"))
+    data = generate_transcripts(n_convs=10, seed=3, hot_convs=0)
+    half = data.num_rows // 2
+    table.append_table(data.slice(0, half), commit_ts=1000)
+    table.append_table(data.slice(half), commit_ts=2000)
+    compact(table, target_bytes=1 << 20)  # logical ts 2001
+
+    early = table.snapshot_as_of(1500)
+    assert early.commit_ts == 1000
+    assert table.scan(early.snapshot_id).count() == half
+    full = table.snapshot_as_of(2000)
+    assert table.scan(full.snapshot_id).count() == data.num_rows
+    # as-of after compaction sees identical content through new files
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.snapshot_as_of(-5)
+    got = table.scan(as_of_ts=10**9)
+    assert got.count() == data.num_rows
+
+
+def test_commit_ts_logical_clock_is_monotonic(tmp_path):
+    table = TranscriptTable.create(str(tmp_path / "t"))
+    data = generate_transcripts(n_convs=4, seed=5, hot_convs=0)
+    table.append_table(data.slice(0, 10))
+    table.append_table(data.slice(10, 10))
+    snaps = table.snapshots()
+    ts = [s.commit_ts for s in snaps]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+
+
+# ----------------------------------------------------------------- changelog
+def test_changelog_compaction_is_invisible(tmp_path):
+    import os
+
+    from quanterra_pipeline_ray.stages.changelog import changelog
+    from quanterra_pipeline_ray.stages.compaction import compact
+
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=12, seed=7, hot_convs=0)
+    paths = fragment_table(data, os.path.join(root, "data", "frags"), 6)
+    table.register_fragments(paths)
+    base = table.current_snapshot_id()
+    compact(table, target_bytes=1 << 20)
+    out = changelog(table, base, table.current_snapshot_id())
+    assert out.count() == 0  # bytes moved, rows didn't
+
+
+def test_changelog_captures_merge_delta(tmp_path):
+    import os
+
+    from quanterra_pipeline_ray.stages.changelog import changelog
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=12, seed=8, hot_convs=0)
+    paths = fragment_table(data, os.path.join(root, "data", "frags"), 4)
+    table.register_fragments(paths)
+    base = table.current_snapshot_id()
+
+    df = data.to_pandas()
+    upd = df.iloc[:3].copy()
+    upd["text"] = "X " + upd["text"]
+    upd["__op"] = "upsert"
+    merge_into(table, pa.Table.from_pandas(upd, preserve_index=False))
+    out = changelog(table, base, table.current_snapshot_id()).to_pandas()
+    ins = out[out["op"] == "insert"]
+    dele = out[out["op"] == "delete"]
+    assert len(ins) == 3 and len(dele) == 3  # 3 updates = 3 deletes + 3 inserts
+    assert all(t.startswith("X ") for t in ins["text"])
+
+
+# ----------------------------------------------------------------- streaming
+def test_watermark_drops_late_events():
+    from quanterra_pipeline_ray.stages.streaming import WatermarkWindower
+
+    w = WatermarkWindower(window_us=10, lateness_us=2, key_col="k", ts_col="ts")
+    b1 = pd.DataFrame({"k": ["a", "a"], "ts": pd.to_datetime([5, 22], unit="us").astype("datetime64[us]")})
+    out1 = w.process(b1)
+    # watermark = 22-2 = 20 -> window [0,10) finalized with 1 event
+    assert out1["n_events"].tolist() == [1]
+    assert int(out1["window_start"].astype("int64").iloc[0]) == 0
+    # a late event at ts=7 (< watermark 20) is dropped
+    out2 = w.process(pd.DataFrame({"k": ["a"], "ts": pd.to_datetime([7], unit="us").astype("datetime64[us]")}))
+    assert len(out2) == 0 and w.late_dropped == 1
+    # flush finalizes the open [20,30) window
+    fin = w.flush()
+    assert fin["n_events"].tolist() == [1]
+
+
+def test_windowed_counts_matches_batch_aggregate():
+    from quanterra_pipeline_ray.stages.streaming import windowed_counts
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**7, n), unit="s").astype("datetime64[us]"),
+        }
+    )
+    out = windowed_counts(_rd().from_pandas(df), lateness_us=None).to_pandas()
+    exp = (
+        df.assign(w=df["ts"].dt.floor("h"))
+        .groupby(["user_id", "w"], as_index=False)
+        .size()
+    )
+    out = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "w"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == exp["size"].tolist()
+    assert (out["window_start"].to_numpy() == exp["w"].to_numpy()).all()
