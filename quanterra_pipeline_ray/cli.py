@@ -1,0 +1,158 @@
+"""Operational CLI: drive maintenance ops on a table root.
+
+Mirrors the reference's console entry point (``quanterra-cli`` upload →
+trigger flow → poll status, reference `src/cli/upload_transactions.py:19-139`
++ `pyproject.toml:37-38`): here the "flow" is a maintenance op on a table
+root, the status poll is the final snapshot/metrics summary, and the
+env-keyed config registry (:mod:`.config`) supplies defaults exactly like
+the reference's dev/prod settings objects.
+
+Usage::
+
+    python -m quanterra_pipeline_ray.cli create  /tmp/t
+    python -m quanterra_pipeline_ray.cli append  /tmp/t --parquet a.parquet b.parquet
+    python -m quanterra_pipeline_ray.cli compact /tmp/t --env prod
+    python -m quanterra_pipeline_ray.cli cluster /tmp/t --curve hilbert
+    python -m quanterra_pipeline_ray.cli merge   /tmp/t --source updates.parquet
+    python -m quanterra_pipeline_ray.cli expire  /tmp/t --keep-last 3 --sweep-orphans
+    python -m quanterra_pipeline_ray.cli status  /tmp/t
+    python -m quanterra_pipeline_ray.cli log     /tmp/t [--snapshot N]
+
+The CLI owns the Ray session (guarded init, shutdown on exit) — library code
+never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="qpr", description=__doc__.split("\n\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def table_cmd(name: str, help_: str):
+        c = sub.add_parser(name, help=help_)
+        c.add_argument("root", help="table root directory")
+        c.add_argument("--env", default="dev", help="settings environment (dev|prod)")
+        return c
+
+    table_cmd("create", "initialise an empty table root")
+
+    c = table_cmd("append", "append parquet files as one snapshot")
+    c.add_argument("--parquet", nargs="+", required=True)
+
+    c = table_cmd("compact", "bin-pack small files to target size")
+    c.add_argument("--target-bytes", type=int, default=None)
+
+    c = table_cmd("cluster", "Z-order/Hilbert cluster")
+    c.add_argument("--curve", choices=["z", "hilbert"], default=None)
+    c.add_argument("--target-rows", type=int, default=None)
+
+    c = table_cmd("merge", "MERGE INTO from a parquet source (optional __op col)")
+    c.add_argument("--source", required=True)
+
+    c = table_cmd("expire", "expire old snapshots (and optionally sweep orphans)")
+    c.add_argument("--keep-last", type=int, default=None)
+    c.add_argument("--sweep-orphans", action="store_true")
+
+    table_cmd("status", "print snapshot/metrics summary")
+
+    c = table_cmd("log", "print lineage records for a snapshot")
+    c.add_argument("--snapshot", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from .config import get_settings
+    from .observability import configure_logging, snapshot_metrics
+
+    log = configure_logging()
+    cfg = get_settings(args.env)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray and args.cmd not in ("create", "status", "log"):
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    try:
+        from .state.manifest import TranscriptTable
+
+        if args.cmd == "create":
+            TranscriptTable.create(args.root)
+            print(json.dumps({"created": args.root}))
+            return 0
+        table = TranscriptTable.load(args.root)
+
+        if args.cmd == "append":
+            import pyarrow.parquet as pq
+
+            from .stages.append import append_dataset
+            import ray.data as rd
+
+            ds = rd.read_parquet(list(args.parquet))
+            snap = append_dataset(table, ds, rows_per_file=cfg.target_rows)
+            log.info("append committed snapshot %s", snap.snapshot_id)
+        elif args.cmd == "compact":
+            from .stages.compaction import compact
+
+            snap = compact(
+                table,
+                target_bytes=args.target_bytes or cfg.target_file_bytes,
+                carry_forward_ratio=cfg.carry_forward_ratio,
+            )
+            log.info("compact committed snapshot %s", snap.snapshot_id)
+        elif args.cmd == "cluster":
+            from .stages.zorder import cluster
+
+            snap = cluster(
+                table,
+                ts_bucket_us=cfg.ts_bucket_us,
+                target_rows=args.target_rows or cfg.target_rows,
+                part_bits=cfg.part_bits,
+                curve=args.curve or cfg.curve,
+                hot_conv_threshold_rows=cfg.hot_conv_threshold_rows,
+            )
+            log.info("cluster committed snapshot %s", snap.snapshot_id)
+        elif args.cmd == "merge":
+            import pyarrow.parquet as pq
+
+            from .stages.merge import merge_into
+
+            src = pq.read_table(args.source)
+            snap = merge_into(
+                table,
+                src,
+                target_rows=cfg.target_rows,
+                broadcast_threshold=cfg.merge_broadcast_threshold,
+            )
+            log.info("merge committed snapshot %s (%s)", snap.snapshot_id, snap.summary.get("plan"))
+        elif args.cmd == "expire":
+            from .stages.expire import expire_snapshots, sweep_orphans
+
+            res = expire_snapshots(table, keep_last=args.keep_last or cfg.expire_keep_last)
+            if args.sweep_orphans:
+                res["orphans"] = sweep_orphans(table, min_age_s=cfg.orphan_min_age_s)
+            print(json.dumps(res))
+        elif args.cmd == "log":
+            from .state.lineage import load_lineage
+
+            sid = args.snapshot if args.snapshot is not None else table.current_snapshot_id()
+            for rec in load_lineage(table.root, sid):
+                print(json.dumps(rec, sort_keys=True))
+            return 0
+
+        print(json.dumps(snapshot_metrics(table), sort_keys=True))
+        return 0
+    finally:
+        if owns_ray and ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

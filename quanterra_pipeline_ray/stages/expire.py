@@ -58,20 +58,14 @@ def expire_snapshots(
 
     if not dry_run:
         for p in to_delete:
-            try:
-                os.remove(table._p(p))
-            except FileNotFoundError:
-                pass
+            table.fsa.remove(table._p(p))
         for s in expired:
             manifest_still_used = any(
                 table.snapshot(k).manifest == s.manifest for k in keep
             )
             if not manifest_still_used:
-                try:
-                    os.remove(table._p(s.manifest))
-                except FileNotFoundError:
-                    pass
-            os.remove(table._p("snapshots", f"s{s.snapshot_id:06d}.json"))
+                table.fsa.remove(table._p(s.manifest))
+            table.fsa.remove(table._p("snapshots", f"s{s.snapshot_id:06d}.json"))
     return {
         "kept": sorted(keep & {s.snapshot_id for s in by_id}),
         "expired": [s.snapshot_id for s in expired],
@@ -84,18 +78,13 @@ def _checkpointed_paths(table: TranscriptTable) -> set[str]:
     incomplete resumable op owns these until it commits or is cleared)."""
     out: set[str] = set()
     ckpt_root = table._p("checkpoints")
-    if not os.path.isdir(ckpt_root):
-        return out
-    for op_id in os.listdir(ckpt_root):
+    for op_id in table.fsa.listdir(ckpt_root):
         op_dir = os.path.join(ckpt_root, op_id)
-        if not os.path.isdir(op_dir):
-            continue
-        for name in os.listdir(op_dir):
+        for name in table.fsa.listdir(op_dir):
             if not (name.startswith("p-") and name.endswith(".json")):
                 continue
             try:
-                with open(os.path.join(op_dir, name)) as f:
-                    rec = json.load(f)
+                rec = json.loads(table.fsa.read_bytes(os.path.join(op_dir, name)))
             except (json.JSONDecodeError, OSError):
                 continue
             for df in rec.get("datafiles", []):
@@ -125,21 +114,15 @@ def sweep_orphans(
 
     now = time.time()
     orphans: list[str] = []
-    data_dir = table._p("data")
-    for dirpath, _dirnames, filenames in os.walk(data_dir):
-        for name in filenames:
-            abspath = os.path.join(dirpath, name)
-            rel = os.path.relpath(abspath, table.root)
-            if rel in reachable or abspath in reachable:
-                continue
-            if now - os.path.getmtime(abspath) < min_age_s:
-                continue
-            orphans.append(rel)
+    for abspath in table.fsa.walk_files(table._p("data")):
+        rel = os.path.relpath(abspath, table.root)
+        if rel in reachable or abspath in reachable:
+            continue
+        if now - table.fsa.mtime(abspath) < min_age_s:
+            continue
+        orphans.append(rel)
     orphans.sort()
     if not dry_run:
         for rel in orphans:
-            try:
-                os.remove(table._p(rel))
-            except FileNotFoundError:
-                pass
+            table.fsa.remove(table._p(rel))
     return {"deleted_orphans": orphans, "reachable": len(reachable)}

@@ -17,13 +17,16 @@ import json
 import os
 from typing import Any
 
+from .fs import LOCAL, StorageAdapter
+
 
 class Checkpoint:
     """Directory of atomic per-partition completion records."""
 
-    def __init__(self, root: str, op_id: str):
+    def __init__(self, root: str, op_id: str, fs: StorageAdapter | None = None):
         self.dir = os.path.join(root, "checkpoints", op_id)
-        os.makedirs(self.dir, exist_ok=True)
+        self.fsa = fs or LOCAL
+        self.fsa.makedirs(self.dir)
 
     def _path(self, partition_id: str | int) -> str:
         return os.path.join(self.dir, f"p-{partition_id}.json")
@@ -31,35 +34,32 @@ class Checkpoint:
     def completed(self) -> dict[str, dict[str, Any]]:
         """partition_id -> record, for every completed partition."""
         out: dict[str, dict[str, Any]] = {}
-        for name in os.listdir(self.dir):
+        for name in self.fsa.listdir(self.dir):
             if not (name.startswith("p-") and name.endswith(".json")):
                 continue
             try:
-                with open(os.path.join(self.dir, name)) as f:
-                    rec = json.load(f)
+                rec = json.loads(self.fsa.read_bytes(os.path.join(self.dir, name)))
             except (json.JSONDecodeError, OSError):  # torn write: treat as incomplete
                 continue
             out[name[2:-5]] = rec
         return out
 
     @staticmethod
-    def write_record(dir_path: str, partition_id: str | int, record: dict[str, Any]) -> None:
+    def write_record(
+        dir_path: str,
+        partition_id: str | int,
+        record: dict[str, Any],
+        fs: StorageAdapter = LOCAL,
+    ) -> None:
         """Atomic completion record; callable from inside Ray tasks/actors."""
-        os.makedirs(dir_path, exist_ok=True)
+        fs.makedirs(dir_path)
         path = os.path.join(dir_path, f"p-{partition_id}.json")
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(record, f, sort_keys=True)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        fs.write_atomic(path, json.dumps(record, sort_keys=True).encode())
 
     def write(self, partition_id: str | int, record: dict[str, Any]) -> None:
-        self.write_record(self.dir, partition_id, record)
+        self.write_record(self.dir, partition_id, record, self.fsa)
 
     def clear(self) -> None:
         """Remove all records (called after the op's snapshot commit)."""
-        import shutil
-
-        shutil.rmtree(self.dir, ignore_errors=True)
-        os.makedirs(self.dir, exist_ok=True)
+        for name in self.fsa.listdir(self.dir):
+            self.fsa.remove(os.path.join(self.dir, name))

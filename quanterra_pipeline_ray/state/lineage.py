@@ -14,6 +14,8 @@ import json
 import os
 from typing import Any
 
+from .fs import LOCAL, StorageAdapter
+
 
 def lineage_record(
     op: str,
@@ -37,28 +39,24 @@ def lineage_record(
     }
 
 
-def store_lineage(root: str, snapshot_id: int, records: list[dict[str, Any]]) -> str:
+def store_lineage(
+    root: str, snapshot_id: int, records: list[dict[str, Any]], fs: StorageAdapter = LOCAL
+) -> str:
     """Write one lineage file per partition under ``lineage/s<NNNN>/``."""
     d = os.path.join(root, "lineage", f"s{snapshot_id:06d}")
-    os.makedirs(d, exist_ok=True)
+    fs.makedirs(d)
     for rec in records:
         path = os.path.join(d, f"{rec['op']}-{rec['partition_id']}.json")
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(rec, f, sort_keys=True)
-        os.replace(tmp, path)
+        fs.write_atomic(path, json.dumps(rec, sort_keys=True).encode())
     return d
 
 
-def load_lineage(root: str, snapshot_id: int) -> list[dict[str, Any]]:
+def load_lineage(root: str, snapshot_id: int, fs: StorageAdapter = LOCAL) -> list[dict[str, Any]]:
     d = os.path.join(root, "lineage", f"s{snapshot_id:06d}")
-    if not os.path.isdir(d):
-        return []
     out = []
-    for name in sorted(os.listdir(d)):
+    for name in fs.listdir(d):
         if name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
-                out.append(json.load(f))
+            out.append(json.loads(fs.read_bytes(os.path.join(d, name))))
     return out
 
 

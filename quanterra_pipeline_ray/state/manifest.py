@@ -41,6 +41,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import STATS_COLUMNS, TRANSCRIPTS_SCHEMA, ensure_schema
+from .fs import LOCAL, StorageAdapter
 
 _LATEST = "_latest"
 
@@ -97,14 +98,9 @@ class Snapshot:
         )
 
 
-def _atomic_write(path: str, payload: bytes) -> None:
-    """Write-temp + rename so a crash never leaves a torn file."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+def _atomic_write(path: str, payload: bytes, fs: StorageAdapter = LOCAL) -> None:
+    """Torn-file-safe publish, via the storage adapter (see state/fs.py)."""
+    fs.write_atomic(path, payload)
 
 
 def _scalar_to_json(v: Any) -> Any:
@@ -135,6 +131,7 @@ def write_data_file(
     sort_within: bool = True,
     compression: str = "zstd",
     extra_stats: dict[str, list[Any]] | None = None,
+    fs: StorageAdapter = LOCAL,
 ) -> DataFile:
     """Serialize ``table`` to a content-addressed parquet file under ``root``/data.
 
@@ -153,8 +150,8 @@ def write_data_file(
     sha = hashlib.sha256(payload).hexdigest()
     rel = f"data/part-{sha[:20]}.parquet"
     abspath = os.path.join(root, rel)
-    if not os.path.exists(abspath):
-        _atomic_write(abspath, payload)
+    if not fs.exists(abspath):
+        _atomic_write(abspath, payload, fs)
     stats = table_stats(table)
     if extra_stats:
         stats.update(extra_stats)
@@ -166,52 +163,63 @@ def write_data_file(
 class TranscriptTable:
     """Driver-side handle to one table root; all mutation goes through commits."""
 
-    def __init__(self, root: str, schema: pa.Schema = TRANSCRIPTS_SCHEMA):
-        self.root = os.path.abspath(root)
+    def __init__(
+        self,
+        root: str,
+        schema: pa.Schema = TRANSCRIPTS_SCHEMA,
+        fs: StorageAdapter | None = None,
+    ):
+        self.root = os.path.abspath(root) if (fs is None or fs.is_local) else root
         self.schema = schema
+        self.fsa = fs or LOCAL
 
     # -- layout ------------------------------------------------------------
     def _p(self, *parts: str) -> str:
         return os.path.join(self.root, *parts)
 
     @classmethod
-    def create(cls, root: str, schema: pa.Schema = TRANSCRIPTS_SCHEMA) -> "TranscriptTable":
-        t = cls(root, schema)
+    def create(
+        cls,
+        root: str,
+        schema: pa.Schema = TRANSCRIPTS_SCHEMA,
+        fs: StorageAdapter | None = None,
+    ) -> "TranscriptTable":
+        t = cls(root, schema, fs)
         for d in ("data", "manifests", "snapshots", "checkpoints", "lineage"):
-            os.makedirs(t._p(d), exist_ok=True)
-        if not os.path.exists(t._p(_LATEST)):
+            t.fsa.makedirs(t._p(d))
+        if not t.fsa.exists(t._p(_LATEST)):
             t._commit_manifest([], parent=None, operation="create", summary={})
         return t
 
     @classmethod
-    def load(cls, root: str) -> "TranscriptTable":
-        t = cls(root)
-        if not os.path.exists(t._p(_LATEST)):
+    def load(cls, root: str, fs: StorageAdapter | None = None) -> "TranscriptTable":
+        t = cls(root, fs=fs)
+        if not t.fsa.exists(t._p(_LATEST)):
             raise FileNotFoundError(f"not a table root (no {_LATEST}): {root}")
         return t
 
     # -- snapshots ---------------------------------------------------------
     def current_snapshot_id(self) -> int:
-        with open(self._p(_LATEST)) as f:
-            return int(f.read().strip())
+        return int(self.fsa.read_bytes(self._p(_LATEST)).decode().strip())
 
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
-        with open(self._p("snapshots", f"s{sid:06d}.json")) as f:
-            return Snapshot.from_json(json.load(f))
+        return Snapshot.from_json(
+            json.loads(self.fsa.read_bytes(self._p("snapshots", f"s{sid:06d}.json")))
+        )
 
     def snapshots(self) -> list[Snapshot]:
         out = []
-        for name in sorted(os.listdir(self._p("snapshots"))):
+        for name in self.fsa.listdir(self._p("snapshots")):
             if name.startswith("s") and name.endswith(".json"):
-                with open(self._p("snapshots", name)) as f:
-                    out.append(Snapshot.from_json(json.load(f)))
+                out.append(
+                    Snapshot.from_json(json.loads(self.fsa.read_bytes(self._p("snapshots", name))))
+                )
         return out
 
     def files(self, snapshot_id: int | None = None) -> list[DataFile]:
         snap = self.snapshot(snapshot_id)
-        with open(self._p(snap.manifest)) as f:
-            entries = json.load(f)["files"]
+        entries = json.loads(self.fsa.read_bytes(self._p(snap.manifest)))["files"]
         return [DataFile.from_json(e) for e in entries]
 
     # -- commit ------------------------------------------------------------
@@ -227,11 +235,12 @@ class TranscriptTable:
         manifest_doc = {"files": [f.to_json() for f in files]}
         payload = json.dumps(manifest_doc, sort_keys=True).encode()
         mname = f"manifests/m-{hashlib.sha256(payload).hexdigest()[:20]}.json"
-        _atomic_write(self._p(mname), payload)
+        _atomic_write(self._p(mname), payload, self.fsa)
 
         sid = 0 if parent is None else parent + 1
-        # guard against concurrent committers racing to the same id
-        while os.path.exists(self._p("snapshots", f"s{sid:06d}.json")):
+        # guard against concurrent committers racing to the same id (single
+        # committer assumed; see state/fs.py atomicity notes)
+        while self.fsa.exists(self._p("snapshots", f"s{sid:06d}.json")):
             sid += 1
         if commit_ts is None:
             # logical clock: strictly increasing, deterministic under replay
@@ -252,8 +261,9 @@ class TranscriptTable:
         _atomic_write(
             self._p("snapshots", f"s{sid:06d}.json"),
             json.dumps(snap.to_json(), sort_keys=True).encode(),
+            self.fsa,
         )
-        _atomic_write(self._p(_LATEST), str(sid).encode())
+        _atomic_write(self._p(_LATEST), str(sid).encode(), self.fsa)
         return snap
 
     def commit(
@@ -299,7 +309,7 @@ class TranscriptTable:
         self, table: pa.Table, operation: str = "append", commit_ts: int | None = None
     ) -> Snapshot:
         """Driver-side convenience append of one in-memory Arrow table."""
-        df = write_data_file(table, self.root, self.schema)
+        df = write_data_file(table, self.root, self.schema, fs=self.fsa)
         return self.commit([df], operation=operation, commit_ts=commit_ts)
 
     def register_fragments(self, paths: Iterable[str], operation: str = "register") -> Snapshot:
@@ -310,7 +320,7 @@ class TranscriptTable:
         """
         entries = []
         for p in paths:
-            raw = open(p, "rb").read()
+            raw = self.fsa.read_bytes(p)
             t = pq.read_table(io.BytesIO(raw))
             rel = os.path.relpath(p, self.root) if p.startswith(self.root) else p
             entries.append(
@@ -354,6 +364,8 @@ class TranscriptTable:
         paths = self.file_paths(snapshot_id)
         if not paths:
             return rd.from_arrow(self.schema.empty_table())
+        if not self.fsa.is_local and "filesystem" not in read_kwargs:
+            read_kwargs["filesystem"] = self.fsa.fs
         return rd.read_parquet(paths, columns=columns, **read_kwargs)
 
     def read_all(self, snapshot_id: int | None = None) -> pa.Table:
@@ -361,5 +373,8 @@ class TranscriptTable:
         paths = self.file_paths(snapshot_id)
         if not paths:
             return self.schema.empty_table()
-        tables = [ensure_schema(pq.read_table(p), self.schema) for p in paths]
+        tables = [
+            ensure_schema(pq.read_table(io.BytesIO(self.fsa.read_bytes(p))), self.schema)
+            for p in paths
+        ]
         return pa.concat_tables(tables)

@@ -1,0 +1,82 @@
+"""Config registry, CLI, observability, storage adapter."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from quanterra_pipeline_ray.synth import generate_transcripts
+
+
+def test_settings_registry_env_lookup():
+    import pytest
+
+    from quanterra_pipeline_ray.config import MaintenanceSettings, get_settings, REGISTRY
+
+    dev, prod = get_settings("dev"), get_settings("prod")
+    assert dev.target_file_bytes < prod.target_file_bytes
+    assert REGISTRY.environments() == ["dev", "prod"]
+    with pytest.raises(KeyError):
+        get_settings("staging")
+    override = dev.with_overrides(target_rows=7, part_bits=None)
+    assert override.target_rows == 7 and override.env == "dev"
+
+
+def test_cli_drives_maintenance(tmp_path):
+    """create -> append -> compact -> merge -> status, all through main()."""
+    from quanterra_pipeline_ray.cli import main
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import content_fingerprint
+
+    root = str(tmp_path / "t")
+    data = generate_transcripts(n_convs=10, seed=2, hot_convs=0)
+    src_path = str(tmp_path / "in.parquet")
+    pq.write_table(data, src_path)
+
+    assert main(["create", root]) == 0
+    assert main(["append", root, "--parquet", src_path]) == 0
+    assert main(["compact", root]) == 0
+    assert main(["status", root]) == 0
+    table = TranscriptTable.load(root)
+    assert content_fingerprint(table.read_all()) == content_fingerprint(data)
+    assert [s.operation for s in table.snapshots()] == ["create", "append", "compact"]
+
+
+def test_stage_metrics_aggregation():
+    from quanterra_pipeline_ray.observability import stage_metrics
+
+    recs = [
+        {"op": "compact", "rows_in": 10, "rows_out": 10, "duration_s": 0.5},
+        {"op": "compact", "rows_in": 5, "rows_out": 5, "duration_s": 1.5},
+        {"op": "merge", "rows_in": 3, "rows_out": 2, "duration_s": 0.1},
+    ]
+    m = stage_metrics(recs)
+    assert m["compact"]["partitions"] == 2
+    assert m["compact"]["rows_out"] == 15
+    assert m["compact"]["max_duration_s"] == 1.5
+    assert m["merge"]["rows_out"] == 2
+
+
+def test_configure_logging_singleton():
+    from quanterra_pipeline_ray.observability import configure_logging
+
+    a = configure_logging()
+    b = configure_logging(json_lines=True)  # second call is a no-op
+    assert a is b and len(a.handlers) == 1
+
+
+def test_storage_adapter_atomic_roundtrip(tmp_path):
+    from quanterra_pipeline_ray.state.fs import StorageAdapter
+
+    fs = StorageAdapter()
+    d = str(tmp_path / "x" / "y")
+    fs.makedirs(d)
+    p = os.path.join(d, "f.json")
+    fs.write_atomic(p, b'{"a": 1}')
+    assert fs.exists(p) and fs.read_bytes(p) == b'{"a": 1}'
+    assert fs.listdir(d) == ["f.json"]
+    assert fs.walk_files(str(tmp_path / "x")) == [p]
+    assert fs.mtime(p) > 0
+    fs.remove(p)
+    assert not fs.exists(p)
+    assert fs.listdir(str(tmp_path / "missing")) == []
