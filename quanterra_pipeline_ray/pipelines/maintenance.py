@@ -105,22 +105,40 @@ def run_maintenance(
     expire_keep_last: int = 2,
     do_expire: bool = False,
     part_bits: int | None = None,
+    fuse_compact_cluster: bool = True,
 ) -> MaintenanceReport:
-    """compact → Z-order cluster → MERGE (→ optional expire); timed per stage."""
+    """compact → Z-order cluster → MERGE (→ optional expire); timed per stage.
+
+    ``fuse_compact_cluster`` (default): the cluster stage consumes the
+    fragmented input DIRECTLY — its writer already emits target-size,
+    z-sorted, content-addressed files, so a separate compaction pass would
+    write (and re-read) every byte once more for an intermediate layout the
+    very next stage destroys.  Final table state is identical; wall time
+    drops by ~one full read+write of the dataset.  ``False`` keeps the
+    discrete two-snapshot history (useful when compaction and clustering run
+    on different cadences).
+    """
     rep = MaintenanceReport()
     rep.files["input"] = len(table.files())
 
-    t0 = time.monotonic()
-    s1 = compact(table, target_bytes=target_bytes)
-    rep.timings_s["compact"] = time.monotonic() - t0
-    rep.snapshots["compact"] = s1.snapshot_id
-    rep.files["compacted"] = len(table.files())
+    if fuse_compact_cluster:
+        t0 = time.monotonic()
+        s2 = cluster(table, target_rows=target_rows, part_bits=part_bits)
+        rep.timings_s["compact+zorder(fused)"] = time.monotonic() - t0
+        rep.snapshots["zorder"] = s2.snapshot_id
+        rep.files["clustered"] = len(table.files())
+    else:
+        t0 = time.monotonic()
+        s1 = compact(table, target_bytes=target_bytes)
+        rep.timings_s["compact"] = time.monotonic() - t0
+        rep.snapshots["compact"] = s1.snapshot_id
+        rep.files["compacted"] = len(table.files())
 
-    t0 = time.monotonic()
-    s2 = cluster(table, target_rows=target_rows, part_bits=part_bits)
-    rep.timings_s["zorder"] = time.monotonic() - t0
-    rep.snapshots["zorder"] = s2.snapshot_id
-    rep.files["clustered"] = len(table.files())
+        t0 = time.monotonic()
+        s2 = cluster(table, target_rows=target_rows, part_bits=part_bits)
+        rep.timings_s["zorder"] = time.monotonic() - t0
+        rep.snapshots["zorder"] = s2.snapshot_id
+        rep.files["clustered"] = len(table.files())
 
     if merge_source is not None and merge_source.num_rows:
         t0 = time.monotonic()

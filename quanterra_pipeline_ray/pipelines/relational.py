@@ -234,13 +234,9 @@ def lineitems_per_region(sf_dir: str, ship_before: str = "1995-06-01", n_buckets
 
     joined = bucketed_groupby(orders_ds.union(items_ds), ["okey"], join_bucket, n_buckets)
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        joined.groupby("r_name")
-        .aggregate(Sum("n_items", alias_name="n_items"))
-        .to_pandas()
-    )
+    # each bucket emits <= |regions| partial rows (5 here): the final combine
+    # is n_buckets x |regions| rows — driver-side pandas, not another shuffle
+    out = joined.to_pandas().groupby("r_name", as_index=False)["n_items"].sum()
     out["n_items"] = out["n_items"].astype(np.int64)
     return out.sort_values("r_name").reset_index(drop=True)
 

@@ -409,13 +409,24 @@ def _merge_broadcast(
         ).take_all()
         results.extend(json.loads(r["record"]) for r in out)
 
-    # anti-join: source keys matched by no file are inserts
-    matched = set()
-    for r in results:
-        m = r["matched"]
-        matched.update(zip(m["conv_id"], m["turn_idx"]))
-    src_keys = pd.MultiIndex.from_arrays([src_df["conv_id"], src_df["turn_idx"]])
-    is_new = ~src_keys.isin(pd.MultiIndex.from_tuples(list(matched) or [("", -1)]))
+    # anti-join: source keys matched by no file are inserts (vectorized
+    # pandas merge — never per-row tuple materialization)
+    matched = pd.DataFrame(
+        {
+            "conv_id": np.concatenate(
+                [np.asarray(r["matched"]["conv_id"], dtype=object) for r in results]
+            )
+            if results
+            else np.array([], dtype=object),
+            "turn_idx": np.concatenate(
+                [np.asarray(r["matched"]["turn_idx"], dtype=np.int64) for r in results]
+            )
+            if results
+            else np.array([], dtype=np.int64),
+        }
+    ).drop_duplicates()
+    flags = src_df[KEY].merge(matched, on=KEY, how="left", indicator=True)["_merge"].to_numpy()
+    is_new = flags == "left_only"
     inserts = src_df[is_new & (src_df[OP_COL] != "delete").to_numpy()].drop(columns=[OP_COL])
 
     added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]

@@ -72,17 +72,27 @@ def key_hash64(keys) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     if total:
         max_len = int(lens.max())
-        powers = np.empty(max_len, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        if max_len > 1:
-            np.cumprod(np.full(max_len - 1, _FNV_PRIME, dtype=np.uint64), out=powers[1:])
-        owner = np.repeat(np.arange(n), lens)
-        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-        exp = np.repeat(lens, lens) - 1 - pos
-        terms = data.astype(np.uint64) * powers[exp]
-        nonempty = lens > 0
-        sums = np.add.reduceat(terms, starts[nonempty])
-        out[nonempty] = sums
+        if max_len <= 64:
+            # fast path (short keys): right-align bytes into an (n, max_len)
+            # zero-padded matrix (leading zeros contribute 0 to the
+            # polynomial, so the hash is identical to the unpadded form),
+            # then Horner by column — max_len vector ops, no gathers.
+            mat = np.zeros((n, max_len), dtype=np.uint8)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            flat = np.repeat(np.arange(n, dtype=np.int64) * max_len + (max_len - lens), lens) + pos
+            mat.ravel()[flat] = data
+            for j in range(max_len):
+                out = out * _FNV_PRIME + mat[:, j]
+        else:
+            powers = np.empty(max_len, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            if max_len > 1:
+                np.cumprod(np.full(max_len - 1, _FNV_PRIME, dtype=np.uint64), out=powers[1:])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            exp = np.repeat(lens, lens) - 1 - pos
+            terms = data.astype(np.uint64) * powers[exp]
+            nonempty = lens > 0
+            out[nonempty] = np.add.reduceat(terms, starts[nonempty])
     return _splitmix64(out ^ lens.astype(np.uint64))
 
 
