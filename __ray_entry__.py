@@ -235,6 +235,22 @@ def _q_maint_changelog(sf_dir: str):
     )
 
 
+def _q_maint_point_lookup(sf_dir: str):
+    """Stats-pruned point lookup: after compaction, read ONLY the files whose
+    range/bloom stats admit the target conversations; result must equal a
+    plain WHERE filter (pruning may touch extra files, never miss rows)."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+
+    table, _ = _maint_table(sf_dir, "pointlookup")
+    compact(table, target_bytes=4 << 20)
+    convs = ["c17", "c23", "c5"]
+    n_all = len(table.files())
+    pruned = table.prune_files_for_convs(convs)
+    assert 0 < len(pruned) <= n_all
+    out = table.scan_convs(convs)
+    return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------- training-data ops
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
@@ -620,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_append": _q_maint_append,
         "maint_timetravel": _q_maint_timetravel,
         "maint_changelog": _q_maint_changelog,
+        "maint_point_lookup": _q_maint_point_lookup,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -710,6 +727,7 @@ SELECT 'delete' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
         "maint_append": scan_sql,
         "maint_timetravel": scan_sql,
         "maint_changelog": changelog_sql,
+        "maint_point_lookup": f"WITH t AS ({t}) SELECT * FROM t WHERE conv_id IN ('c17', 'c23', 'c5')",
         "maint_compact": scan_sql,
         "maint_zorder": scan_sql,
         "maint_hilbert": scan_sql,

@@ -120,18 +120,26 @@ def _queries() -> dict:
     wanted = [
         "maint_compact",
         "maint_merge",
+        "maint_changelog",
         "q1_pricing_summary",
         "orders_per_nation",
         "lineitems_per_region",
         "topk_orders",
         "events_hourly",
         "events_sessions",
+        "events_watermark_hourly",
+        "asof_join_events",
+        "range_join_events",
         "docs_stats_by_lang",
         "dedup_exact_docs",
         "text_stats_docs",
         "fingerprint_docs",
+        "lang_id_docs",
         "minhash_dedup_docs",
+        "simhash_pairs_docs",
         "similarity_topk",
+        "ivf_topk_embeddings",
+        "embedding_near_dups",
     ]
     qs = entrymod.queries()
     out = {}

@@ -1,19 +1,26 @@
 from .append import append_dataset
-from .compaction import compact, plan_bins
-from .expire import expire_snapshots
+from .changelog import changelog
+from .compaction import CompactionOp, compact, plan_bins
+from .expire import expire_snapshots, sweep_orphans
 from .merge import merge_into
 from .protocol import MaintenanceOp, run_op
+from .streaming import WatermarkWindower, windowed_counts
 from .zorder import cluster, hilbert_d, interleave_bits
 
 __all__ = [
     "append_dataset",
+    "changelog",
     "compact",
+    "CompactionOp",
     "plan_bins",
     "expire_snapshots",
+    "sweep_orphans",
     "merge_into",
     "cluster",
     "hilbert_d",
     "interleave_bits",
     "MaintenanceOp",
     "run_op",
+    "WatermarkWindower",
+    "windowed_counts",
 ]

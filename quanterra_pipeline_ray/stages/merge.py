@@ -128,36 +128,48 @@ def _source_token(source: "pa.Table | Any") -> str:
 
 
 def prune_touched_files(files: list[DataFile], source_conv_ids: np.ndarray) -> list[DataFile]:
-    """Files whose key-range stats contain at least one source conversation.
+    """Files whose key stats admit at least one source conversation.
 
-    Two range tests, whichever stats a file carries:
+    Three tests, cheapest-first, whichever stats a file carries:
     * ``conv_hash32`` [min,max] — written by the Z-order/Hilbert writer;
       hash-clustered files span the full lexical conv_id range, so only the
       hash range prunes there;
-    * ``conv_id`` lexical [min,max] — everything else.
+    * ``conv_id`` lexical [min,max] — everything else;
+    * ``conv_bloom`` membership filter (when present) — refines a passing
+      range test to ~per-conversation precision (false positives only, so
+      pruning stays sound).
     Files with no stats are assumed touched.
     """
+    from ..state.bloom import bloom_any
+    from .skew import key_hash64
     from .zorder import conv_hash32
 
     keys = np.sort(np.asarray(source_conv_ids, dtype=object))
     hashes = np.sort(conv_hash32(keys)) if len(keys) else np.array([], dtype=np.uint64)
+    h64 = key_hash64(keys) if len(keys) else np.array([], dtype=np.uint64)
     touched = []
     for f in files:
+        in_range = None
         hstats = f.stats.get("conv_hash32")
         if hstats is not None:
             lo = np.searchsorted(hashes, np.uint64(hstats[0]), side="left")
             hi = np.searchsorted(hashes, np.uint64(hstats[1]), side="right")
-            if lo < hi:
-                touched.append(f)
-            continue
-        stats = f.stats.get("conv_id")
-        if stats is None:
+            in_range = lo < hi
+        else:
+            stats = f.stats.get("conv_id")
+            if stats is not None:
+                lo = np.searchsorted(keys, stats[0], side="left")
+                hi = np.searchsorted(keys, stats[1], side="right")
+                in_range = lo < hi
+        if in_range is None:
             touched.append(f)  # no stats -> must assume touched
             continue
-        lo = np.searchsorted(keys, stats[0], side="left")
-        hi = np.searchsorted(keys, stats[1], side="right")
-        if lo < hi:
-            touched.append(f)
+        if not in_range:
+            continue
+        bloom = f.stats.get("conv_bloom")
+        if bloom is not None and not bloom_any(bloom, h64):
+            continue
+        touched.append(f)
     return touched
 
 

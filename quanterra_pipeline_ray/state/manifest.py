@@ -153,6 +153,16 @@ def write_data_file(
     if not fs.exists(abspath):
         _atomic_write(abspath, payload, fs)
     stats = table_stats(table)
+    if "conv_id" in table.column_names and table.num_rows:
+        # membership bloom for point-lookup / MERGE pruning; omitted for
+        # files with too many distinct conversations (manifest stays lean,
+        # range stats still prune those)
+        from ..stages.skew import key_hash64
+        from .bloom import bloom_build
+
+        uniq = pc.unique(table.column("conv_id"))
+        if len(uniq) <= 4096:
+            stats["conv_bloom"] = bloom_build(key_hash64(uniq))
     if extra_stats:
         stats.update(extra_stats)
     return DataFile(
@@ -291,6 +301,38 @@ class TranscriptTable:
             summary={**(summary or {}), "added_files": len(added), "removed_files": len(removed)},
             commit_ts=commit_ts,
         )
+
+    # -- point-lookup pruning ----------------------------------------------
+    def prune_files_for_convs(
+        self, conv_ids: Iterable[str], snapshot_id: int | None = None
+    ) -> list[DataFile]:
+        """Manifest entries that MAY contain any of the conversations,
+        decided from stats alone (lexical/hash ranges + bloom membership) —
+        a point lookup touches ~one file instead of the whole table."""
+        from ..stages.merge import prune_touched_files
+        import numpy as np
+
+        return prune_touched_files(
+            self.files(snapshot_id), np.asarray(list(conv_ids), dtype=object)
+        )
+
+    def scan_convs(self, conv_ids: Iterable[str], snapshot_id: int | None = None, **kw):
+        """Pruned scan of specific conversations (stats-pruned file list,
+        then an exact Arrow filter over the survivors)."""
+        import pyarrow.compute as _pc
+        import ray.data as rd
+
+        conv_list = sorted(set(conv_ids))
+        files = self.prune_files_for_convs(conv_list, snapshot_id)
+        if not files:
+            return rd.from_arrow(self.schema.empty_table())
+        paths = [f.path if os.path.isabs(f.path) else self._p(f.path) for f in files]
+        wanted = pa.array(conv_list, type=pa.string())
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(_pc.is_in(t.column("conv_id").cast(pa.string()), value_set=wanted))
+
+        return rd.read_parquet(paths, **kw).map_batches(keep, batch_format="pyarrow")
 
     # -- time travel -------------------------------------------------------
     def snapshot_as_of(self, ts: int) -> Snapshot:

@@ -114,3 +114,43 @@ def test_manifest_with_explicit_filesystem_adapter(tmp_path):
     loaded = TranscriptTable.load(root, fs=fs)
     assert content_fingerprint(loaded.read_all()) == content_fingerprint(data)
     assert [f.path for f in loaded.files()] == [df.path]
+
+
+def test_bloom_point_lookup_pruning(tmp_path):
+    """Bloom + range stats prune a point lookup to a strict file subset,
+    and never lose rows (false positives only)."""
+    import numpy as np
+
+    from quanterra_pipeline_ray.state.bloom import bloom_any, bloom_build
+    from quanterra_pipeline_ray.stages.skew import key_hash64
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable, write_data_file
+    from quanterra_pipeline_ray.synth import generate_transcripts
+
+    # unit: build/query
+    h = key_hash64(np.array([f"conv-{i}" for i in range(100)], dtype=object))
+    blob = bloom_build(h)
+    assert bloom_any(blob, h[:1]) and bloom_any(blob, h[50:51])
+    other = key_hash64(np.array([f"other-{i}" for i in range(200)], dtype=object))
+    fp = sum(bloom_any(blob, other[i : i + 1]) for i in range(200))
+    assert fp <= 20  # ~2.4% expected false-positive rate
+
+    # table-level: per-conversation files -> lookup touches few files
+    table = TranscriptTable.create(str(tmp_path / "t"))
+    data = generate_transcripts(n_convs=40, seed=21, hot_convs=0)
+    df = data.to_pandas()
+    added = []
+    for i in range(0, 40, 5):  # 8 files, 5 conversations each
+        convs = [f"conv-21-{j:08d}" for j in range(i, i + 5)]
+        chunk = df[df["conv_id"].isin(convs)]
+        import pyarrow as pa
+
+        added.append(write_data_file(pa.Table.from_pandas(chunk, preserve_index=False), table.root))
+    table.commit(added, operation="append")
+
+    target = ["conv-21-00000007"]
+    pruned = table.prune_files_for_convs(target)
+    assert 1 <= len(pruned) <= 2  # its file (+ rare bloom false positive)
+    got = table.scan_convs(target).to_pandas()
+    exp = df[df["conv_id"].isin(target)]
+    assert len(got) == len(exp)
+    assert sorted(got["turn_idx"]) == sorted(exp["turn_idx"])
