@@ -102,6 +102,10 @@ def _headline() -> dict:
         # IDENTICAL at every parallelism level — required for a fair
         # scaling comparison
         part_bits=int(os.environ.get("QPR_BENCH_PART_BITS", "6")),
+        # fused (default) = fastest absolute plan; the scaling protocol pins
+        # the DISCRETE 3-stage pipeline instead so the cross-round scaling
+        # series stays comparable (see BASELINE.md)
+        fuse_compact_cluster=os.environ.get("QPR_BENCH_FUSE", "1") == "1",
     )
     wall = time.monotonic() - t0
     return {
@@ -212,6 +216,9 @@ def run_scaling() -> dict:
             QPR_BENCH_PART_BITS="7",
             QPR_BENCH_FILES="1024",
             QPR_BENCH_TARGET_MB="32",
+            # discrete compact/cluster/merge stages: the fixed cross-round
+            # scaling workload (fusion changes the work mix, see BASELINE.md)
+            QPR_BENCH_FUSE=os.environ.get("QPR_BENCH_SCALE_FUSE", "0"),
         )
         if i > 0:
             time.sleep(cooldown)

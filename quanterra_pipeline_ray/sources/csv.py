@@ -11,7 +11,11 @@ required-column set against that preview and only then copies the FULL file
 extensions (`base_csv_client.py:26-30`).
 
 Ray-native mapping: preview/validation run driver-side on a few KB; the full
-read is a ``ray.data`` dataset with the validated schema applied.
+read is a ``ray.data`` dataset with the validated schema applied.  Remote
+files (the reference's ``GoogleCloudFileClient.preview_file``,
+`src/clients/file/google_cloud_file_client.py:21-35`) go through the same
+:class:`..state.fs.StorageAdapter` seam as the manifest layer — pass the
+object-store filesystem and the preview reads the blob's head through it.
 """
 
 from __future__ import annotations
@@ -20,6 +24,8 @@ import csv
 import io
 import os
 from dataclasses import dataclass, field
+
+from ..state.fs import LOCAL, StorageAdapter
 
 
 class FileValidationError(ValueError):
@@ -44,20 +50,27 @@ HL_POSITIONS = CSVSourceConfig(header_row=10)
 II_TRANSACTIONS = CSVSourceConfig(header_row=0)
 
 
-def validate_file_type(path: str, config: CSVSourceConfig = CSVSourceConfig()) -> None:
-    """Extension predicate (case-insensitive), reject-on-mismatch."""
+def validate_file_type(
+    path: str, config: CSVSourceConfig = CSVSourceConfig(), fs: StorageAdapter = LOCAL
+) -> None:
+    """Extension predicate (case-insensitive) + existence, reject-on-mismatch
+    (mirrors the reference's local AND remote variants)."""
     ext = os.path.splitext(path)[1].lower()
     if ext not in config.allowed_extensions:
         raise FileValidationError(f"unsupported file type {ext!r} for {path}")
-    if not os.path.exists(path):
+    if not fs.exists(path):
         raise FileValidationError(f"file does not exist: {path}")
 
 
-def preview_file(path: str, config: CSVSourceConfig = CSVSourceConfig()) -> list[list[str]]:
-    """First ``preview_rows`` raw rows (driver-side, a few KB)."""
+def preview_file(
+    path: str, config: CSVSourceConfig = CSVSourceConfig(), fs: StorageAdapter = LOCAL
+) -> list[list[str]]:
+    """First ``preview_rows`` raw rows (driver-side, a few KB) — local disk
+    or any ``pyarrow.fs`` filesystem via the storage adapter."""
     rows = []
-    with open(path, encoding=config.encoding, newline="") as f:
-        for i, row in enumerate(csv.reader(f, delimiter=config.delimiter)):
+    with fs.fs.open_input_stream(path) as raw:
+        text = io.TextIOWrapper(io.BytesIO(raw.read(256 * 1024)), encoding=config.encoding, newline="")
+        for i, row in enumerate(csv.reader(text, delimiter=config.delimiter)):
             if i >= config.preview_rows:
                 break
             rows.append(row)
@@ -81,7 +94,9 @@ def validate_structure(preview: list[list[str]], config: CSVSourceConfig) -> lis
     return header
 
 
-def read_validated_csv(path: str, config: CSVSourceConfig = CSVSourceConfig()):
+def read_validated_csv(
+    path: str, config: CSVSourceConfig = CSVSourceConfig(), fs: StorageAdapter = LOCAL
+):
     """Validate (gate) then read the FULL file as a ``ray.data.Dataset``.
 
     The gate inspects only the preview, then the whole file streams through
@@ -90,15 +105,16 @@ def read_validated_csv(path: str, config: CSVSourceConfig = CSVSourceConfig()):
     import pyarrow.csv as pacsv
     import ray.data as rd
 
-    validate_file_type(path, config)
-    preview = preview_file(path, config)
+    validate_file_type(path, config, fs)
+    preview = preview_file(path, config, fs)
     header = validate_structure(preview, config)
 
     read_options = pacsv.ReadOptions(
         skip_rows=config.header_row, encoding=config.encoding
     )
     parse_options = pacsv.ParseOptions(delimiter=config.delimiter)
-    ds = rd.read_csv(path, read_options=read_options, parse_options=parse_options)
+    kw = {} if fs.is_local else {"filesystem": fs.fs}
+    ds = rd.read_csv(path, read_options=read_options, parse_options=parse_options, **kw)
     # normalize column names to the validated stripped header
     rename = dict(zip([c for c in ds.schema().names], header))
     if any(k != v for k, v in rename.items()):

@@ -117,13 +117,26 @@ def _source_token(source: "pa.Table | Any") -> str:
         return pa.table({"tok": pa.array([tok], type=pa.uint64())})
 
     if isinstance(source, pa.Table):
-        toks = batch_token(source).column("tok").to_numpy(zero_copy_only=False)
-    else:
-        toks = (
-            source.map_batches(batch_token, batch_format="pyarrow")
-            .to_pandas()["tok"]
-            .to_numpy(dtype=np.uint64)
-        )
+        # driver-side Table: hash the raw Arrow buffers of the key/ts/op
+        # columns directly (C-speed, no per-row work).  Order-dependent is
+        # fine here — the Table's row order is part of its identity.
+        import hashlib
+
+        h = hashlib.sha256()
+        cols = ["conv_id", "turn_idx", "ts"] + ([OP_COL] if OP_COL in source.column_names else [])
+        for name in cols:
+            col = source.column(name)
+            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+            for c in chunks:
+                for buf in c.buffers():
+                    if buf is not None:
+                        h.update(buf)
+        return h.hexdigest()[:16]
+    toks = (
+        source.map_batches(batch_token, batch_format="pyarrow")
+        .to_pandas()["tok"]
+        .to_numpy(dtype=np.uint64)
+    )
     return f"{np.uint64(toks.sum(dtype=np.uint64)):016x}"
 
 

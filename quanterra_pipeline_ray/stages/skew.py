@@ -71,28 +71,51 @@ def key_hash64(keys) -> np.ndarray:
     total = int(lens.sum())
     out = np.zeros(n, dtype=np.uint64)
     if total:
+        # The hash is a polynomial over little-endian uint64 WORDS of the
+        # key's utf-8 bytes, front-zero-padded to a word multiple (leading
+        # zero words contribute 0, so padding never aliases keys; the length
+        # XOR below separates different lengths).  Word granularity means
+        # len/8 multiply-adds per key instead of one per byte.
         max_len = int(lens.max())
+        m8 = (max_len + 7) & ~7
+        if int(lens.min()) == max_len and max_len % 8 == 0:
+            # uniform word-multiple keys (e.g. fixed-format conv ids): the
+            # byte buffer IS the matrix — no scatter at all
+            words = data.copy().reshape(n, max_len).view("<u8")
+            for j in range(max_len // 8):
+                out = out * _FNV_PRIME + words[:, j]
+            return _splitmix64(out ^ lens.astype(np.uint64))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
         if max_len <= 64:
-            # fast path (short keys): right-align bytes into an (n, max_len)
-            # zero-padded matrix (leading zeros contribute 0 to the
-            # polynomial, so the hash is identical to the unpadded form),
-            # then Horner by column — max_len vector ops, no gathers.
-            mat = np.zeros((n, max_len), dtype=np.uint8)
-            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-            flat = np.repeat(np.arange(n, dtype=np.int64) * max_len + (max_len - lens), lens) + pos
+            # short keys: one (n, M) matrix, Horner over word columns —
+            # M/8 vector ops, no index gathers.
+            mat = np.zeros((n, m8), dtype=np.uint8)
+            flat = np.repeat(np.arange(n, dtype=np.int64) * m8 + (m8 - lens), lens) + pos
             mat.ravel()[flat] = data
-            for j in range(max_len):
-                out = out * _FNV_PRIME + mat[:, j]
+            words = mat.view("<u8")
+            for j in range(m8 // 8):
+                out = out * _FNV_PRIME + words[:, j]
         else:
-            powers = np.empty(max_len, dtype=np.uint64)
+            # long keys: per-key padded word runs + powers gather + reduceat
+            # (identical word polynomial, just not column-wise)
+            plens = ((lens + 7) & ~7).astype(np.int64)
+            pstarts = np.concatenate([[0], np.cumsum(plens)[:-1]])
+            flat = np.repeat(pstarts + (plens - lens), lens) + pos
+            buf = np.zeros(int(plens.sum()), dtype=np.uint8)
+            buf[flat] = data
+            words = buf.view("<u8")
+            wlens = plens // 8
+            wstarts = pstarts // 8
+            nwords = int(wlens.sum())
+            wpos = np.arange(nwords, dtype=np.int64) - np.repeat(wstarts, wlens)
+            wexp = np.repeat(wlens, wlens) - 1 - wpos
+            powers = np.empty(int(wlens.max()), dtype=np.uint64)
             powers[0] = np.uint64(1)
-            if max_len > 1:
-                np.cumprod(np.full(max_len - 1, _FNV_PRIME, dtype=np.uint64), out=powers[1:])
-            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-            exp = np.repeat(lens, lens) - 1 - pos
-            terms = data.astype(np.uint64) * powers[exp]
-            nonempty = lens > 0
-            out[nonempty] = np.add.reduceat(terms, starts[nonempty])
+            if len(powers) > 1:
+                np.cumprod(np.full(len(powers) - 1, _FNV_PRIME, dtype=np.uint64), out=powers[1:])
+            terms = words * powers[wexp]
+            nonempty = wlens > 0
+            out[nonempty] = np.add.reduceat(terms, wstarts[nonempty])
     return _splitmix64(out ^ lens.astype(np.uint64))
 
 

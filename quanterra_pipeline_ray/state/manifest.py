@@ -153,10 +153,12 @@ def write_data_file(
     if not fs.exists(abspath):
         _atomic_write(abspath, payload, fs)
     stats = table_stats(table)
-    if "conv_id" in table.column_names and table.num_rows:
-        # membership bloom for point-lookup / MERGE pruning; omitted for
-        # files with too many distinct conversations (manifest stays lean,
-        # range stats still prune those)
+    if "conv_id" in table.column_names and 0 < table.num_rows <= 32768:
+        # membership bloom for point-lookup / MERGE pruning; attempted only
+        # for small files (row-count guard keeps the distinct-scan off the
+        # hot write path of big clustered/merged outputs, whose conv counts
+        # would exceed the bloom budget anyway) and kept only when the
+        # distinct-conversation count keeps the filter small
         from ..stages.skew import key_hash64
         from .bloom import bloom_build
 

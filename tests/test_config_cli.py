@@ -80,3 +80,13 @@ def test_storage_adapter_atomic_roundtrip(tmp_path):
     fs.remove(p)
     assert not fs.exists(p)
     assert fs.listdir(str(tmp_path / "missing")) == []
+
+
+def test_dataset_stats_surface():
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.observability import dataset_stats
+
+    ds = rd.range(100).map_batches(lambda b: b, batch_format="pandas").materialize()
+    s = dataset_stats(ds)
+    assert "Operator" in s or "Stage" in s

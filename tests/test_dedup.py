@@ -149,3 +149,16 @@ def test_simhash_exact_pairs_finds_planted_copies():
     )
     pairs = simhash_exact_pairs(rd.from_pandas(df)).to_pandas()
     assert list(map(tuple, pairs[["a", "b"]].to_numpy())) == [(0, 2)]
+
+
+def test_exact_shingles_match_sql_gram_semantics():
+    """exact_shingles == distinct substr(text, i, 5) gram set (the oracle's
+    definition), byte-for-byte for ASCII."""
+    from quanterra_pipeline_ray.functions.dedup import exact_shingles, ngram_jaccard
+
+    t = "abcdefg abcdefg"
+    grams = {t[i : i + 5] for i in range(len(t) - 4)}
+    got = {g.decode() for g in exact_shingles(t, 5)}
+    assert got == grams
+    assert ngram_jaccard(t, t) == 1.0
+    assert 0.0 < ngram_jaccard("abcdefghij", "abcdefzzzz") < 1.0

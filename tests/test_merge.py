@@ -143,8 +143,10 @@ def test_merge_checkpoint_op_id_captures_source_content(tmp_path):
     src_b = pa.Table.from_pandas(df_b, preserve_index=False)
     assert src_a.num_rows == src_b.num_rows
     assert _source_token(src_a) != _source_token(src_b)
-    # Dataset and Table forms of the same source agree (block-order independent)
-    assert _source_token(rd.from_arrow(src_a)) == _source_token(src_a)
+    # Dataset form: deterministic and content-sensitive too (block-order
+    # independent wrap-add; algorithm differs from the Table fast path)
+    assert _source_token(rd.from_arrow(src_a)) == _source_token(rd.from_arrow(src_a))
+    assert _source_token(rd.from_arrow(src_a)) != _source_token(rd.from_arrow(src_b))
 
 
 def test_merge_shuffle_accepts_ray_dataset_source(tmp_path):

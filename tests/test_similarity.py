@@ -112,3 +112,28 @@ def test_embedding_near_dups_blocked_finds_planted(tmp_path):
     )
     got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
     assert got == {(i, i + 1000) for i in range(60)}
+
+
+def test_ivf_assign_persisted_reuse():
+    """ivf_assign's materialized assignment is reusable across queries (the
+    scale path: compute lists once, not per query run)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        seeded_sample_vectors,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(120, dtype=np.int64), "embedding": list(rng.normal(size=(120, 8)))}
+    )
+    ds = rd.from_pandas(df)
+    assigned, centroids = ivf_assign(ds, n_lists=6)
+    assigned = assigned.materialize()
+    q = np.stack(df["embedding"].head(2).to_numpy())
+    a = ivf_topk(ds, q, k=4, n_lists=6, nprobe=6, assigned=assigned, centroids=centroids)
+    b = brute_force_topk(ds, q, k=4)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
