@@ -251,6 +251,30 @@ def _q_maint_point_lookup(sf_dir: str):
     return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
 
 
+def _q_maint_incremental_counts(sf_dir: str):
+    """Incremental view maintenance: per-conversation turn counts computed
+    at the base snapshot, then brought up to date across compaction + MERGE
+    by applying only the changelog delta — must equal a full GROUP BY over
+    the merged table."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.incremental import conv_counts, incremental_conv_counts
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    table, data = _maint_table(sf_dir, "increment")
+    base = table.current_snapshot_id()
+    base_counts = conv_counts(table.scan(base)).materialize()
+    compact(table, target_bytes=4 << 20)
+    merge_into(table, _merge_source(data), target_rows=100_000)
+    out = incremental_conv_counts(table, base, table.current_snapshot_id(), base_counts)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_turns"] = b["n_turns"].astype(np.int64)
+        b["conv_id"] = b["conv_id"].astype(str)
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
 # ---------------------------------------------------------- training-data ops
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
@@ -637,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_timetravel": _q_maint_timetravel,
         "maint_changelog": _q_maint_changelog,
         "maint_point_lookup": _q_maint_point_lookup,
+        "maint_incremental_counts": _q_maint_incremental_counts,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -728,6 +753,16 @@ SELECT 'delete' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
         "maint_timetravel": scan_sql,
         "maint_changelog": changelog_sql,
         "maint_point_lookup": f"WITH t AS ({t}) SELECT * FROM t WHERE conv_id IN ('c17', 'c23', 'c5')",
+        "maint_incremental_counts": f"""
+WITH t AS ({t}),
+kept AS (SELECT * FROM t WHERE turn_idx % 7 <> 3 AND turn_idx % 13 <> 5),
+upd AS (SELECT conv_id FROM t WHERE turn_idx % 7 = 3),
+m AS (
+  SELECT conv_id FROM kept UNION ALL SELECT conv_id FROM upd
+  UNION ALL SELECT 'cNEW' UNION ALL SELECT 'cNEW'
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM m GROUP BY conv_id
+""".strip(),
         "maint_compact": scan_sql,
         "maint_zorder": scan_sql,
         "maint_hilbert": scan_sql,

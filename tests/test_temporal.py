@@ -181,3 +181,46 @@ def test_windowed_counts_matches_batch_aggregate():
     exp = exp.sort_values(["user_id", "w"]).reset_index(drop=True)
     assert out["n_events"].tolist() == exp["size"].tolist()
     assert (out["window_start"].to_numpy() == exp["w"].to_numpy()).all()
+
+
+def test_incremental_counts_match_full_recompute(tmp_path):
+    import os
+
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.incremental import conv_counts, incremental_conv_counts
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=15, seed=9, hot_convs=0)
+    paths = fragment_table(data, os.path.join(root, "data", "frags"), 4)
+    table.register_fragments(paths)
+    base = table.current_snapshot_id()
+    base_counts = conv_counts(table.scan(base)).materialize()
+
+    df = data.to_pandas()
+    # delete one whole conversation, update another, insert a new one
+    victim = df["conv_id"].iloc[0]
+    dele = df[df["conv_id"] == victim].copy()
+    dele["__op"] = "delete"
+    upd = df[df["conv_id"] == df["conv_id"].iloc[-1]].copy()
+    upd["text"] = "U " + upd["text"]
+    upd["__op"] = "upsert"
+    new = upd.iloc[:2].copy()
+    new["conv_id"] = "conv-fresh"
+    new["__op"] = "upsert"
+    src = pa.Table.from_pandas(pd.concat([dele, upd, new], ignore_index=True), preserve_index=False)
+    compact(table, target_bytes=1 << 20)
+    merge_into(table, src)
+
+    inc = (
+        incremental_conv_counts(table, base, table.current_snapshot_id(), base_counts)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    full = conv_counts(table.scan()).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert inc["conv_id"].tolist() == full["conv_id"].tolist()
+    assert inc["n_turns"].tolist() == full["n_turns"].tolist()
+    assert victim not in set(inc["conv_id"])  # zero-count drops out
+    assert "conv-fresh" in set(inc["conv_id"])
