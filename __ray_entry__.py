@@ -251,6 +251,24 @@ def _q_maint_point_lookup(sf_dir: str):
     return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
 
 
+def _q_maint_schema_evolution(sf_dir: str) -> pa.Table:
+    """Additive schema evolution: add a defaulted column as a metadata-only
+    commit, then compact (materializes it physically) and MERGE a source
+    that lacks the column (padded by defaults); the final scan carries the
+    evolved column everywhere."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.evolve import evolve_schema
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    table, data = _maint_table(sf_dir, "evolve")
+    n_files_before = len(table.files())
+    snap = evolve_schema(table, [("priority", "int32", 0)])
+    assert len(table.files()) == n_files_before  # metadata-only commit
+    compact(table, target_bytes=4 << 20)
+    merge_into(table, _merge_source(data), target_rows=100_000)
+    return _result(table.read_all())
+
+
 def _q_maint_incremental_counts(sf_dir: str):
     """Incremental view maintenance: per-conversation turn counts computed
     at the base snapshot, then brought up to date across compaction + MERGE
@@ -662,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_changelog": _q_maint_changelog,
         "maint_point_lookup": _q_maint_point_lookup,
         "maint_incremental_counts": _q_maint_incremental_counts,
+        "maint_schema_evolution": _q_maint_schema_evolution,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -770,6 +789,13 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM m GROUP BY conv_id
         "maint_resume": scan_sql,
         "maint_merge": merge_sql,
         "maint_merge_shuffle": merge_sql,
+        # the evolved column rides along with default 0 through compaction +
+        # merge (merge source lacks it -> padded)
+        "maint_schema_evolution": merge_sql.replace(
+            "SELECT * FROM kept", "SELECT *, CAST(0 AS INTEGER) AS priority FROM kept"
+        )
+        .replace("SELECT * FROM upd", "SELECT *, CAST(0 AS INTEGER) AS priority FROM upd")
+        .replace("SELECT * FROM ins", "SELECT *, CAST(0 AS INTEGER) AS priority FROM ins"),
         # exact-decimal arithmetic on both sides -> bit-identical doubles
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

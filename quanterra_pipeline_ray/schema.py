@@ -44,19 +44,31 @@ class SchemaValidationError(ValueError):
     """
 
 
-def ensure_schema(table: pa.Table, schema: pa.Schema = TRANSCRIPTS_SCHEMA) -> pa.Table:
+def ensure_schema(
+    table: pa.Table,
+    schema: pa.Schema = TRANSCRIPTS_SCHEMA,
+    defaults: dict | None = None,
+) -> pa.Table:
     """Project + cast ``table`` to ``schema`` (column order included).
 
     Raises :class:`SchemaValidationError` if a required column is missing or a
     cast is impossible.  This is the Arrow analog of the reference's
     required-column-set check — a gate run in the first ``map_batches`` stage
     of every maintenance op.
+
+    ``defaults``: columns listed here MAY be absent from ``table`` and are
+    materialized with the given scalar — the read-side half of additive
+    schema evolution (old files lack the new column; scans pad it).
     """
-    missing = set(schema.names) - set(table.column_names)
+    defaults = defaults or {}
+    missing = set(schema.names) - set(table.column_names) - set(defaults)
     if missing:
         raise SchemaValidationError(f"missing required columns: {sorted(missing)}")
     cols = []
     for field in schema:
+        if field.name not in table.column_names:
+            cols.append(pa.array([defaults[field.name]] * table.num_rows, type=field.type))
+            continue
         col = table.column(field.name)
         if col.type != field.type:
             try:
@@ -66,7 +78,37 @@ def ensure_schema(table: pa.Table, schema: pa.Schema = TRANSCRIPTS_SCHEMA) -> pa
                     f"column {field.name!r}: cannot cast {col.type} -> {field.type}: {exc}"
                 ) from None
         cols.append(col)
-    return pa.Table.from_arrays([c.combine_chunks() for c in cols], schema=schema)
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+        schema=schema,
+    )
+
+
+#: type registry for schema (de)serialization in snapshot JSON
+_TYPES = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float64": pa.float64(),
+    "bool": pa.bool_(),
+    "binary": pa.binary(),
+    "timestamp[us]": pa.timestamp("us"),
+}
+
+
+def schema_to_json(schema: pa.Schema) -> list[list[str]]:
+    out = []
+    for f in schema:
+        tname = str(f.type)
+        if tname not in _TYPES:
+            raise SchemaValidationError(f"unsupported evolvable type: {tname}")
+        out.append([f.name, tname])
+    return out
+
+
+def schema_from_json(fields: list[list[str]]) -> pa.Schema:
+    return pa.schema([(n, _TYPES[t]) for n, t in fields])
 
 
 def empty_table(schema: pa.Schema = TRANSCRIPTS_SCHEMA) -> pa.Table:

@@ -1,6 +1,8 @@
 from .append import append_dataset
 from .changelog import changelog
 from .compaction import CompactionOp, compact, plan_bins
+from .evolve import evolve_schema
+from .incremental import conv_counts, incremental_conv_counts
 from .expire import expire_snapshots, sweep_orphans
 from .merge import merge_into
 from .protocol import MaintenanceOp, run_op
@@ -13,6 +15,9 @@ __all__ = [
     "compact",
     "CompactionOp",
     "plan_bins",
+    "evolve_schema",
+    "conv_counts",
+    "incremental_conv_counts",
     "expire_snapshots",
     "sweep_orphans",
     "merge_into",

@@ -34,11 +34,13 @@ def append_dataset(
     quarantined row count).
     """
     root = table.root
+    schema = table.schema_of()
+    defaults = table.defaults_of()
 
     def write_batches(batch: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         try:
-            body = ensure_schema(batch)
+            body = ensure_schema(batch, schema, defaults=defaults)
             bad = None
         except SchemaValidationError:
             if on_invalid == "raise":
@@ -50,7 +52,7 @@ def append_dataset(
         if body is not None and body.num_rows:
             for off in range(0, body.num_rows, rows_per_file):
                 chunk = body.slice(off, rows_per_file)
-                df = write_data_file(chunk, root)
+                df = write_data_file(chunk, root, schema=schema)
                 records.append(
                     {
                         "datafile": df.to_json(),

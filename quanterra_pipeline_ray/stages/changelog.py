@@ -23,8 +23,6 @@ import pandas as pd
 from ..schema import TRANSCRIPTS_SCHEMA
 from ..state.manifest import TranscriptTable
 
-_COLS = list(TRANSCRIPTS_SCHEMA.names)
-
 
 def changelog(
     table: TranscriptTable,
@@ -32,9 +30,15 @@ def changelog(
     to_snapshot: int,
     n_buckets: int = 64,
 ):
-    """Dataset of ``(op, conv_id, turn_idx, role, text, tool, ts)`` rows
-    describing the row-level delta ``to_snapshot - from_snapshot``."""
+    """Dataset of ``(op, <schema columns>)`` rows describing the row-level
+    delta ``to_snapshot - from_snapshot`` (the TO snapshot's schema; evolved
+    columns are padded with their defaults on both sides so a pure schema
+    evolution yields an empty changelog)."""
     import ray.data as rd
+
+    _schema = table.schema_of(to_snapshot)
+    _defaults = table.defaults_of(to_snapshot)
+    _COLS = list(_schema.names)
 
     old_files = {f.path for f in table.files(from_snapshot)}
     new_files = {f.path for f in table.files(to_snapshot)}
@@ -48,17 +52,18 @@ def changelog(
     only_new = _abs(new_files - old_files)
 
     def empty_frame() -> pd.DataFrame:
-        out = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
-            ["op"] + _COLS,
-            ["object", "object", "int32", "object", "object", "object", "datetime64[us]"],
-        )})
-        return out
+        base = _schema.empty_table().to_pandas()
+        base.insert(0, "op", pd.Series([], dtype=object))
+        return base
 
     if not only_old and not only_new:
         return rd.from_pandas(empty_frame())
 
     def tag(side: int):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
+            for c in _COLS:  # pad evolved columns missing from old files
+                if c not in b.columns:
+                    b[c] = _defaults.get(c)
             out = b[_COLS].copy()
             out["__side"] = np.int8(side)
             h = pd.util.hash_pandas_object(out["conv_id"], index=False).to_numpy(dtype=np.uint64)

@@ -22,7 +22,7 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..schema import TRANSCRIPTS_SCHEMA, ensure_schema
+from ..schema import TRANSCRIPTS_SCHEMA, ensure_schema, schema_from_json, schema_to_json
 from ..state.checkpoint import Checkpoint
 from ..state.lineage import lineage_record, store_lineage
 from ..state.manifest import DataFile, Snapshot, TranscriptTable, write_data_file
@@ -82,9 +82,17 @@ def _compact_bins_batch(batch) -> "Any":
     for spec_json in batch["spec"]:
         spec = json.loads(spec_json)
         t0 = time.monotonic()
-        tables = [ensure_schema(pq.read_table(p), TRANSCRIPTS_SCHEMA) for p in spec["paths"]]
+        schema = (
+            schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
+        )
+        defaults = spec.get("defaults") or {}
+        tables = [
+            ensure_schema(pq.read_table(p), schema, defaults=defaults) for p in spec["paths"]
+        ]
         merged = pa.concat_tables(tables)
-        out = write_data_file(merged, spec["root"])  # sorts by (conv_id, turn_idx) within file
+        # sorts by (conv_id, turn_idx) within file; also MATERIALIZES any
+        # evolved columns into the rewritten file (write-on-next-touch)
+        out = write_data_file(merged, spec["root"], schema=schema)
         lin = lineage_record(
             op="compact",
             partition_id=spec["bin_id"],
@@ -129,6 +137,8 @@ class CompactionOp:
         self._base = snapshot_id
         self._n_bins, self._n_carried = len(bins), len(carried)
         self._ckpt = Checkpoint(table.root, f"compact-s{snapshot_id}-t{self.target_bytes}")
+        schema_json = schema_to_json(table.schema_of(snapshot_id))
+        defaults = table.defaults_of(snapshot_id)
         return [
             {
                 "bin_id": i,
@@ -137,6 +147,8 @@ class CompactionOp:
                 "rel_paths": [f.path for f in b],
                 "checksums": [f.checksum for f in b],
                 "ckpt_dir": self._ckpt.dir,
+                "schema": schema_json,
+                "defaults": defaults,
             }
             for i, b in enumerate(bins)
         ]

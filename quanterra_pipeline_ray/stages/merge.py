@@ -41,7 +41,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..schema import TRANSCRIPTS_SCHEMA, ensure_schema
+from ..schema import TRANSCRIPTS_SCHEMA, ensure_schema, schema_from_json, schema_to_json
 from ..state.checkpoint import Checkpoint
 from ..state.lineage import lineage_record, store_lineage
 from ..state.manifest import DataFile, Snapshot, TranscriptTable, write_data_file
@@ -51,14 +51,22 @@ KEY = ["conv_id", "turn_idx"]
 OP_COL = "__op"
 
 
-def _normalize_source(source: pa.Table) -> pa.Table:
+def _normalize_source(
+    source: pa.Table,
+    schema: pa.Schema = TRANSCRIPTS_SCHEMA,
+    defaults: dict | None = None,
+) -> pa.Table:
     """Cast source to schema + optional __op column (default 'upsert')."""
     ops = (
         source.column(OP_COL).cast(pa.string())
         if OP_COL in source.column_names
         else pa.array(["upsert"] * source.num_rows, type=pa.string())
     )
-    body = ensure_schema(source.drop_columns([OP_COL]) if OP_COL in source.column_names else source)
+    body = ensure_schema(
+        source.drop_columns([OP_COL]) if OP_COL in source.column_names else source,
+        schema,
+        defaults=defaults,
+    )
     return body.append_column(OP_COL, ops)
 
 
@@ -187,7 +195,9 @@ def prune_touched_files(files: list[DataFile], source_conv_ids: np.ndarray) -> l
 
 
 # ---------------------------------------------------------------- shuffle plan
-def _resolve_arrow(tgt: pa.Table, src: pa.Table, del_col: str = "__del") -> pa.Table:
+def _resolve_arrow(
+    tgt: pa.Table, src: pa.Table, del_col: str = "__del", schema: pa.Schema = TRANSCRIPTS_SCHEMA
+) -> pa.Table:
     """Arrow-native MERGE resolution.
 
     Only the composite KEY column (plus ts for tiebreaks) ever touches
@@ -227,28 +237,31 @@ def _resolve_arrow(tgt: pa.Table, src: pa.Table, del_col: str = "__del") -> pa.T
         ins = src.filter(pc.equal(src.column(del_col), 0)).drop_columns([del_col])
         from ..schema import ensure_schema as _ensure
 
-        parts = [t for t in (tgt, _ensure(ins)) if t.num_rows] or [tgt]
+        parts = [t for t in (tgt, _ensure(ins, schema)) if t.num_rows] or [tgt]
         return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
     return tgt
 
 
-def _make_bucket_resolver(root: str, target_rows: int, ckpt_dir: str, base_snapshot: int):
+def _make_bucket_resolver(
+    root: str, target_rows: int, ckpt_dir: str, base_snapshot: int, schema_json: list | None = None
+):
     def resolve_bucket(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({"record": pa.array([], type=pa.string())})
         import pyarrow.compute as pc
 
+        schema = schema_from_json(schema_json) if schema_json else TRANSCRIPTS_SCHEMA
         t0 = time.monotonic()
         bucket = int(group.column("__bucket")[0].as_py())
         src_mask = pc.equal(group.column("__src"), 1)
         tgt = group.filter(pc.invert(src_mask)).drop_columns(["__src", "__bucket", "__del"])
         src = group.filter(src_mask).drop_columns(["__src", "__bucket"])
-        merged = _resolve_arrow(tgt, src)
+        merged = _resolve_arrow(tgt, src, schema=schema)
         outs = []
         for off in range(0, max(merged.num_rows, 1), target_rows):
             chunk = merged.slice(off, target_rows)
             if chunk.num_rows:
-                outs.append(write_data_file(chunk, root))
+                outs.append(write_data_file(chunk, root, schema=schema))
         lin = lineage_record(
             op="merge",
             partition_id=bucket,
@@ -294,7 +307,11 @@ def _make_merge_file_task(source_ref):
         for spec_json in batch["spec"]:
             spec = json.loads(spec_json)
             t0 = time.monotonic()
-            tgt = ensure_schema(pq.read_table(spec["path"]), TRANSCRIPTS_SCHEMA)
+            schema = (
+                schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
+            )
+            defaults = spec.get("defaults") or {}
+            tgt = ensure_schema(pq.read_table(spec["path"]), schema, defaults=defaults)
             tkey = _composite_key(tgt)
             # semi-join: source keys present in THIS file (their update lands here)
             src_hit = pc.is_in(skey, value_set=tkey)
@@ -305,10 +322,10 @@ def _make_merge_file_task(source_ref):
                 ins = hits.filter(pc.not_equal(hits.column(OP_COL), "delete")).drop_columns(
                     [OP_COL]
                 )
-                merged = pa.concat_tables([kept, ensure_schema(ins)])
+                merged = pa.concat_tables([kept, ensure_schema(ins, schema)])
             else:
                 merged = tgt
-            out = write_data_file(merged, spec["root"])
+            out = write_data_file(merged, spec["root"], schema=schema)
             matched = {
                 "conv_id": hits.column("conv_id").to_pylist(),
                 "turn_idx": hits.column("turn_idx").to_pylist(),
@@ -371,14 +388,21 @@ def merge_into(
         n_src <= broadcast_threshold
         or (src_bytes is not None and src_bytes <= 256 * 1024 * 1024)
     )
+    snap_schema = table.schema_of(base)
+    snap_defaults = table.defaults_of(base)
     if use_broadcast:
         if not isinstance(source, pa.Table):
             batches = list(source.iter_batches(batch_format="pyarrow", batch_size=65536))
             source = (
-                pa.concat_tables(batches) if batches else TRANSCRIPTS_SCHEMA.empty_table()
+                pa.concat_tables(batches) if batches else snap_schema.empty_table()
             )
         snap, lineage = _merge_broadcast(
-            table, _normalize_source(source), touched, base, target_rows, src_token
+            table,
+            _normalize_source(source, snap_schema, snap_defaults),
+            touched,
+            base,
+            target_rows,
+            src_token,
         )
     else:
         snap, lineage = _merge_shuffle(
@@ -423,6 +447,8 @@ def _merge_broadcast(
                         "rel_path": f.path,
                         "checksum": f.checksum,
                         "ckpt_dir": ckpt.dir,
+                        "schema": schema_to_json(table.schema_of(base)),
+                        "defaults": table.defaults_of(base),
                     }
                 )
             }
@@ -508,16 +534,18 @@ def _merge_shuffle(
     done_buckets = pa.array([int(k) for k in done], type=pa.int64())
 
     paths = [f.path if f.path.startswith("/") else table._p(f.path) for f in touched]
+    snap_schema = table.schema_of(base)
+    snap_defaults = table.defaults_of(base)
 
     def tag_target(t: pa.Table) -> pa.Table:
-        t = ensure_schema(t)
+        t = ensure_schema(t, snap_schema, defaults=snap_defaults)
         t = t.append_column("__del", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
         return t.append_column("__src", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
 
     def tag_source(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        t = _normalize_source(t)
+        t = _normalize_source(t, snap_schema, snap_defaults)
         dele = pc.cast(pc.equal(t.column(OP_COL), "delete"), pa.int8())
         t = t.drop_columns([OP_COL]).append_column("__del", dele)
         return t.append_column("__src", pa.array(np.ones(t.num_rows, dtype=np.int8)))
@@ -553,7 +581,9 @@ def _merge_shuffle(
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
     out = ds.groupby("__bucket").map_groups(
-        _make_bucket_resolver(table.root, target_rows, ckpt.dir, base),
+        _make_bucket_resolver(
+            table.root, target_rows, ckpt.dir, base, schema_to_json(snap_schema)
+        ),
         batch_format="pyarrow",
     )
     for row in out.take_all():

@@ -159,7 +159,13 @@ class ZKeyEncoder:
         )
 
 
-def _make_run_writer(root: str, target_rows: int, ckpt_dir: str, base_snapshot: int):
+def _make_run_writer(
+    root: str,
+    target_rows: int,
+    ckpt_dir: str,
+    base_snapshot: int,
+    schema_json: list | None = None,
+):
     """Per-zpart group fn: sort by z, write target-size files, checkpoint."""
 
     def write_run(group: pa.Table) -> pa.Table:
@@ -170,6 +176,9 @@ def _make_run_writer(root: str, target_rows: int, ckpt_dir: str, base_snapshot: 
         group = group.sort_by(
             [("z", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
+        from ..schema import TRANSCRIPTS_SCHEMA, schema_from_json
+
+        schema = schema_from_json(schema_json) if schema_json else TRANSCRIPTS_SCHEMA
         body = group.drop_columns(["z", "zpart"])
         outs = []
         for off in range(0, body.num_rows, target_rows):
@@ -182,6 +191,7 @@ def _make_run_writer(root: str, target_rows: int, ckpt_dir: str, base_snapshot: 
                 write_data_file(
                     chunk,
                     root,
+                    schema=schema,
                     sort_within=False,
                     extra_stats={"conv_hash32": [int(h.min()), int(h.max())]},
                 )
@@ -293,8 +303,12 @@ def cluster(
 
         enc = enc.map_batches(drop_done, batch_format="pyarrow")
 
+    from ..schema import schema_to_json
+
     out = enc.groupby("zpart").map_groups(
-        _make_run_writer(table.root, target_rows, ckpt.dir, base),
+        _make_run_writer(
+            table.root, target_rows, ckpt.dir, base, schema_to_json(table.schema_of(base))
+        ),
         batch_format="pyarrow",
     )
     for row in out.take_all():

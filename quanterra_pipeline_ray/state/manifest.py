@@ -82,6 +82,13 @@ class Snapshot:
     #: epoch-us value through ``commit(..., commit_ts=...)`` for wall-clock
     #: time travel.  Never read from the system clock inside the library.
     commit_ts: int = 0
+    #: schema evolution: the snapshot's logical schema as
+    #: ``[[name, type], ...]`` (None = the engine's base transcripts
+    #: schema) plus read-time defaults for columns added after a file was
+    #: written.  Maintenance commits inherit the parent's schema; only
+    #: :func:`..stages.evolve.evolve_schema` changes it.
+    schema_fields: list | None = None
+    defaults: dict | None = None
 
     def to_json(self) -> dict[str, Any]:
         return asdict(self)
@@ -95,6 +102,8 @@ class Snapshot:
             operation=d.get("operation", ""),
             summary=d.get("summary", {}),
             commit_ts=int(d.get("commit_ts", d.get("snapshot_id", 0))),
+            schema_fields=d.get("schema_fields"),
+            defaults=d.get("defaults"),
         )
 
 
@@ -242,6 +251,8 @@ class TranscriptTable:
         operation: str,
         summary: dict[str, Any],
         commit_ts: int | None = None,
+        schema_fields: list | None = None,
+        defaults: dict | None = None,
     ) -> Snapshot:
         files = sorted(files, key=lambda f: f.path)
         manifest_doc = {"files": [f.to_json() for f in files]}
@@ -254,15 +265,23 @@ class TranscriptTable:
         # committer assumed; see state/fs.py atomicity notes)
         while self.fsa.exists(self._p("snapshots", f"s{sid:06d}.json")):
             sid += 1
+        parent_snap = None if parent is None else self.snapshot(parent)
         if commit_ts is None:
             # logical clock: strictly increasing, deterministic under replay
-            commit_ts = 0 if parent is None else self.snapshot(parent).commit_ts + 1
+            commit_ts = 0 if parent_snap is None else parent_snap.commit_ts + 1
+        if schema_fields is None and parent_snap is not None:
+            # maintenance commits inherit the parent's evolved schema
+            schema_fields = parent_snap.schema_fields
+            if defaults is None:
+                defaults = parent_snap.defaults
         snap = Snapshot(
             snapshot_id=sid,
             parent_id=parent,
             manifest=mname,
             operation=operation,
             commit_ts=int(commit_ts),
+            schema_fields=schema_fields,
+            defaults=defaults,
             summary={
                 **summary,
                 "total_rows": sum(f.rows for f in files),
@@ -303,6 +322,20 @@ class TranscriptTable:
             summary={**(summary or {}), "added_files": len(added), "removed_files": len(removed)},
             commit_ts=commit_ts,
         )
+
+    # -- schema evolution --------------------------------------------------
+    def schema_of(self, snapshot_id: int | None = None) -> pa.Schema:
+        """The snapshot's logical schema (base schema when never evolved)."""
+        from ..schema import schema_from_json
+
+        snap = self.snapshot(snapshot_id)
+        if snap.schema_fields is None:
+            return self.schema
+        return schema_from_json(snap.schema_fields)
+
+    def defaults_of(self, snapshot_id: int | None = None) -> dict:
+        snap = self.snapshot(snapshot_id)
+        return dict(snap.defaults or {})
 
     # -- point-lookup pruning ----------------------------------------------
     def prune_files_for_convs(
@@ -405,20 +438,41 @@ class TranscriptTable:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or as_of_ts, not both")
             snapshot_id = self.snapshot_as_of(as_of_ts).snapshot_id
+        snap_schema = self.schema_of(snapshot_id)
+        defaults = self.defaults_of(snapshot_id)
         paths = self.file_paths(snapshot_id)
         if not paths:
-            return rd.from_arrow(self.schema.empty_table())
+            return rd.from_arrow(snap_schema.empty_table())
         if not self.fsa.is_local and "filesystem" not in read_kwargs:
             read_kwargs["filesystem"] = self.fsa.fs
+        evolved = [n for n in snap_schema.names if n in defaults]
+        if evolved and (columns is None or any(c in defaults for c in columns)):
+            # old files lack evolved columns: read available ones, pad the
+            # rest per batch (write-time materialization happens at the next
+            # compaction/cluster rewrite)
+            want = list(columns) if columns is not None else list(snap_schema.names)
+            physical = [c for c in want if c not in defaults]
+            out_schema = pa.schema([snap_schema.field(n) for n in want])
+            ds = rd.read_parquet(paths, columns=physical or None, **read_kwargs)
+            pad = {k: v for k, v in defaults.items() if k in want}
+
+            def pad_batch(t: pa.Table) -> pa.Table:
+                return ensure_schema(t, out_schema, defaults=pad)
+
+            return ds.map_batches(pad_batch, batch_format="pyarrow")
         return rd.read_parquet(paths, columns=columns, **read_kwargs)
 
     def read_all(self, snapshot_id: int | None = None) -> pa.Table:
         """Driver-side full read (tests / small tables only)."""
+        snap_schema = self.schema_of(snapshot_id)
+        defaults = self.defaults_of(snapshot_id)
         paths = self.file_paths(snapshot_id)
         if not paths:
-            return self.schema.empty_table()
+            return snap_schema.empty_table()
         tables = [
-            ensure_schema(pq.read_table(io.BytesIO(self.fsa.read_bytes(p))), self.schema)
+            ensure_schema(
+                pq.read_table(io.BytesIO(self.fsa.read_bytes(p))), snap_schema, defaults=defaults
+            )
             for p in paths
         ]
         return pa.concat_tables(tables)

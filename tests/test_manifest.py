@@ -154,3 +154,62 @@ def test_bloom_point_lookup_pruning(tmp_path):
     exp = df[df["conv_id"].isin(target)]
     assert len(got) == len(exp)
     assert sorted(got["turn_idx"]) == sorted(exp["turn_idx"])
+
+
+def test_schema_evolution_roundtrip(tmp_path):
+    """Additive evolution: metadata-only commit, per-snapshot schema pinning,
+    padded scans, physical materialization on the next rewrite, merge with a
+    base-schema source, empty changelog for the pure evolution commit."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from quanterra_pipeline_ray.schema import SchemaValidationError
+    from quanterra_pipeline_ray.stages.changelog import changelog
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.evolve import evolve_schema
+    from quanterra_pipeline_ray.stages.merge import merge_into
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import fragment_table, generate_transcripts
+
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=12, seed=31, hot_convs=0)
+    paths = fragment_table(data, os.path.join(root, "data", "frags"), 4)
+    table.register_fragments(paths)
+    pre = table.current_snapshot_id()
+
+    snap = evolve_schema(table, [("priority", "int32", 0), ("origin", "string", "synth")])
+    assert [f.path for f in table.files()] == [f.path for f in table.files(pre)]
+    assert table.schema_of().names[-2:] == ["priority", "origin"]
+    # old snapshot keeps the old schema (per-snapshot pinning)
+    assert "priority" not in table.schema_of(pre).names
+    # pure evolution commit -> empty changelog
+    assert changelog(table, pre, snap.snapshot_id).count() == 0
+
+    got = table.read_all()
+    assert got.column("priority").to_pylist() == [0] * data.num_rows
+    assert got.column("origin").to_pylist() == ["synth"] * data.num_rows
+    # scan pads too (distributed read path)
+    sc = table.scan().to_pandas()
+    assert (sc["priority"] == 0).all() and (sc["origin"] == "synth").all()
+
+    # compaction materializes the evolved columns physically
+    compact(table, target_bytes=1 << 20)
+    f0 = table.files()[0]
+    raw = pq.read_table(table._p(f0.path) if not f0.path.startswith("/") else f0.path)
+    assert "priority" in raw.column_names and "origin" in raw.column_names
+
+    # MERGE with a source that lacks the evolved columns (padded by defaults)
+    df = data.to_pandas().iloc[:4].copy()
+    df["text"] = "E " + df["text"]
+    merge_into(table, pa.Table.from_pandas(df, preserve_index=False))
+    got2 = table.read_all().to_pandas()
+    assert len(got2) == data.num_rows
+    assert (got2["priority"] == 0).all()
+    assert got2["text"].str.startswith("E ").sum() == 4
+
+    with pytest.raises(SchemaValidationError):
+        evolve_schema(table, [("priority", "int32", 1)])  # duplicate
