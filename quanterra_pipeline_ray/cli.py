@@ -15,6 +15,9 @@ Usage::
     python -m quanterra_pipeline_ray.cli cluster /tmp/t --curve hilbert
     python -m quanterra_pipeline_ray.cli merge   /tmp/t --source updates.parquet
     python -m quanterra_pipeline_ray.cli expire  /tmp/t --keep-last 3 --sweep-orphans
+    python -m quanterra_pipeline_ray.cli evolve  /tmp/t --add priority:int32:0
+    python -m quanterra_pipeline_ray.cli changelog /tmp/t --from 3
+    python -m quanterra_pipeline_ray.cli scan    /tmp/t --as-of-ts 250 [--conv c17]
     python -m quanterra_pipeline_ray.cli status  /tmp/t
     python -m quanterra_pipeline_ray.cli log     /tmp/t [--snapshot N]
 
@@ -57,6 +60,21 @@ def _build_parser() -> argparse.ArgumentParser:
     c = table_cmd("expire", "expire old snapshots (and optionally sweep orphans)")
     c.add_argument("--keep-last", type=int, default=None)
     c.add_argument("--sweep-orphans", action="store_true")
+    c.add_argument("--dry-run", action="store_true")
+
+    c = table_cmd("evolve", "add columns to the schema (metadata-only commit)")
+    c.add_argument("--add", nargs="+", required=True, metavar="NAME:TYPE:DEFAULT",
+                   help="e.g. priority:int32:0 origin:string:synth")
+
+    c = table_cmd("changelog", "row-level delta between two snapshots")
+    c.add_argument("--from", dest="from_snap", type=int, required=True)
+    c.add_argument("--to", dest="to_snap", type=int, default=None)
+    c.add_argument("--limit", type=int, default=20)
+
+    c = table_cmd("scan", "row count of a (possibly time-travel) scan")
+    c.add_argument("--snapshot", type=int, default=None)
+    c.add_argument("--as-of-ts", type=int, default=None)
+    c.add_argument("--conv", nargs="*", default=None, help="point lookup via stats pruning")
 
     table_cmd("status", "print snapshot/metrics summary")
 
@@ -77,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     owns_ray = not ray.is_initialized()
-    if owns_ray and args.cmd not in ("create", "status", "log"):
+    if owns_ray and args.cmd not in ("create", "status", "log", "evolve"):
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
     try:
@@ -135,10 +153,46 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "expire":
             from .stages.expire import expire_snapshots, sweep_orphans
 
-            res = expire_snapshots(table, keep_last=args.keep_last or cfg.expire_keep_last)
+            res = expire_snapshots(
+                table, keep_last=args.keep_last or cfg.expire_keep_last, dry_run=args.dry_run
+            )
             if args.sweep_orphans:
-                res["orphans"] = sweep_orphans(table, min_age_s=cfg.orphan_min_age_s)
+                res["orphans"] = sweep_orphans(
+                    table, min_age_s=cfg.orphan_min_age_s, dry_run=args.dry_run
+                )
             print(json.dumps(res))
+        elif args.cmd == "evolve":
+            from .stages.evolve import evolve_schema
+
+            adds = []
+            for spec in args.add:
+                name, type_str, default = spec.split(":", 2)
+                if type_str in ("int32", "int64"):
+                    default = int(default)
+                elif type_str == "float64":
+                    default = float(default)
+                elif type_str == "bool":
+                    default = default.lower() in ("1", "true")
+                adds.append((name, type_str, default))
+            snap = evolve_schema(table, adds)
+            log.info("schema evolved at snapshot %s", snap.snapshot_id)
+        elif args.cmd == "changelog":
+            from .stages.changelog import changelog
+
+            to_snap = args.to_snap if args.to_snap is not None else table.current_snapshot_id()
+            out = changelog(table, args.from_snap, to_snap)
+            rows = out.take(args.limit)
+            for r in rows:
+                print(json.dumps({k: str(v) for k, v in r.items()}, sort_keys=True))
+            print(json.dumps({"changelog_rows": out.count(), "from": args.from_snap, "to": to_snap}))
+            return 0
+        elif args.cmd == "scan":
+            if args.conv:
+                ds = table.scan_convs(args.conv, args.snapshot)
+            else:
+                ds = table.scan(args.snapshot, as_of_ts=args.as_of_ts)
+            print(json.dumps({"rows": ds.count(), "schema": table.schema_of(args.snapshot).names}))
+            return 0
         elif args.cmd == "log":
             from .state.lineage import load_lineage
 

@@ -53,3 +53,30 @@ def bloom_any(blob: str, hashes: np.ndarray, k: int = _DEF_K) -> bool:
     pos = _positions(hashes, n_bits, k)
     hit = (bitset[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return bool(hit.all(axis=1).any())
+
+
+# ------------------------------------------------------------- KMV sketches
+def kmv_build(hashes: np.ndarray, k: int = 256) -> str:
+    """K-minimum-values sketch over uint64 key hashes (base64 of the k
+    smallest values).  Union-mergeable, so per-file sketches roll up into a
+    table-level distinct-count estimate without any re-scan."""
+    h = np.unique(np.asarray(hashes, dtype=np.uint64))
+    kth = h[: min(k, len(h))]
+    return base64.b64encode(kth.astype("<u8").tobytes()).decode()
+
+
+def kmv_merge(blobs: "list[str]", k: int = 256) -> np.ndarray:
+    vals = [np.frombuffer(base64.b64decode(b), dtype="<u8") for b in blobs if b]
+    if not vals:
+        return np.empty(0, dtype=np.uint64)
+    merged = np.unique(np.concatenate(vals))
+    return merged[: min(k, len(merged))]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int = 256) -> float:
+    """NDV estimate: (k-1) / (kth-min normalized to [0,1)); exact below k."""
+    n = len(sketch)
+    if n < k:
+        return float(n)
+    kth = float(sketch[k - 1]) / float(1 << 64)
+    return (k - 1) / kth if kth > 0 else float(n)

@@ -36,6 +36,7 @@ import os
 from dataclasses import asdict, dataclass, field
 from typing import Any, Iterable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -162,18 +163,23 @@ def write_data_file(
     if not fs.exists(abspath):
         _atomic_write(abspath, payload, fs)
     stats = table_stats(table)
-    if "conv_id" in table.column_names and 0 < table.num_rows <= 32768:
-        # membership bloom for point-lookup / MERGE pruning; attempted only
-        # for small files (row-count guard keeps the distinct-scan off the
-        # hot write path of big clustered/merged outputs, whose conv counts
-        # would exceed the bloom budget anyway) and kept only when the
-        # distinct-conversation count keeps the filter small
+    if "conv_id" in table.column_names and table.num_rows:
         from ..stages.skew import key_hash64
-        from .bloom import bloom_build
+        from .bloom import bloom_build, kmv_build
 
-        uniq = pc.unique(table.column("conv_id"))
-        if len(uniq) <= 4096:
-            stats["conv_bloom"] = bloom_build(key_hash64(uniq))
+        h = key_hash64(table.column("conv_id"))
+        # KMV distinct-count sketch: union-mergeable, so per-file sketches
+        # roll up to a table-level NDV estimate with zero re-scan
+        stats["conv_kmv"] = kmv_build(h)
+        if table.num_rows <= 32768:
+            # membership bloom for point-lookup / MERGE pruning; attempted
+            # only for small files (row-count guard keeps the distinct-scan
+            # off the hot write path of big clustered/merged outputs, whose
+            # conv counts would exceed the bloom budget anyway) and kept
+            # only when the distinct count keeps the filter small
+            uniq = np.unique(h)
+            if len(uniq) <= 4096:
+                stats["conv_bloom"] = bloom_build(uniq)
     if extra_stats:
         stats.update(extra_stats)
     return DataFile(
@@ -336,6 +342,17 @@ class TranscriptTable:
     def defaults_of(self, snapshot_id: int | None = None) -> dict:
         snap = self.snapshot(snapshot_id)
         return dict(snap.defaults or {})
+
+    # -- table statistics ----------------------------------------------------
+    def estimate_distinct_convs(self, snapshot_id: int | None = None) -> int:
+        """Approximate distinct-conversation count from per-file KMV
+        sketches (union-merge, no data scan; exact when the table holds
+        fewer distinct keys than the sketch size)."""
+        from .bloom import kmv_estimate, kmv_merge
+
+        blobs = [f.stats.get("conv_kmv") for f in self.files(snapshot_id)]
+        merged = kmv_merge([b for b in blobs if b])
+        return int(round(kmv_estimate(merged)))
 
     # -- point-lookup pruning ----------------------------------------------
     def prune_files_for_convs(

@@ -213,3 +213,30 @@ def test_schema_evolution_roundtrip(tmp_path):
 
     with pytest.raises(SchemaValidationError):
         evolve_schema(table, [("priority", "int32", 1)])  # duplicate
+
+
+def test_kmv_distinct_conv_estimate(tmp_path):
+    import numpy as np
+
+    from quanterra_pipeline_ray.state.bloom import kmv_build, kmv_estimate, kmv_merge
+    from quanterra_pipeline_ray.stages.skew import key_hash64
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable, write_data_file
+    from quanterra_pipeline_ray.synth import generate_transcripts
+
+    # sketch math: exact below k, ~±10% above
+    h = key_hash64(np.array([f"k{i}" for i in range(100)], dtype=object))
+    assert kmv_estimate(kmv_merge([kmv_build(h)])) == 100.0
+    big = key_hash64(np.array([f"k{i}" for i in range(20000)], dtype=object))
+    est = kmv_estimate(kmv_merge([kmv_build(big[:12000]), kmv_build(big[8000:])]))
+    assert 0.85 * 20000 < est < 1.15 * 20000
+
+    # table-level rollup across files sharing conversations
+    table = TranscriptTable.create(str(tmp_path / "t"))
+    data = generate_transcripts(n_convs=50, seed=41, hot_convs=0)
+    half = data.num_rows // 2
+    added = [
+        write_data_file(data.slice(0, half), table.root),
+        write_data_file(data.slice(half), table.root),
+    ]
+    table.commit(added, operation="append")
+    assert table.estimate_distinct_convs() == 50  # < sketch k -> exact
