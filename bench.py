@@ -145,14 +145,17 @@ def _queries() -> dict:
         "ivf_topk_embeddings",
         "embedding_near_dups",
     ]
+    import ray.data
+
     qs = entrymod.queries()
     out = {}
     for name in wanted:
         t0 = time.monotonic()
         try:
             res = qs[name](SF_DIR)
-            # force execution for lazy Datasets
-            if hasattr(res, "count") and not hasattr(res, "columns"):
+            # force execution for lazy Datasets (Dataset has .columns in
+            # Ray 2.49, so duck-typing on it silently skips execution)
+            if isinstance(res, ray.data.Dataset):
                 res.count()
             out[name] = round(time.monotonic() - t0, 3)
         except Exception as exc:  # pragma: no cover
