@@ -610,11 +610,13 @@ def _q_asof_join_events(sf_dir: str):
     from quanterra_pipeline_ray.pipelines.temporal import asof_join
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
-    left = ev.filter(lambda r: r["event_type"] != "signup").map_batches(
-        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas"
+    left = ev.map_batches(
+        lambda b: b.loc[b["event_type"] != "signup", ["event_id", "user_id", "ts"]],
+        batch_format="pandas",
     )
-    right = ev.filter(lambda r: r["event_type"] == "signup").map_batches(
-        lambda b: b[["user_id", "ts"]], batch_format="pandas"
+    right = ev.map_batches(
+        lambda b: b.loc[b["event_type"] == "signup", ["user_id", "ts"]],
+        batch_format="pandas",
     )
     out = asof_join(left, right, on="ts", by="user_id", suffix="_signup")
     return out.map_batches(
@@ -628,12 +630,14 @@ def _q_range_join_events(sf_dir: str):
 
     from quanterra_pipeline_ray.pipelines.temporal import range_join
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
-    left = ev.filter(lambda r: r["event_type"] == "signup").map_batches(
-        lambda b: b[["user_id", "ts"]].drop_duplicates(), batch_format="pandas"
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    left = ev.map_batches(
+        lambda b: b.loc[b["event_type"] == "signup", ["user_id", "ts"]].drop_duplicates(),
+        batch_format="pandas",
     )
-    right = ev.filter(lambda r: r["event_type"] != "signup").map_batches(
-        lambda b: b[["user_id", "ts"]], batch_format="pandas"
+    right = ev.map_batches(
+        lambda b: b.loc[b["event_type"] != "signup", ["user_id", "ts"]],
+        batch_format="pandas",
     )
     out = range_join(left, right, on="ts", by="user_id", width_us=3_600_000_000)
 
