@@ -269,6 +269,25 @@ def _q_maint_schema_evolution(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_timerange_scan(sf_dir: str):
+    """Stats-pruned time-window scan over a Z-ordered table: the ts-bucketed
+    curve gives files tight ts ranges, so a one-week window touches a strict
+    subset of files; the result must equal a plain WHERE range filter."""
+    from quanterra_pipeline_ray.stages.zorder import cluster
+
+    table, _ = _maint_table(sf_dir, "timerange")
+    # time-major layout: the ts bucket dominates the sort key, so within
+    # each hash partition the writer's row chunks cover contiguous time
+    # slices; window-pruning precision = files per partition, so pin few
+    # partitions with several files each
+    cluster(table, target_rows=600, part_bits=2, time_major=True)
+    lo, hi = "2024-01-08", "2024-01-15"
+    pruned = table.prune_files_for_ts_range(lo, hi)
+    assert 0 < len(pruned) < len(table.files())  # the clustering payoff
+    out = table.scan_ts_range(lo, hi)
+    return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
+
+
 def _q_maint_incremental_counts(sf_dir: str):
     """Incremental view maintenance: per-conversation turn counts computed
     at the base snapshot, then brought up to date across compaction + MERGE
@@ -429,6 +448,21 @@ def _q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     )
     pairs = embedding_near_dup_pairs(base.union(shifted), threshold=0.999)
     return pairs[["a", "b"]].astype(np.int64)
+
+
+def _q_curation_flow(sf_dir: str):
+    """The composed curation pipeline: quality gate -> language id ->
+    MinHash near-dedup (keep the minimum-id member per component) in one
+    streaming lineage.  Oracle recomposes all three stages in SQL."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.curation import curate_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = curate_documents(ds, min_quality=0.8, min_tokens=20, dedup_threshold=0.8)
+    return out.map_batches(
+        lambda b: b[["doc_id", "n_tokens", "lang_pred"]], batch_format="pandas"
+    )
 
 
 def _q_quality_filter(sf_dir: str):
@@ -685,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_point_lookup": _q_maint_point_lookup,
         "maint_incremental_counts": _q_maint_incremental_counts,
         "maint_schema_evolution": _q_maint_schema_evolution,
+        "maint_timerange_scan": _q_maint_timerange_scan,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -713,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk_embeddings": _q_ivf_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "media_decode_features": _q_media_decode,
+        "curation_flow": _q_curation_flow,
         "quality_filter_docs": _q_quality_filter,
         "length_histogram_docs": _q_length_histogram,
         # streaming / temporal
@@ -776,6 +812,11 @@ SELECT 'delete' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
         "maint_timetravel": scan_sql,
         "maint_changelog": changelog_sql,
         "maint_point_lookup": f"WITH t AS ({t}) SELECT * FROM t WHERE conv_id IN ('c17', 'c23', 'c5')",
+        "maint_timerange_scan": f"""
+WITH t AS ({t})
+SELECT * FROM t
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+""".strip(),
         "maint_incremental_counts": f"""
 WITH t AS ({t}),
 kept AS (SELECT * FROM t WHERE turn_idx % 7 <> 3 AND turn_idx % 13 <> 5),
@@ -962,6 +1003,68 @@ SELECT doc_id, LEN(regexp_extract_all(text, '\S+')) AS n_tokens
 FROM documents
 WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >= 0.8
   AND LEN(regexp_extract_all(text, '\S+')) >= 20
+""".strip(),
+        # composed curation oracle: quality gate -> gram-Jaccard dedup over
+        # the GATED corpus (recursive-CTE components, drop non-minimum
+        # members) -> language id over the survivors
+        "curation_flow": r"""
+WITH RECURSIVE g0 AS (
+  SELECT doc_id, text, LEN(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+  WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >= 0.8
+    AND LEN(regexp_extract_all(text, '\S+')) >= 20
+),
+gs AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams_s
+  FROM g0
+),
+g AS (
+  SELECT doc_id, list_transform(grams_s,
+    s -> ((((ascii(substr(s,1,1))::BIGINT * 131 + ascii(substr(s,2,1))) * 131
+           + ascii(substr(s,3,1))) * 131 + ascii(substr(s,4,1))) * 131 + ascii(substr(s,5,1)))) AS grams
+  FROM gs
+),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         LEN(list_intersect(x.grams, y.grams)) AS inter,
+         LEN(x.grams) AS na, LEN(y.grams) AS nb
+  FROM g x JOIN g y
+    ON x.doc_id < y.doc_id
+   AND LEN(x.grams) >= 0.8 * LEN(y.grams)
+   AND LEN(y.grams) >= 0.8 * LEN(x.grams)
+),
+pairs AS (SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)),
+e AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs),
+r(s, d) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+),
+comp AS (SELECT s AS doc_id, MIN(d) AS dup_group FROM r GROUP BY s),
+dropset AS (SELECT doc_id FROM comp WHERE dup_group <> doc_id),
+kept AS (
+  SELECT g0.doc_id, g0.text, g0.n_tokens FROM g0
+  WHERE g0.doc_id NOT IN (SELECT doc_id FROM dropset)
+),
+w AS (
+  SELECT doc_id, n_tokens, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws
+  FROM kept
+),
+s2 AS (
+  SELECT doc_id, n_tokens, LEN(ws) AS n,
+    LEN(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en,
+    LEN(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS h_de,
+    LEN(list_filter(ws, x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS h_fr,
+    LEN(list_filter(ws, x -> x IN ('el','la','los','las','y','es','un','una','que','por'))) AS h_es
+  FROM w
+)
+SELECT doc_id, n_tokens,
+  CASE WHEN n = 0 OR (h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0) THEN 'und'
+       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+       WHEN h_fr >= h_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s2
 """.strip(),
         "length_histogram_docs": """
 SELECT (n_chars // 100) * 100 AS bucket, COUNT(*) AS n_docs

@@ -113,9 +113,15 @@ class ZKeyEncoder:
         curve: str = "z",
         hot_convs: frozenset | None = None,
         salt_buckets: int = 64,
+        time_major: bool = False,
     ):
         if curve not in ("z", "hilbert"):
             raise ValueError(f"unknown curve {curve!r}")
+        # time_major puts the ts bucket in the HIGH interleave positions:
+        # within a partition, files then cover narrow contiguous time
+        # slices, so ts-window scans prune sharply (conversation locality
+        # degrades correspondingly — pick per workload)
+        self.time_major = time_major
         self.ts_origin = np.int64(ts_origin_us)
         self.bucket_us = np.int64(max(1, bucket_us))
         self.part_shift = np.uint64(32 - part_bits)
@@ -140,6 +146,12 @@ class ZKeyEncoder:
                 interleave_bits(a & np.uint64(0xFFFF), b >> np.uint64(16))
                 & np.uint64(0xFFFFFFFF)
             )
+        elif self.time_major:
+            # plain concatenation, NOT interleave: the ts bucket must
+            # dominate the sort for files to cover contiguous time slices
+            # (an interleave lets the 32-bit hash's high bits outrank the
+            # ~10-bit bucket)
+            z = (b << np.uint64(32)) | (a & np.uint64(0xFFFFFFFF))
         else:
             z = interleave_bits(a, b)
         # Partition on the top bits of the (uniform) conv hash, NOT of z: the
@@ -221,6 +233,7 @@ def cluster(
     encoder_concurrency: Any = None,
     curve: str = "z",
     hot_conv_threshold_rows: int | None = None,
+    time_major: bool = False,
 ) -> Snapshot:
     """Z-order-cluster the snapshot; returns the new snapshot.
 
@@ -249,7 +262,7 @@ def cluster(
         int(pd.Timestamp(min(ts_mins)).value // 1000) if ts_mins else 0
     )
 
-    op_id = f"zorder-s{base}-b{ts_bucket_us}-p{part_bits}-{curve}"
+    op_id = f"zorder-s{base}-b{ts_bucket_us}-p{part_bits}-{curve}{'-tm' if time_major else ''}"
     ckpt = Checkpoint(table.root, op_id)
     done = ckpt.completed()
     done_parts = set(int(k) for k in done)
@@ -286,6 +299,7 @@ def cluster(
         part_bits=part_bits,
         curve=curve,
         hot_convs=hot,
+        time_major=time_major,
     )
     enc = ds.map_batches(
         ZKeyEncoder,

@@ -343,6 +343,50 @@ class TranscriptTable:
         snap = self.snapshot(snapshot_id)
         return dict(snap.defaults or {})
 
+    # -- metadata tables -----------------------------------------------------
+    def files_table(self, snapshot_id: int | None = None):
+        """Manifest entries as a Dataset (Iceberg's ``table.files`` analog):
+        path, rows, bytes, checksum, stat ranges — queryable like data."""
+        import pandas as pd
+        import ray.data as rd
+
+        rows = []
+        for f in self.files(snapshot_id):
+            rows.append(
+                {
+                    "path": f.path,
+                    "rows": f.rows,
+                    "bytes": f.bytes,
+                    "checksum": f.checksum,
+                    "conv_id_min": (f.stats.get("conv_id") or [None, None])[0],
+                    "conv_id_max": (f.stats.get("conv_id") or [None, None])[1],
+                    "ts_min": (f.stats.get("ts") or [None, None])[0],
+                    "ts_max": (f.stats.get("ts") or [None, None])[1],
+                    "has_bloom": "conv_bloom" in f.stats,
+                }
+            )
+        return rd.from_pandas(pd.DataFrame(rows))
+
+    def history(self):
+        """Snapshot history as a Dataset (id, parent, operation, commit_ts,
+        rows/bytes/files summary) — the ``table.history`` metadata table."""
+        import pandas as pd
+        import ray.data as rd
+
+        rows = [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_id": s.parent_id,
+                "operation": s.operation,
+                "commit_ts": s.commit_ts,
+                "total_rows": s.summary.get("total_rows", 0),
+                "total_bytes": s.summary.get("total_bytes", 0),
+                "num_files": s.summary.get("num_files", 0),
+            }
+            for s in self.snapshots()
+        ]
+        return rd.from_pandas(pd.DataFrame(rows))
+
     # -- table statistics ----------------------------------------------------
     def estimate_distinct_convs(self, snapshot_id: int | None = None) -> int:
         """Approximate distinct-conversation count from per-file KMV
@@ -353,6 +397,50 @@ class TranscriptTable:
         blobs = [f.stats.get("conv_kmv") for f in self.files(snapshot_id)]
         merged = kmv_merge([b for b in blobs if b])
         return int(round(kmv_estimate(merged)))
+
+    def prune_files_for_ts_range(
+        self, ts_from, ts_to, snapshot_id: int | None = None
+    ) -> list[DataFile]:
+        """Manifest entries whose ``ts`` [min,max] stats intersect
+        ``[ts_from, ts_to)`` — the payoff of time-bucketed Z-ordering: a
+        time-window scan touches only the files whose curve range covers
+        the window.  Files without ts stats are conservatively included."""
+        import pandas as pd
+
+        lo = pd.Timestamp(ts_from)
+        hi = pd.Timestamp(ts_to)
+        out = []
+        for f in self.files(snapshot_id):
+            stats = f.stats.get("ts")
+            if stats is None:
+                out.append(f)
+                continue
+            fmin, fmax = pd.Timestamp(stats[0]), pd.Timestamp(stats[1])
+            if fmax >= lo and fmin < hi:
+                out.append(f)
+        return out
+
+    def scan_ts_range(self, ts_from, ts_to, snapshot_id: int | None = None, **kw):
+        """Stats-pruned scan of a time window (exact Arrow filter applied
+        over the surviving files)."""
+        import pandas as pd
+        import pyarrow.compute as _pc
+        import ray.data as rd
+
+        files = self.prune_files_for_ts_range(ts_from, ts_to, snapshot_id)
+        if not files:
+            return rd.from_arrow(self.schema_of(snapshot_id).empty_table())
+        paths = [f.path if os.path.isabs(f.path) else self._p(f.path) for f in files]
+        lo = pa.scalar(pd.Timestamp(ts_from).to_pydatetime(), type=pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp(ts_to).to_pydatetime(), type=pa.timestamp("us"))
+
+        def keep(t: pa.Table) -> pa.Table:
+            ts = t.column("ts")
+            return t.filter(
+                _pc.and_(_pc.greater_equal(ts, lo), _pc.less(ts, hi))
+            )
+
+        return rd.read_parquet(paths, **kw).map_batches(keep, batch_format="pyarrow")
 
     # -- point-lookup pruning ----------------------------------------------
     def prune_files_for_convs(

@@ -240,3 +240,52 @@ def test_kmv_distinct_conv_estimate(tmp_path):
     ]
     table.commit(added, operation="append")
     assert table.estimate_distinct_convs() == 50  # < sketch k -> exact
+
+
+def test_metadata_tables(tmp_path):
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import fragment_table, generate_transcripts
+    import os
+
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=10, seed=51, hot_convs=0)
+    table.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), 3))
+    compact(table, target_bytes=1 << 20)
+
+    ft = table.files_table().to_pandas()
+    assert len(ft) == len(table.files())
+    assert ft["rows"].sum() == data.num_rows
+    assert set(["path", "bytes", "checksum", "ts_min", "has_bloom"]) <= set(ft.columns)
+
+    h = table.history().to_pandas()
+    assert h["operation"].tolist() == ["create", "register", "compact"]
+    assert h["commit_ts"].is_monotonic_increasing
+
+
+def test_time_major_cluster_prunes_windows(tmp_path):
+    import os
+
+    import pandas as pd
+
+    from quanterra_pipeline_ray.stages.zorder import cluster
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import content_fingerprint, fragment_table, generate_transcripts
+
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=60, seed=61, hot_convs=0)
+    table.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), 8))
+    fp = content_fingerprint(data)
+    cluster(table, target_rows=150, part_bits=2, time_major=True)
+    assert content_fingerprint(table.read_all()) == fp  # scan equality holds
+
+    df = data.to_pandas()
+    lo = df["ts"].quantile(0.4)
+    hi = df["ts"].quantile(0.6)
+    pruned = table.prune_files_for_ts_range(lo, hi)
+    assert 0 < len(pruned) < len(table.files())  # window touches a subset
+    got = table.scan_ts_range(lo, hi).to_pandas()
+    exp = df[(df["ts"] >= lo) & (df["ts"] < hi)]
+    assert len(got) == len(exp)
