@@ -11,7 +11,7 @@ reference uses (dev = small volumes for fast iteration, prod = full scale).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 
 @dataclass(frozen=True)

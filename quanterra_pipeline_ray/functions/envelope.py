@@ -18,10 +18,6 @@ ingestion layer, rebuilt as vectorized batch transforms.
 
 from __future__ import annotations
 
-from typing import Any
-
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.envelope import EnvelopeBuilder, normalize_json_safe, substring_semi_join
-from ..sources.api import fanout_items, fetch_fanout
+from ..sources.api import fetch_fanout
 
 
 def market_data_flow(

@@ -23,7 +23,7 @@ from __future__ import annotations
 import csv
 import io
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..state.fs import LOCAL, StorageAdapter
 

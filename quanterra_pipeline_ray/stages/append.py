@@ -16,7 +16,7 @@ from typing import Any
 
 import pyarrow as pa
 
-from ..schema import TRANSCRIPTS_SCHEMA, SchemaValidationError, ensure_schema
+from ..schema import SchemaValidationError, ensure_schema
 from ..state.lineage import lineage_record, store_lineage
 from ..state.manifest import DataFile, Snapshot, TranscriptTable, write_data_file
 

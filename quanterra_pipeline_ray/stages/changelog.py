@@ -20,7 +20,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..schema import TRANSCRIPTS_SCHEMA
 from ..state.manifest import TranscriptTable
 
 

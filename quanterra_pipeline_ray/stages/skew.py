@@ -17,7 +17,6 @@ handled structurally:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 

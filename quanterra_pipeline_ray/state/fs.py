@@ -23,7 +23,6 @@ Atomicity notes (the commit protocol depends on them):
 from __future__ import annotations
 
 import os
-from typing import Iterable
 
 
 class StorageAdapter:
