@@ -171,6 +171,76 @@ class ZKeyEncoder:
         )
 
 
+class _EncodeAndPack:
+    """Fused encoder + map-side of the packed exchange (ONE actor pool):
+    compute z/zpart, then split the batch by ``zpart`` and serialize every
+    slice to zstd parquet bytes.
+
+    The cluster shuffle does not need global ordering — only co-location by
+    partition (the writer sorts within its partition anyway) — so instead of
+    pushing 11.7M wide rows through Ray's sort exchange, we push ~4k
+    compressed blobs (~3x fewer bytes for text-heavy rows).  Codec cost is
+    the price; on a transfer-bound exchange it wins.
+    """
+
+    def __init__(self, compression: str = "zstd", **encoder_kwargs):
+        self.encoder = ZKeyEncoder(**encoder_kwargs)
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.parquet as pq
+
+        batch = self.encoder(batch)
+        zpart = batch.column("zpart").to_numpy(zero_copy_only=False)
+        order = np.argsort(zpart, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        sz = zpart[order]
+        bounds = np.flatnonzero(np.diff(sz)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(sz)]])
+        parts, blobs = [], []
+        for s, e in zip(starts, ends):
+            chunk = sorted_batch.slice(int(s), int(e - s))
+            buf = io.BytesIO()
+            pq.write_table(chunk, buf, compression=self.compression)
+            parts.append(int(sz[s]))
+            blobs.append(buf.getvalue())
+        return pa.table(
+            {
+                "zpart": pa.array(parts, type=pa.uint64()),
+                "payload": pa.array(blobs, type=pa.large_binary()),
+            }
+        )
+
+
+def _make_packed_writer(
+    root: str,
+    target_rows: int,
+    ckpt_dir: str,
+    base_snapshot: int,
+    schema_json: list | None = None,
+):
+    """Reduce-side of the packed exchange: decode the partition's blobs,
+    then delegate to the ordinary run writer logic."""
+    inner = _make_run_writer(root, target_rows, ckpt_dir, base_snapshot, schema_json)
+
+    def write_packed(group: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.parquet as pq
+
+        if group.num_rows == 0:
+            return pa.table({"record": pa.array([], type=pa.string())})
+        tables = [
+            pq.read_table(io.BytesIO(b.as_py())) for b in group.column("payload")
+        ]
+        return inner(pa.concat_tables(tables))
+
+    return write_packed
+
+
 def _make_run_writer(
     root: str,
     target_rows: int,
@@ -234,12 +304,23 @@ def cluster(
     curve: str = "z",
     hot_conv_threshold_rows: int | None = None,
     time_major: bool = False,
+    exchange: str = "sort",
 ) -> Snapshot:
     """Z-order-cluster the snapshot; returns the new snapshot.
 
     ``part_bits`` controls shuffle fan-out (2^bits deterministic partitions);
     by default it is sized so a partition holds ~2 target files.  Resumable:
     completed partitions are filtered out before the shuffle on rerun.
+
+    ``exchange``: ``"sort"`` (default) pushes raw rows through Ray's sort
+    exchange; ``"packed"`` serializes per-partition row slices to zstd
+    parquet blobs map-side and shuffles the compressed blobs (~9x fewer
+    exchange bytes for text-heavy rows).  Measured on the single-node
+    sandbox (plasma transfer is local memcpy): sort ~7.5s vs packed ~13s at
+    32 cpus on 11.7M turns — the codec CPU costs more than the bytes save
+    here.  On a REAL multi-node cluster the exchange crosses the network,
+    where a 9x byte reduction is the difference between wire-bound and
+    compute-bound; pick per deployment.
     """
     base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
     files = table.files(base)
@@ -301,12 +382,28 @@ def cluster(
         hot_convs=hot,
         time_major=time_major,
     )
-    enc = ds.map_batches(
-        ZKeyEncoder,
-        fn_constructor_kwargs=encoder_kwargs,
-        batch_format="pyarrow",
-        concurrency=encoder_concurrency,
-    )
+    from ..schema import schema_to_json
+
+    schema_json = schema_to_json(table.schema_of(base))
+    if exchange == "packed":
+        enc = ds.map_batches(
+            _EncodeAndPack,
+            fn_constructor_kwargs=encoder_kwargs,
+            batch_format="pyarrow",
+            # explicit large batches: the scan's blocks follow input-file
+            # boundaries (1000s of small fragments), and per-fragment packing
+            # would emit millions of tiny blobs; coalescing to ~200k rows
+            # keeps slices at ~block_rows/parts
+            batch_size=200_000,
+            concurrency=encoder_concurrency,
+        )
+    else:
+        enc = ds.map_batches(
+            ZKeyEncoder,
+            fn_constructor_kwargs=encoder_kwargs,
+            batch_format="pyarrow",
+            concurrency=encoder_concurrency,
+        )
     if done_parts:
         done_arr = pa.array(list(done_parts), type=pa.uint64())
 
@@ -317,14 +414,16 @@ def cluster(
 
         enc = enc.map_batches(drop_done, batch_format="pyarrow")
 
-    from ..schema import schema_to_json
-
-    out = enc.groupby("zpart").map_groups(
-        _make_run_writer(
-            table.root, target_rows, ckpt.dir, base, schema_to_json(table.schema_of(base))
-        ),
-        batch_format="pyarrow",
-    )
+    if exchange == "packed":
+        out = enc.groupby("zpart").map_groups(
+            _make_packed_writer(table.root, target_rows, ckpt.dir, base, schema_json),
+            batch_format="pyarrow",
+        )
+    else:
+        out = enc.groupby("zpart").map_groups(
+            _make_run_writer(table.root, target_rows, ckpt.dir, base, schema_json),
+            batch_format="pyarrow",
+        )
     for row in out.take_all():
         results.append(json.loads(row["record"]))
 

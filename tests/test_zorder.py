@@ -142,3 +142,23 @@ def test_cluster_salts_hot_conversations(tmp_path):
     )
     assert len(set(plain(hot_rows).column("zpart").to_pylist())) == 1
     assert len(set(salted(hot_rows).column("zpart").to_pylist())) >= 2
+
+
+def test_packed_exchange_matches_sort_exchange(tmp_path):
+    """Both exchange plans produce identical table content (the packed plan
+    moves compressed per-partition blobs instead of raw rows)."""
+    import os
+
+    from quanterra_pipeline_ray.stages.zorder import cluster
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import content_fingerprint, fragment_table, generate_transcripts
+
+    data = generate_transcripts(n_convs=30, seed=71, hot_convs=0)
+    fps = {}
+    for mode in ("sort", "packed"):
+        root = str(tmp_path / mode)
+        table = TranscriptTable.create(root)
+        table.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), 6))
+        cluster(table, target_rows=200, part_bits=3, exchange=mode)
+        fps[mode] = content_fingerprint(table.read_all())
+    assert fps["sort"] == fps["packed"] == content_fingerprint(data)
