@@ -288,6 +288,20 @@ def _q_maint_timerange_scan(sf_dir: str):
     return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
 
 
+def _q_maint_text_search(sf_dir: str):
+    """Secondary-index token search: build per-file token postings for the
+    snapshot, then answer an exact-token query by scanning only posted
+    files; equals the SQL whole-token filter."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.textindex import build_text_index, search_token
+
+    table, _ = _maint_table(sf_dir, "textsearch")
+    compact(table, target_bytes=1 << 20)
+    build_text_index(table)
+    out = search_token(table, "purchase")
+    return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
+
+
 def _q_maint_incremental_counts(sf_dir: str):
     """Incremental view maintenance: per-conversation turn counts computed
     at the base snapshot, then brought up to date across compaction + MERGE
@@ -720,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_incremental_counts": _q_maint_incremental_counts,
         "maint_schema_evolution": _q_maint_schema_evolution,
         "maint_timerange_scan": _q_maint_timerange_scan,
+        "maint_text_search": _q_maint_text_search,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -816,6 +831,11 @@ SELECT 'delete' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
 WITH t AS ({t})
 SELECT * FROM t
 WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+""".strip(),
+        "maint_text_search": rf"""
+WITH t AS ({t})
+SELECT * FROM t
+WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
 """.strip(),
         "maint_incremental_counts": f"""
 WITH t AS ({t}),

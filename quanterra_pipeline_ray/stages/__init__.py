@@ -3,6 +3,7 @@ from .changelog import changelog
 from .compaction import CompactionOp, compact, plan_bins
 from .evolve import evolve_schema
 from .incremental import conv_counts, incremental_conv_counts
+from .textindex import build_text_index, search_token
 from .expire import expire_snapshots, sweep_orphans
 from .merge import merge_into
 from .protocol import MaintenanceOp, run_op
@@ -18,6 +19,8 @@ __all__ = [
     "evolve_schema",
     "conv_counts",
     "incremental_conv_counts",
+    "build_text_index",
+    "search_token",
     "expire_snapshots",
     "sweep_orphans",
     "merge_into",

@@ -289,3 +289,37 @@ def test_time_major_cluster_prunes_windows(tmp_path):
     got = table.scan_ts_range(lo, hi).to_pandas()
     exp = df[(df["ts"] >= lo) & (df["ts"] < hi)]
     assert len(got) == len(exp)
+
+
+def test_text_index_prunes_and_is_sound(tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from quanterra_pipeline_ray.stages.textindex import build_text_index, search_token
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable, write_data_file
+    from quanterra_pipeline_ray.synth import generate_transcripts
+
+    table = TranscriptTable.create(str(tmp_path / "t"))
+    data = generate_transcripts(n_convs=20, seed=81, hot_convs=0)
+    df = data.to_pandas()
+    # plant a rare token in exactly one conversation
+    target_conv = df["conv_id"].iloc[0]
+    df.loc[df["conv_id"] == target_conv, "text"] = (
+        df.loc[df["conv_id"] == target_conv, "text"] + " zzyzxrare"
+    )
+    added = []
+    convs = df["conv_id"].unique()
+    for i in range(0, len(convs), 5):  # 4 files, 5 convs each
+        chunk = df[df["conv_id"].isin(convs[i : i + 5])]
+        added.append(write_data_file(pa.Table.from_pandas(chunk, preserve_index=False), table.root))
+    table.commit(added, operation="append")
+
+    build_text_index(table)
+    hits = search_token(table, "zzyzxrare").to_pandas()
+    exp = df[df["text"].str.contains("zzyzxrare")]
+    assert len(hits) == len(exp)
+    assert set(hits["conv_id"]) == {target_conv}
+    # missing token -> empty, correct schema
+    assert search_token(table, "no-such-token-at-all").count() == 0
