@@ -33,9 +33,10 @@ def expire_snapshots(
 ) -> dict:
     """Expire old snapshots; returns ``{kept, expired, deleted_files}``.
 
-    The current snapshot is always kept.  Only files under the table's own
-    ``data/`` directory are swept (externally registered fragments are the
-    caller's to manage).
+    The current snapshot is always kept, as are snapshots pinned by named
+    refs (``table.set_ref``).  Only files under the table's own ``data/``
+    directory are swept (externally registered fragments are the caller's
+    to manage).
     """
     snaps = table.snapshots()
     current = table.current_snapshot_id()
@@ -43,6 +44,7 @@ def expire_snapshots(
     keep = {s.snapshot_id for s in by_id[-max(1, keep_last):]}
     keep.add(current)
     keep.update(int(i) for i in keep_ids)
+    keep.update(table.refs().values())  # named refs pin their snapshots
     expired = [s for s in by_id if s.snapshot_id not in keep]
 
     reachable: set[str] = set()

@@ -474,6 +474,33 @@ class TranscriptTable:
 
         return rd.read_parquet(paths, **kw).map_batches(keep, batch_format="pyarrow")
 
+    # -- named refs (tags) -------------------------------------------------
+    def set_ref(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg tag/branch head analog).
+
+        Refs live under ``refs/<name>`` and protect their snapshot from
+        expiry; readers resolve them once at pin time like any snapshot.
+        """
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid ref name {name!r}")
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        self.snapshot(sid)  # must exist
+        self.fsa.makedirs(self._p("refs"))
+        _atomic_write(self._p("refs", name), str(sid).encode(), self.fsa)
+        return sid
+
+    def ref(self, name: str) -> int:
+        path = self._p("refs", name)
+        if not self.fsa.exists(path):
+            raise KeyError(f"unknown ref {name!r}")
+        return int(self.fsa.read_bytes(path).decode().strip())
+
+    def refs(self) -> dict[str, int]:
+        return {n: self.ref(n) for n in self.fsa.listdir(self._p("refs"))}
+
+    def drop_ref(self, name: str) -> None:
+        self.fsa.remove(self._p("refs", name))
+
     # -- time travel -------------------------------------------------------
     def snapshot_as_of(self, ts: int) -> Snapshot:
         """Latest snapshot with ``commit_ts <= ts`` (timestamp time travel).
@@ -528,6 +555,7 @@ class TranscriptTable:
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
         as_of_ts: int | None = None,
+        ref: str | None = None,
         **read_kwargs: Any,
     ):
         """``ray.data.Dataset`` over exactly the snapshot's manifest file list.
@@ -539,9 +567,11 @@ class TranscriptTable:
         """
         import ray.data as rd
 
+        if sum(x is not None for x in (snapshot_id, as_of_ts, ref)) > 1:
+            raise ValueError("pass at most one of snapshot_id / as_of_ts / ref")
+        if ref is not None:
+            snapshot_id = self.ref(ref)
         if as_of_ts is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or as_of_ts, not both")
             snapshot_id = self.snapshot_as_of(as_of_ts).snapshot_id
         snap_schema = self.schema_of(snapshot_id)
         defaults = self.defaults_of(snapshot_id)

@@ -92,3 +92,25 @@ def test_sweep_orphans_age_guard(tmp_path):
     res = sweep_orphans(table, min_age_s=3600.0)
     assert fresh.path not in res["deleted_orphans"]
     assert os.path.exists(table._p(fresh.path))
+
+
+def test_named_refs_protect_snapshots_from_expiry(tmp_path):
+    import pytest
+
+    table, n_rows = _table_with_history(tmp_path)
+    pinned = table.current_snapshot_id() - 1  # pre-compaction snapshot
+    table.set_ref("audited-v1", pinned)
+    assert table.ref("audited-v1") == pinned
+    assert table.refs() == {"audited-v1": pinned}
+
+    result = expire_snapshots(table, keep_last=1)
+    assert pinned in result["kept"]
+    assert table.scan(ref="audited-v1").count() == n_rows  # still readable
+
+    table.drop_ref("audited-v1")
+    result2 = expire_snapshots(table, keep_last=1)
+    assert pinned in result2["expired"]
+    with pytest.raises(KeyError):
+        table.ref("audited-v1")
+    with pytest.raises(ValueError):
+        table.set_ref("bad/name")
