@@ -918,7 +918,13 @@ SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
 FROM documents GROUP BY lang
 """.strip(),
-        "dedup_exact_docs": "SELECT * FROM documents",
+        # one survivor (min doc_id) per distinct text: at sf0.01 this equals
+        # SELECT * (no natural dup texts), but larger scales plant exact-dup
+        # texts and the oracle must collapse them exactly like the engine
+        "dedup_exact_docs": """
+SELECT d.* FROM documents d
+JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text) k USING (doc_id)
+""".strip(),
         "text_stats_docs": r"""
 SELECT doc_id,
        LENGTH(text) AS n_chars_txt,
