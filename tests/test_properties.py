@@ -121,3 +121,90 @@ def test_resolve_is_deterministic_and_key_unique(rows):
         out1.reset_index(drop=True), out2.reset_index(drop=True), check_dtype=False
     )
     assert not out1.duplicated(["conv_id", "turn_idx"]).any()
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_key_hash64_path_consistency(keys):
+    """All input shapes and internal fast/slow paths agree: hashing a key
+    must give the same value whether its batch is uniform, mixed-length, or
+    contains long keys (different code paths), sliced, chunked, or object."""
+    import pyarrow as pa
+
+    from quanterra_pipeline_ray.stages.skew import key_hash64
+
+    arr = pa.array(keys, type=pa.string())
+    base = key_hash64(arr)
+    # chunked form
+    assert (key_hash64(pa.chunked_array([keys])) == base).all()
+    # numpy object form
+    assert (key_hash64(np.array(keys, dtype=object)) == base).all()
+    # per-key singleton batches (exercises whichever path that length takes)
+    for i, k in enumerate(keys):
+        assert key_hash64(pa.array([k]))[0] == base[i]
+    # appending a long key must not change other keys' hashes (path switch)
+    with_long = pa.array(list(keys) + ["L" * 200])
+    assert (key_hash64(with_long)[: len(keys)] == base).all()
+    # equal keys hash equal; and hashes are deterministic across calls
+    assert (key_hash64(arr) == base).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=500),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=100),
+)
+@settings(max_examples=40, deadline=None)
+def test_bloom_has_no_false_negatives(members, probes):
+    import numpy as np
+
+    from quanterra_pipeline_ray.stages.skew import key_hash64
+    from quanterra_pipeline_ray.state.bloom import bloom_any, bloom_build
+
+    mh = key_hash64(np.array([f"k{m}" for m in members], dtype=object))
+    blob = bloom_build(mh)
+    # every member must hit (no false negatives, ever)
+    for i in range(len(members)):
+        assert bloom_any(blob, mh[i : i + 1])
+    # any probe set containing a member must hit
+    if probes:
+        ph = key_hash64(np.array([f"k{p}" for p in probes], dtype=object))
+        if set(probes) & set(members):
+            assert bloom_any(blob, ph)
+
+
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)), min_size=0, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_driver_union_find_matches_label_semantics(edges):
+    """Union-find over arbitrary pair lists yields min-member labels with
+    transitivity (pure-python reference check via repeated closure)."""
+    import pandas as pd
+
+    from quanterra_pipeline_ray.functions.dedup import _driver_union_find
+
+    pairs = pd.DataFrame({"a": [a for a, b in edges], "b": [b for a, b in edges]})
+    got = _driver_union_find(pairs)
+    # reference: closure via adjacency flood fill
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for node, label in got.items():
+        seen = {node}
+        stack = [node]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):  # flood the component
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        assert label == min(seen)
