@@ -22,6 +22,7 @@ seeded, deterministic payload per request so tests are exact.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import json
 import time
@@ -35,6 +36,11 @@ from ..util import pool_size
 
 class RetryError(RuntimeError):
     pass
+
+
+def _stable_seed(key: str) -> int:
+    """Process-stable rng seed (python's str hash is salted per process)."""
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "little")
 
 
 def with_retries(
@@ -74,8 +80,8 @@ class DeterministicFakeAPI:
         self._calls += 1
         if self.fail_every and self._calls % self.fail_every == 0:
             raise ConnectionError(f"transient failure on call {self._calls}")
-        key = f"{endpoint}|{json.dumps(params, sort_keys=True)}"
-        rng = np.random.default_rng(abs(hash((self.seed, key))) % (1 << 32))
+        key = f"{self.seed}|{endpoint}|{json.dumps(params, sort_keys=True)}"
+        rng = np.random.default_rng(_stable_seed(key))
         return {
             "endpoint": endpoint,
             "params": params,
@@ -141,6 +147,68 @@ class FetchStage:
         return pd.DataFrame(out)
 
 
+class MarketDataStage:
+    """Yahoo ``get_market_data`` analog (reference
+    `src/clients/yahoo_finance_client.py:50-67`): per-ticker OHLCV history
+    for ``period`` days.  One (fake) session per actor — the Ray-native form
+    of the reference's reused ``requests.Session``
+    (`yahoo_finance_client.py:13-16`) — and the reference's SERIAL
+    per-ticker loop (`yahoo_finance_processor.py:34-51`) becomes a
+    parallelized actor pool over ticker batches.
+    """
+
+    def __init__(self, period_days: int = 5, seed: int = 42, ticker_col: str = "ticker"):
+        self.session = DeterministicFakeAPI(seed=seed)  # session reuse
+        self.period_days = period_days
+        self.ticker_col = ticker_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for ticker in batch[self.ticker_col].astype(str):
+            rng = np.random.default_rng(_stable_seed(f"{self.session.seed}|{ticker}"))
+            base = rng.uniform(10, 500)
+            close = np.round(base * np.cumprod(1 + rng.normal(0, 0.02, self.period_days)), 4)
+            op = np.round(close * (1 + rng.normal(0, 0.005, self.period_days)), 4)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "ticker": ticker,
+                        "day": np.arange(self.period_days, dtype=np.int32),
+                        "Open": op,
+                        "High": np.round(np.maximum(op, close) * 1.01, 4),
+                        "Low": np.round(np.minimum(op, close) * 0.99, 4),
+                        "Close": close,
+                        "Volume": rng.integers(1_000, 1_000_000, self.period_days),
+                        "Adjusted": np.round(close * 0.997, 4),  # dropped by projection
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+
+def market_data_to_columns(batch: pd.DataFrame) -> pd.DataFrame:
+    """Column projection keeping OHLCV per ticker/day (the reference's
+    ``_market_data_to_dict``, `yahoo_finance_client.py:69-79`)."""
+    return batch[["ticker", "day", "Open", "High", "Low", "Close", "Volume"]]
+
+
+def fetch_market_data(tickers: list[str], period_days: int = 5, concurrency: int = 4, seed: int = 42):
+    """Parallel OHLCV fetch + projection over a ticker list."""
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [{"ticker": t} for t in tickers],
+        override_num_blocks=max(1, min(len(tickers), concurrency * 4)),
+    )
+    raw = ds.map_batches(
+        MarketDataStage,
+        fn_constructor_kwargs=dict(period_days=period_days, seed=seed),
+        batch_format="pandas",
+        concurrency=pool_size(concurrency),
+    )
+    return raw.map_batches(market_data_to_columns, batch_format="pandas")
+
+
 def fetch_fanout(
     items: list[dict[str, Any]],
     concurrency: int = 8,
@@ -163,6 +231,6 @@ def fetch_fanout(
         batch_format="pandas",
         concurrency=pool_size(concurrency),
     )
-    ok = fetched.filter(lambda r: r["ok"])
-    quarantine = fetched.filter(lambda r: not r["ok"])
+    ok = fetched.map_batches(lambda b: b[b["ok"]], batch_format="pandas")
+    quarantine = fetched.map_batches(lambda b: b[~b["ok"]], batch_format="pandas")
     return ok, quarantine

@@ -183,3 +183,20 @@ def test_market_data_flow_end_to_end(tmp_path):
         allowed_exchange_suffixes=[".US"],
     )
     assert res2["stored_rows"] == 4
+
+
+def test_market_data_fetch_and_projection():
+    """Yahoo get_market_data parity: per-ticker OHLCV rows, session per
+    actor, projection drops non-OHLCV columns; deterministic per ticker."""
+    from quanterra_pipeline_ray.sources.api import fetch_market_data
+
+    out = fetch_market_data(["AAPL", "MSFT", "GOOG"], period_days=4).to_pandas()
+    assert len(out) == 12
+    assert list(out.columns) == ["ticker", "day", "Open", "High", "Low", "Close", "Volume"]
+    assert "Adjusted" not in out.columns  # projection applied
+    assert (out["High"] >= out[["Open", "Close"]].max(axis=1)).all()
+    assert (out["Low"] <= out[["Open", "Close"]].min(axis=1)).all()
+    again = fetch_market_data(["AAPL", "MSFT", "GOOG"], period_days=4).to_pandas()
+    a = out.sort_values(["ticker", "day"]).reset_index(drop=True)
+    b = again.sort_values(["ticker", "day"]).reset_index(drop=True)
+    assert a.equals(b)
