@@ -288,6 +288,18 @@ def _q_maint_timerange_scan(sf_dir: str):
     return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
 
 
+def _q_maint_delete_where(sf_dir: str) -> pa.Table:
+    """Predicate DELETE through the MERGE machinery (stats/bloom-pruned
+    file rewrites, copy-on-write commit)."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.delete import delete_where
+
+    table, _ = _maint_table(sf_dir, "deletewhere")
+    compact(table, target_bytes=4 << 20)
+    delete_where(table, lambda b: b["turn_idx"] % 11 == 7)
+    return _result(table.read_all())
+
+
 def _q_maint_text_search(sf_dir: str):
     """Secondary-index token search: build per-file token postings for the
     snapshot, then answer an exact-token query by scanning only posted
@@ -735,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_schema_evolution": _q_maint_schema_evolution,
         "maint_timerange_scan": _q_maint_timerange_scan,
         "maint_text_search": _q_maint_text_search,
+        "maint_delete_where": _q_maint_delete_where,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -837,6 +850,7 @@ WITH t AS ({t})
 SELECT * FROM t
 WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
 """.strip(),
+        "maint_delete_where": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",
         "maint_incremental_counts": f"""
 WITH t AS ({t}),
 kept AS (SELECT * FROM t WHERE turn_idx % 7 <> 3 AND turn_idx % 13 <> 5),

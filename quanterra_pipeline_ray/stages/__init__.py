@@ -1,5 +1,6 @@
 from .append import append_dataset
 from .changelog import changelog
+from .delete import delete_where
 from .compaction import CompactionOp, compact, plan_bins
 from .evolve import evolve_schema
 from .incremental import conv_counts, incremental_conv_counts
@@ -13,6 +14,7 @@ from .zorder import cluster, hilbert_d, interleave_bits
 __all__ = [
     "append_dataset",
     "changelog",
+    "delete_where",
     "compact",
     "CompactionOp",
     "plan_bins",

@@ -376,7 +376,8 @@ def merge_into(
     else:  # Ray Dataset: count + distinct keys computed distributedly; only the
         # distinct conv_id list (bounded by touched conversations) reaches the driver
         n_src = source.count()
-        src_convs = np.asarray(source.unique("conv_id"), dtype=object)
+        # Dataset.unique may return a set (0-d under np.asarray) — normalize
+        src_convs = np.asarray(sorted(source.unique("conv_id")), dtype=object)
     touched = prune_touched_files(files, src_convs)
     src_token = _source_token(source)
 

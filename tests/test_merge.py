@@ -174,3 +174,20 @@ def test_run_op_protocol_drives_compaction(tmp_path):
     snap = run_op(op, table)
     assert snap.operation == "compact"
     assert content_fingerprint(table.read_all()) == before
+
+
+def test_delete_where_prunes_and_deletes(tmp_path):
+    from quanterra_pipeline_ray.stages.delete import delete_where
+    from quanterra_pipeline_ray.synth import content_fingerprint
+
+    table, data = _make(tmp_path)
+    df = data.to_pandas()
+    snap = delete_where(table, lambda b: b["turn_idx"] >= 10)
+    exp = df[df["turn_idx"] < 10]
+    got = table.read_all().to_pandas()
+    assert len(got) == len(exp)
+    assert content_fingerprint(table.read_all()) == content_fingerprint(
+        pa.Table.from_pandas(exp.reset_index(drop=True), preserve_index=False)
+    )
+    # snapshot isolation: the pre-delete snapshot still reads everything
+    assert table.scan(snap.parent_id).count() == len(df)
