@@ -90,3 +90,26 @@ def test_dataset_stats_surface():
     ds = rd.range(100).map_batches(lambda b: b, batch_format="pandas").materialize()
     s = dataset_stats(ds)
     assert "Operator" in s or "Stage" in s
+
+
+def test_cli_evolve_changelog_scan_refs(tmp_path):
+    """The round-2 CLI surface: evolve, changelog, time-travel scan."""
+    from quanterra_pipeline_ray.cli import main
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+
+    root = str(tmp_path / "t")
+    data = generate_transcripts(n_convs=8, seed=3, hot_convs=0)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(data, src)
+    assert main(["create", root]) == 0
+    assert main(["append", root, "--parquet", src]) == 0
+    base = TranscriptTable.load(root).current_snapshot_id()
+    assert main(["evolve", root, "--add", "priority:int32:0", "origin:string:synth"]) == 0
+    table = TranscriptTable.load(root)
+    assert table.schema_of().names[-2:] == ["priority", "origin"]
+    assert main(["changelog", root, "--from", str(base)]) == 0
+    assert main(["scan", root]) == 0
+    assert main(["compact", root]) == 0
+    got = TranscriptTable.load(root).read_all()
+    assert got.num_rows == data.num_rows
+    assert got.column("priority").to_pylist() == [0] * data.num_rows
