@@ -570,19 +570,25 @@ class SimHasher:
         return batch
 
 
-def _simhash_band_rows(id_col: str, n_buckets: int = 64):
+def _simhash_band_rows(id_col: str, bands: int, bits_per_band: int, n_buckets: int = 64):
+    mask = np.uint64((1 << bits_per_band) - 1)
+
     def band_rows(b: pd.DataFrame) -> pd.DataFrame:
         sig = b["simhash"].to_numpy(dtype=np.uint64)
         out = []
-        for band in range(4):
-            key = (sig >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        for band in range(bands):
+            key = (sig >> np.uint64(band * bits_per_band)) & mask
             out.append(
                 pd.DataFrame(
                     {"band": band, "key": key, id_col: b[id_col].to_numpy(), "sig": sig}
                 )
             )
         df = pd.concat(out, ignore_index=True)
-        df["__bkt"] = (df["key"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
+        # salt the shuffle bucket with the band so one popular key value
+        # cannot pin all bands' collision groups onto one reducer
+        h = df["key"].to_numpy(dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= df["band"].to_numpy(dtype=np.uint64)
+        df["__bkt"] = (h % n_buckets).astype(np.int64)
         return df
 
     return band_rows
@@ -593,10 +599,26 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bands: int = 4,
+    bits_per_band: int = 16,
     concurrency: int = 4,
-) -> pa.Table:
-    """Near-dup pairs by SimHash banding: 4×16-bit bands guarantee recall for
-    Hamming distance ≤ 3; candidates verified by vectorized popcount."""
+):
+    """Near-dup pairs by SimHash banding; returns a lazy Dataset of distinct
+    ``(a, b, hamming)`` pairs with ``a < b`` — pair data never lands on the
+    driver (distributed distinct via :func:`_dedupe_pairs`).
+
+    Recall guarantee (pigeonhole): with ``bands`` disjoint bands covering
+    ``bands * bits_per_band <= 64`` signature bits, any pair at Hamming
+    distance ``<= bands - 1`` over the covered bits collides in at least one
+    band.  Sizing rule: each band has ``2^bits_per_band`` keys, and the
+    per-(band, key) candidate self-merge is O(group²) — keep expected group
+    size ``N / 2^bits_per_band`` small (≈10–100).  The 4×16 default is right
+    up to ~10⁷ docs; at ≥10⁸ use wider bands (e.g. ``bands=3,
+    bits_per_band=21`` for Hamming ≤ 2, or 8×8-bit multi-band OR with a
+    higher verify budget) so collision groups stay bounded.
+    """
+    if bands * bits_per_band > 64:
+        raise ValueError("bands * bits_per_band must be <= 64 (signature width)")
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas", concurrency=pool_size(concurrency),
@@ -609,7 +631,13 @@ def simhash_dedup(
         m = g.merge(g, on=["band", "key"])
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         if not len(m):
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=np.int64),
+                    "b": pd.Series([], dtype=np.int64),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
         x = m["sig_x"].to_numpy(dtype=np.uint64) ^ m["sig_y"].to_numpy(dtype=np.uint64)
         ham = popcount64(x)
         keep = ham <= max_hamming
@@ -622,14 +650,16 @@ def simhash_dedup(
         )
 
     pairs = (
-        sigs.map_batches(_simhash_band_rows(id_col, n_buckets), batch_format="pandas")
+        sigs.map_batches(
+            _simhash_band_rows(id_col, bands, bits_per_band, n_buckets),
+            batch_format="pandas",
+        )
         .groupby("__bkt")
         .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(subset=["a", "b"])
-        .sort_values(["a", "b"])
     )
-    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+    # cross-band duplicate pairs dropped by a distributed bucketed distinct —
+    # never a driver-side collect of the pair list
+    return _dedupe_pairs(pairs, n_buckets)
 
 
 def simhash_exact_pairs(

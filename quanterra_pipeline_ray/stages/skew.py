@@ -123,7 +123,7 @@ def find_hot_keys(ds, key: str = "conv_id", threshold_rows: int = 1_000_000) -> 
     from ray.data.aggregate import Count
 
     counts = ds.groupby(key).aggregate(Count(alias_name="n"))
-    hot = counts.filter(lambda r: r["n"] >= threshold_rows).take_all()
+    hot = counts.filter(expr=f"n >= {int(threshold_rows)}").take_all()
     return {r[key] for r in hot}
 
 

@@ -42,19 +42,26 @@ class WatermarkWindower:
         self.lateness_us = int(lateness_us)
         self.key_col = key_col
         self.ts_col = ts_col
-        self.open: dict = {}  # (key, window_start_us) -> count
+        # open-window state: int64 counts indexed by (key, window_start_us);
+        # merged and emitted with vectorized Series ops, never a per-window loop
+        self.open: pd.Series = pd.Series(
+            [], dtype=np.int64, index=pd.MultiIndex.from_arrays([[], []], names=["k", "w"])
+        )
         self.watermark = np.iinfo(np.int64).min
         self.late_dropped = 0
 
     def _emit_closed(self) -> pd.DataFrame:
-        closed = [kw for kw in self.open if kw[1] + self.window_us <= self.watermark]
+        ends = self.open.index.get_level_values("w").to_numpy(dtype=np.int64) + self.window_us
+        closed_mask = ends <= self.watermark
+        closed = self.open[closed_mask]
+        self.open = self.open[~closed_mask]
         rows = {
-            self.key_col: np.array([kw[0] for kw in closed]),
-            "window_start": np.array([kw[1] for kw in closed], dtype="datetime64[us]"),
-            "n_events": np.array([self.open[kw] for kw in closed], dtype=np.int64),
+            self.key_col: closed.index.get_level_values("k").to_numpy(),
+            "window_start": closed.index.get_level_values("w")
+            .to_numpy(dtype=np.int64)
+            .astype("datetime64[us]"),
+            "n_events": closed.to_numpy(dtype=np.int64),
         }
-        for kw in closed:
-            del self.open[kw]
         return pd.DataFrame(rows)
 
     def process(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -67,10 +74,17 @@ class WatermarkWindower:
         ts, keys = ts[on_time], keys[on_time]
         if len(ts):
             starts = (ts // self.window_us) * self.window_us
-            agg = pd.DataFrame({"k": keys, "w": starts}).groupby(["k", "w"]).size()
-            for (k, w), c in agg.items():
-                kw = (k, int(w))
-                self.open[kw] = self.open.get(kw, 0) + int(c)
+            agg = (
+                pd.DataFrame({"k": keys, "w": starts})
+                .groupby(["k", "w"])
+                .size()
+                .astype(np.int64)
+            )
+            self.open = (
+                agg
+                if not len(self.open)
+                else self.open.add(agg, fill_value=0).astype(np.int64)
+            )
             self.watermark = max(self.watermark, int(ts.max()) - self.lateness_us)
         return self._emit_closed()
 

@@ -64,25 +64,29 @@ def build_text_index(
         return index_dir
 
     def index_file(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         out = []
         for spec_json in batch["spec"]:
             spec = json.loads(spec_json)
             t = pq.read_table(spec["path"], columns=[text_col])
-            toks = (
-                pd.Series(t.column(text_col).to_pylist(), dtype=object)
-                .str.findall(r"\S+")
-                .explode()
-                .dropna()
-                .unique()
-            )
+            # Arrow-native tokenization: unicode-whitespace split -> flatten
+            # -> unique, all inside Arrow buffers (split semantics match the
+            # search filter's \S+ findall: runs of non-whitespace, no empties)
+            col = t.column(text_col)
+            if pa.types.is_large_string(col.type):
+                col = col.cast(pa.string())
+            toks_arr = pc.unique(pc.list_flatten(pc.utf8_split_whitespace(col)))
+            toks_arr = toks_arr.filter(pc.not_equal(toks_arr, ""))
+            toks = toks_arr.to_numpy(zero_copy_only=False)
             out.append(
                 pd.DataFrame(
                     {
-                        "token": toks.astype(object),
+                        "token": toks,
                         "path": spec["rel_path"],
-                        "bucket": _token_bucket(toks.astype(object)),
+                        "bucket": _token_bucket(toks_arr),
                     }
                 )
             )

@@ -64,6 +64,88 @@ def test_range_join_window_bounds():
     assert secs == [100, 3699]  # [anchor, anchor+width): 99 early, 3700 at bound
 
 
+def test_range_join_hot_key_memory_stays_match_bounded():
+    """VERDICT r2 done-criterion: a hot key (10^3 anchors x 10^4 right rows)
+    must NOT materialize the 10^7-row per-key product — peak kernel
+    allocations stay O(|left| + |right| + matches)."""
+    import tracemalloc
+
+    from quanterra_pipeline_ray.pipelines.temporal import _range_join_bucket
+
+    n_anchor, n_right = 1_000, 10_000
+    # anchors spread over a long horizon; narrow window -> few matches each
+    left = pd.DataFrame(
+        {
+            "k": "hot",
+            "ts": np.arange(n_anchor, dtype=np.int64) * 1_000_000,
+            "__side": np.int8(0),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": "hot",
+            "ts": np.arange(n_right, dtype=np.int64) * 100_000,
+            "__side": np.int8(1),
+        }
+    )
+    g = pd.concat([left, right], ignore_index=True)
+    tracemalloc.start()
+    out = _range_join_bucket(g, "k", "ts", "anchor_ts", width_us=500_000)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # every anchor lands on a right multiple of 1e5: window [a, a+5e5) holds
+    # exactly 5 rows while the anchor is within the right horizon
+    in_horizon = (np.arange(n_anchor) * 1_000_000) < n_right * 100_000
+    assert len(out) == int(in_horizon.sum()) * 5
+    # cartesian product would be 10^7 rows ~ 240MB; O(matches) is ~ 5k rows.
+    # Allow generous slack for pandas internals: must stay far below product.
+    assert peak < 30 * 1024 * 1024, f"peak {peak/1e6:.1f} MB suggests a cartesian blow-up"
+    # spot-check window bounds on one anchor
+    one = out[out["anchor_ts"] == 3_000_000]["ts"].tolist()
+    assert sorted(one) == [3_000_000, 3_100_000, 3_200_000, 3_300_000, 3_400_000]
+
+
+def test_range_join_per_key_fallback_matches_fast_path():
+    """The int64-overflow fallback kernel must produce identical matches."""
+    from quanterra_pipeline_ray.pipelines.temporal import (
+        _range_join_bucket,
+        _range_join_per_key,
+    )
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 2_000
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "d"], n_l),
+            "ts": rng.integers(0, 10**7, n_l),
+            "__side": np.int8(0),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "e"], n_r),
+            "ts": rng.integers(0, 10**7, n_r),
+            "__side": np.int8(1),
+        }
+    )
+    g = pd.concat([left, right], ignore_index=True)
+    fast = _range_join_bucket(g, "k", "ts", "anchor_ts", width_us=50_000)
+    l = g[g["__side"] == 0][["k", "ts"]]
+    r = g[g["__side"] == 1][["k", "ts"]]
+    codes, _ = pd.factorize(pd.concat([l["k"], r["k"]], ignore_index=True))
+    slow = _range_join_per_key(
+        codes[: len(l)].astype(np.int64),
+        codes[len(l) :].astype(np.int64),
+        l["ts"].astype("int64").to_numpy(),
+        r["ts"].astype("int64").to_numpy(),
+        l, r, "k", "ts", "anchor_ts", 50_000,
+    )
+    key = ["k", "anchor_ts", "ts"]
+    f = fast.sort_values(key).reset_index(drop=True)
+    s = slow.sort_values(key).reset_index(drop=True)
+    assert len(f) and f[key].equals(s[key])
+
+
 # --------------------------------------------------------------- time travel
 def test_timestamp_time_travel(tmp_path):
     from quanterra_pipeline_ray.stages.compaction import compact
