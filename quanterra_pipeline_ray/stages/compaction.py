@@ -71,13 +71,19 @@ def plan_bins(
     return bins, carried
 
 
-def _compact_bins_batch(batch) -> "Any":
+def _compact_bins_batch(batch, fsa=None) -> "Any":
     """Stateless per-bin task: read fragments -> one sorted output file each.
 
-    Receives a (usually single-row) pandas batch of JSON bin specs.
+    Receives a (usually single-row) pandas batch of JSON bin specs.  ``fsa``
+    is the table's :class:`..state.fs.StorageAdapter` (closure-captured by
+    ``CompactionOp.run`` and pickled to the task), so compaction works
+    against non-local table roots (object stores / subtree filesystems).
     """
     import pandas as pd
 
+    from ..state.fs import LOCAL
+
+    fsa = fsa or LOCAL
     records = []
     for spec_json in batch["spec"]:
         spec = json.loads(spec_json)
@@ -87,12 +93,13 @@ def _compact_bins_batch(batch) -> "Any":
         )
         defaults = spec.get("defaults") or {}
         tables = [
-            ensure_schema(pq.read_table(p), schema, defaults=defaults) for p in spec["paths"]
+            ensure_schema(pq.read_table(p, filesystem=fsa.fs), schema, defaults=defaults)
+            for p in spec["paths"]
         ]
         merged = pa.concat_tables(tables)
         # sorts by (conv_id, turn_idx) within file; also MATERIALIZES any
         # evolved columns into the rewritten file (write-on-next-touch)
-        out = write_data_file(merged, spec["root"], schema=schema)
+        out = write_data_file(merged, spec["root"], schema=schema, fs=fsa)
         lin = lineage_record(
             op="compact",
             partition_id=spec["bin_id"],
@@ -103,7 +110,7 @@ def _compact_bins_batch(batch) -> "Any":
             duration_s=time.monotonic() - t0,
         )
         record = {"datafile": out.to_json(), "lineage": lin, "removed": spec["rel_paths"]}
-        Checkpoint.write_record(spec["ckpt_dir"], spec["bin_id"], record)
+        Checkpoint.write_record(spec["ckpt_dir"], spec["bin_id"], record, fs=fsa)
         records.append(json.dumps(record))
     return pd.DataFrame({"record": records})
 
@@ -136,7 +143,9 @@ class CompactionOp:
         bins, carried = plan_bins(files, self.target_bytes, self.carry_forward_ratio)
         self._base = snapshot_id
         self._n_bins, self._n_carried = len(bins), len(carried)
-        self._ckpt = Checkpoint(table.root, f"compact-s{snapshot_id}-t{self.target_bytes}")
+        self._ckpt = Checkpoint(
+            table.root, f"compact-s{snapshot_id}-t{self.target_bytes}", fs=table.fsa
+        )
         schema_json = schema_to_json(table.schema_of(snapshot_id))
         defaults = table.defaults_of(snapshot_id)
         return [
@@ -165,9 +174,14 @@ class CompactionOp:
             else:
                 items.append({"spec": json.dumps(spec)})
         if items:
+            fsa = table.fsa
+
+            def run_bin(batch):
+                return _compact_bins_batch(batch, fsa)
+
             ds = rd.from_items(items, override_num_blocks=len(items))
             out = ds.map_batches(
-                _compact_bins_batch, batch_size=None, batch_format="pandas"
+                run_bin, batch_size=None, batch_format="pandas"
             ).take_all()
             results.extend(json.loads(r["record"]) for r in out)
         return results
@@ -188,7 +202,7 @@ class CompactionOp:
             },
             base_snapshot_id=self._base,
         )
-        store_lineage(table.root, snap.snapshot_id, [r["lineage"] for r in results])
+        store_lineage(table.root, snap.snapshot_id, [r["lineage"] for r in results], fs=table.fsa)
         self._ckpt.clear()
         return snap
 

@@ -14,10 +14,12 @@ Atomicity notes (the commit protocol depends on them):
   observe a torn file.
 * **object stores**: single-object PUT is already atomic (readers see old or
   new, never partial), but rename is copy+delete, so the temp+move dance is
-  skipped there and the payload is PUT directly; the snapshot-id
-  exists-check-then-write race documented in ``manifest.py`` likewise
-  assumes a single committer per table (a real multi-writer deployment
-  would use a conditional-PUT / generation-match primitive).
+  skipped there and the payload is PUT directly.
+* **multi-writer commits** go through :meth:`StorageAdapter.write_if_absent`
+  — a true CAS locally (atomic ``link(2)``); on object stores the default is
+  exists-check + PUT (single-committer), and deployments override it with
+  the store's conditional-PUT (S3 ``If-None-Match``, GCS generation-match)
+  to make concurrent drivers safe.
 """
 
 from __future__ import annotations
@@ -86,6 +88,40 @@ class StorageAdapter:
         else:
             with self.fs.open_output_stream(path) as f:
                 f.write(payload)
+
+    def write_if_absent(self, path: str, payload: bytes) -> bool:
+        """Commit primitive: publish ``payload`` at ``path`` iff no file
+        exists there; returns whether THIS call created it.
+
+        This is the compare-and-swap the snapshot commit protocol is built
+        on — the first writer of ``snapshots/s<N>.json`` wins and every
+        loser re-parents and retries (see ``manifest.TranscriptTable.commit``).
+
+        * **local**: write temp + ``os.link`` — link(2) is atomic and fails
+          with EEXIST if the target appeared meanwhile, so this is a true
+          CAS *and* readers never observe a torn file.
+        * **other filesystems**: exists-check + atomic PUT — NOT safe under
+          concurrent committers.  Object-store deployments must subclass
+          with the store's conditional write (S3 ``If-None-Match: *``, GCS
+          ``x-goog-if-generation-match: 0``) for multi-writer safety; the
+          single-writer semantics here match the reference's singleton
+          client (reference `src/clients/google_cloud_storage_client.py:14-38`).
+        """
+        if self.is_local:
+            tmp = f"{path}.cas.{os.getpid()}.{os.urandom(4).hex()}"
+            with self.fs.open_output_stream(tmp) as f:
+                f.write(payload)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+            finally:
+                os.unlink(tmp)
+        if self.exists(path):
+            return False
+        self.write_atomic(path, payload)
+        return True
 
     def remove(self, path: str) -> None:
         from pyarrow.fs import FileType

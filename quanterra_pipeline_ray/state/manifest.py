@@ -13,11 +13,14 @@ explicit as a tiny lakehouse layout:
   snapshots/   s<NNNN>.json                      snapshot -> manifest pointer
   checkpoints/ <op_id>/p-<partition>.json        per-partition completion records
   lineage/     s<NNNN>/*.json                    per-partition lineage records
-  _latest                                        current snapshot id (atomic rename)
+  _latest                                        advisory cache of the current id
 ```
 
 Every maintenance op commits copy-on-write: it writes new data files and a
-new manifest, then atomically swaps ``_latest``.  Old snapshots keep their
+new manifest, then CAS-creates ``snapshots/s<parent+1>.json`` — that create
+IS the commit point (first writer wins; losers re-parent and retry, see
+:class:`CommitConflict`), and ``_latest`` is only an advisory cache
+refreshed afterwards.  Old snapshots keep their
 file lists, so a reader pinned to snapshot N never observes compacted files
 (snapshot isolation).  A crashed commit leaves only unreferenced files —
 invisible to readers, collected later by :mod:`..stages.expire`.
@@ -45,6 +48,17 @@ from ..schema import STATS_COLUMNS, TRANSCRIPTS_SCHEMA, ensure_schema
 from .fs import LOCAL, StorageAdapter
 
 _LATEST = "_latest"
+
+
+class CommitConflict(Exception):
+    """Another committer landed a snapshot with the same parent first.
+
+    Raised by :meth:`TranscriptTable._commit_manifest` when the CAS create of
+    ``snapshots/s<parent+1>.json`` loses the race.  :meth:`TranscriptTable.commit`
+    catches it, re-reads the (new) current snapshot, recomputes the file set
+    against it and retries — so concurrent appends both land, on distinct
+    ids, with neither lineage lost.  Callers that PINNED a base snapshot see
+    the conflict surfaced instead (their plan may be stale)."""
 
 
 @dataclass(frozen=True)
@@ -227,6 +241,17 @@ class TranscriptTable:
 
     # -- snapshots ---------------------------------------------------------
     def current_snapshot_id(self) -> int:
+        """Highest committed snapshot id.
+
+        Authoritative source is the ``snapshots/`` listing (the CAS-created
+        snapshot file IS the commit point); ``_latest`` is an advisory cache
+        kept for fast existence checks — under concurrent committers its
+        last-writer-wins update may briefly lag, so it is never trusted when
+        a listing is available."""
+        names = self.fsa.listdir(self._p("snapshots"))
+        ids = [int(n[1:-5]) for n in names if n.startswith("s") and n.endswith(".json")]
+        if ids:
+            return max(ids)
         return int(self.fsa.read_bytes(self._p(_LATEST)).decode().strip())
 
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
@@ -267,10 +292,6 @@ class TranscriptTable:
         _atomic_write(self._p(mname), payload, self.fsa)
 
         sid = 0 if parent is None else parent + 1
-        # guard against concurrent committers racing to the same id (single
-        # committer assumed; see state/fs.py atomicity notes)
-        while self.fsa.exists(self._p("snapshots", f"s{sid:06d}.json")):
-            sid += 1
         parent_snap = None if parent is None else self.snapshot(parent)
         if commit_ts is None:
             # logical clock: strictly increasing, deterministic under replay
@@ -295,11 +316,18 @@ class TranscriptTable:
                 "num_files": len(files),
             },
         )
-        _atomic_write(
+        # THE commit point: CAS-create of the snapshot file.  Exactly one
+        # committer per (parent -> child) id wins; losers re-parent and retry
+        # in commit() so no interleaved commit's file changes are lost.
+        created = self.fsa.write_if_absent(
             self._p("snapshots", f"s{sid:06d}.json"),
             json.dumps(snap.to_json(), sort_keys=True).encode(),
-            self.fsa,
         )
+        if not created:
+            raise CommitConflict(
+                f"snapshot s{sid} already committed by another writer (parent s{parent})"
+            )
+        # advisory cache only — current_snapshot_id() trusts the listing
         _atomic_write(self._p(_LATEST), str(sid).encode(), self.fsa)
         return snap
 
@@ -311,23 +339,45 @@ class TranscriptTable:
         summary: dict[str, Any] | None = None,
         base_snapshot_id: int | None = None,
         commit_ts: int | None = None,
+        max_retries: int = 16,
     ) -> Snapshot:
-        """Copy-on-write commit: ``new = (base - removed) + added``."""
-        base = self.current_snapshot_id() if base_snapshot_id is None else base_snapshot_id
-        current = {f.path: f for f in self.files(base)}
-        removed = set(removed_paths)
-        unknown = removed - set(current)
-        if unknown:
-            raise ValueError(f"commit removes files not in snapshot s{base}: {sorted(unknown)[:5]}")
-        kept = [f for p, f in current.items() if p not in removed]
+        """Copy-on-write commit: ``new = (base - removed) + added``.
+
+        Multi-writer safe when the base floats (``base_snapshot_id=None``):
+        losing the snapshot-id CAS re-reads the new current snapshot,
+        recomputes ``(current - removed) + added`` against it and retries, so
+        concurrent committers serialize without losing either's changes.  A
+        retry raises ``ValueError`` if a removed file vanished meanwhile (the
+        caller's plan is stale and must be recomputed).  With a PINNED base
+        the :class:`CommitConflict` is surfaced instead.
+        """
         added = list(added)
-        return self._commit_manifest(
-            kept + added,
-            parent=base,
-            operation=operation,
-            summary={**(summary or {}), "added_files": len(added), "removed_files": len(removed)},
-            commit_ts=commit_ts,
-        )
+        removed = set(removed_paths)
+        for attempt in range(max_retries + 1):
+            base = self.current_snapshot_id() if base_snapshot_id is None else base_snapshot_id
+            current = {f.path: f for f in self.files(base)}
+            unknown = removed - set(current)
+            if unknown:
+                raise ValueError(
+                    f"commit removes files not in snapshot s{base}: {sorted(unknown)[:5]}"
+                )
+            kept = [f for p, f in current.items() if p not in removed]
+            try:
+                return self._commit_manifest(
+                    kept + added,
+                    parent=base,
+                    operation=operation,
+                    summary={
+                        **(summary or {}),
+                        "added_files": len(added),
+                        "removed_files": len(removed),
+                    },
+                    commit_ts=commit_ts,
+                )
+            except CommitConflict:
+                if base_snapshot_id is not None or attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     # -- schema evolution --------------------------------------------------
     def schema_of(self, snapshot_id: int | None = None) -> pa.Schema:

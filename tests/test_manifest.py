@@ -116,6 +116,121 @@ def test_manifest_with_explicit_filesystem_adapter(tmp_path):
     assert [f.path for f in loaded.files()] == [df.path]
 
 
+def test_write_if_absent_is_cas(tmp_path):
+    """First writer wins; losers get False and the winner's bytes survive."""
+    from quanterra_pipeline_ray.state.fs import LOCAL
+
+    p = str(tmp_path / "cas.json")
+    assert LOCAL.write_if_absent(p, b"winner") is True
+    assert LOCAL.write_if_absent(p, b"loser") is False
+    assert LOCAL.read_bytes(p) == b"winner"
+    # no temp debris left behind
+    assert [n for n in os.listdir(str(tmp_path)) if ".cas." in n] == []
+
+
+def test_concurrent_committers_both_land(tmp_path):
+    """VERDICT r2 done-criterion: two interleaved committers — both commits
+    land, on distinct snapshot ids, and neither's file changes are lost."""
+    from quanterra_pipeline_ray.state.fs import StorageAdapter
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+
+    root = str(tmp_path / "t")
+    t1 = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=6, seed=2, hot_convs=0)
+
+    class InterleavingAdapter(StorageAdapter):
+        """Injects writer 1's commit right before writer 2's snapshot CAS —
+        the exact race window of the old exists-check-then-write protocol."""
+
+        def __init__(self):
+            super().__init__()
+            self.fired = False
+
+        def write_if_absent(self, path, payload):
+            if not self.fired and f"{os.sep}snapshots{os.sep}" in path:
+                self.fired = True
+                t1.append_table(data.slice(0, 10))  # steals the snapshot id
+            return super().write_if_absent(path, payload)
+
+    t2 = TranscriptTable.load(root, fs=InterleavingAdapter())
+    snap2 = t2.append_table(data.slice(10, 10))
+
+    snaps = sorted(t1.snapshots(), key=lambda s: s.snapshot_id)
+    assert snap2.snapshot_id == snaps[-1].snapshot_id
+    # writer 2 re-parented onto writer 1's commit: linear lineage, no fork
+    assert snap2.parent_id == snap2.snapshot_id - 1
+    by_id = {s.snapshot_id: s for s in snaps}
+    assert by_id[snap2.parent_id].operation == "append"  # writer 1's commit
+    # neither change lost: final snapshot holds BOTH appended files
+    assert len(t1.files()) == 2
+    assert t1.scan().count() == 20
+
+
+def test_pinned_base_commit_surfaces_conflict(tmp_path):
+    """A committer that PINNED its base snapshot must see the conflict (its
+    plan may be stale), not silently re-parent."""
+    import pytest
+
+    from quanterra_pipeline_ray.state.manifest import CommitConflict, TranscriptTable, write_data_file
+
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=4, seed=3, hot_convs=0)
+    base = table.current_snapshot_id()
+    df1 = write_data_file(data.slice(0, 5), table.root)
+    df2 = write_data_file(data.slice(5, 5), table.root)
+    table.commit([df1], operation="append")  # someone else lands first
+    with pytest.raises(CommitConflict):
+        table.commit([df2], operation="append", base_snapshot_id=base)
+
+
+def test_nonlocal_filesystem_table_roundtrip(tmp_path):
+    """VERDICT r2 done-criterion: the ``is_local=False`` adapter branches
+    (direct-PUT ``write_atomic``, ``scan(filesystem=...)``) exercised with a
+    ``SubTreeFileSystem`` table root — manifest round-trip, scan, compact,
+    expire — without any real object store."""
+    from pyarrow.fs import LocalFileSystem, SubTreeFileSystem
+
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.expire import expire_snapshots
+    from quanterra_pipeline_ray.state.fs import StorageAdapter
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import content_fingerprint, generate_transcripts
+
+    fs = StorageAdapter(SubTreeFileSystem(str(tmp_path), LocalFileSystem()))
+    assert not fs.is_local  # the point of the test
+    table = TranscriptTable.create("tbl", fs=fs)
+    data = generate_transcripts(n_convs=12, seed=17, hot_convs=0)
+    fp = content_fingerprint(data)
+    # three small appends -> three files through the direct-PUT write path
+    third = data.num_rows // 3
+    table.append_table(data.slice(0, third))
+    table.append_table(data.slice(third, third))
+    table.append_table(data.slice(2 * third))
+    assert len(table.files()) == 3
+
+    # manifest round-trip through a fresh handle
+    loaded = TranscriptTable.load("tbl", fs=fs)
+    assert content_fingerprint(loaded.read_all()) == fp
+
+    # distributed scan threads the explicit filesystem into read_parquet
+    ds = loaded.scan()
+    assert ds.count() == data.num_rows
+
+    # compaction runs its Ray tasks against the non-local adapter
+    snap = compact(loaded, target_bytes=1 << 20)
+    assert len(loaded.files(snap.snapshot_id)) == 1
+    assert content_fingerprint(loaded.read_all()) == fp
+
+    # expiry deletes through the adapter; current snapshot stays readable
+    res = expire_snapshots(loaded, keep_last=1)
+    assert res["expired"]
+    assert content_fingerprint(loaded.read_all()) == fp
+    # expired pre-compaction files actually gone from the subtree
+    for p in res["deleted_files"]:
+        assert not fs.exists(f"tbl/{p}")
+
+
 def test_bloom_point_lookup_pruning(tmp_path):
     """Bloom + range stats prune a point lookup to a strict file subset,
     and never lose rows (false positives only)."""
