@@ -300,6 +300,24 @@ def _q_maint_delete_where(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_delete_vector(sf_dir: str) -> pa.Table:
+    """Predicate DELETE via positional delete vectors: the commit swaps only
+    manifest entries (sidecars of row ordinals under deletes/), ZERO data
+    files are rewritten, and every reader subtracts the mask.  Same oracle
+    predicate as maint_delete_where — different physical plan."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.deletevec import delete_where_vector
+
+    table, _ = _maint_table(sf_dir, "deletevector")
+    compact(table, target_bytes=4 << 20)
+    paths_before = {f.path for f in table.files()}
+    snap = delete_where_vector(table, lambda b: b["turn_idx"] % 11 == 7, columns=["turn_idx"])
+    after = table.files(snap.snapshot_id)
+    assert {f.path for f in after} == paths_before  # zero data-file rewrites
+    assert any(f.delete_path for f in after)
+    return _result(table.read_all())
+
+
 def _q_maint_text_search(sf_dir: str):
     """Secondary-index token search: build per-file token postings for the
     snapshot, then answer an exact-token query by scanning only posted
@@ -748,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_timerange_scan": _q_maint_timerange_scan,
         "maint_text_search": _q_maint_text_search,
         "maint_delete_where": _q_maint_delete_where,
+        "maint_delete_vector": _q_maint_delete_vector,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -851,6 +870,7 @@ SELECT * FROM t
 WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
 """.strip(),
         "maint_delete_where": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",
+        "maint_delete_vector": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",
         "maint_incremental_counts": f"""
 WITH t AS ({t}),
 kept AS (SELECT * FROM t WHERE turn_idx % 7 <> 3 AND turn_idx % 13 <> 5),

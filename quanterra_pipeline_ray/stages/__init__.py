@@ -1,6 +1,7 @@
 from .append import append_dataset
 from .changelog import changelog
 from .delete import delete_where
+from .deletevec import delete_where_vector
 from .compaction import CompactionOp, compact, plan_bins
 from .evolve import evolve_schema
 from .incremental import conv_counts, incremental_conv_counts
@@ -15,6 +16,7 @@ __all__ = [
     "append_dataset",
     "changelog",
     "delete_where",
+    "delete_where_vector",
     "compact",
     "CompactionOp",
     "plan_bins",

@@ -39,16 +39,14 @@ def changelog(
     _defaults = table.defaults_of(to_snapshot)
     _COLS = list(_schema.names)
 
-    old_files = {f.path for f in table.files(from_snapshot)}
-    new_files = {f.path for f in table.files(to_snapshot)}
-
-    def _abs(paths: set[str]) -> list[str]:
-        import os
-
-        return [p if os.path.isabs(p) else table._p(p) for p in sorted(paths)]
-
-    only_old = _abs(old_files - new_files)
-    only_new = _abs(new_files - old_files)
+    # file identity includes the positional-delete sidecar: a delete-vector
+    # commit keeps the data path but changes delete_path, so the file must be
+    # scanned on BOTH sides (each through its own mask) — common rows cancel
+    # in the bucket diff and only the newly-deleted rows surface.
+    old_files = {(f.path, f.delete_path): f for f in table.files(from_snapshot)}
+    new_files = {(f.path, f.delete_path): f for f in table.files(to_snapshot)}
+    only_old = [old_files[k] for k in sorted(old_files.keys() - new_files.keys())]
+    only_new = [new_files[k] for k in sorted(new_files.keys() - old_files.keys())]
 
     def empty_frame() -> pd.DataFrame:
         base = _schema.empty_table().to_pandas()
@@ -72,11 +70,13 @@ def changelog(
 
         return fn
 
+    from .deletevec import read_files
+
     parts = []
     if only_old:
-        parts.append(rd.read_parquet(only_old).map_batches(tag(0), batch_format="pandas"))
+        parts.append(read_files(table, only_old).map_batches(tag(0), batch_format="pandas"))
     if only_new:
-        parts.append(rd.read_parquet(only_new).map_batches(tag(1), batch_format="pandas"))
+        parts.append(read_files(table, only_new).map_batches(tag(1), batch_format="pandas"))
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
     def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:

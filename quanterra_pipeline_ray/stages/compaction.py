@@ -92,10 +92,15 @@ def _compact_bins_batch(batch, fsa=None) -> "Any":
             schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
         )
         defaults = spec.get("defaults") or {}
-        tables = [
-            ensure_schema(pq.read_table(p, filesystem=fsa.fs), schema, defaults=defaults)
-            for p in spec["paths"]
-        ]
+        deletes = spec.get("deletes") or [None] * len(spec["paths"])
+        tables = []
+        for p, dpath in zip(spec["paths"], deletes):
+            t = pq.read_table(p, filesystem=fsa.fs)
+            if dpath:  # materialize positional deletes into the rewrite
+                from .deletevec import apply_deletes, read_delete_positions
+
+                t = apply_deletes(t, read_delete_positions(dpath, fsa))
+            tables.append(ensure_schema(t, schema, defaults=defaults))
         merged = pa.concat_tables(tables)
         # sorts by (conv_id, turn_idx) within file; also MATERIALIZES any
         # evolved columns into the rewritten file (write-on-next-touch)
@@ -155,6 +160,9 @@ class CompactionOp:
                 "paths": [f.path if f.path.startswith("/") else table._p(f.path) for f in b],
                 "rel_paths": [f.path for f in b],
                 "checksums": [f.checksum for f in b],
+                "deletes": [
+                    table._p(f.delete_path) if f.delete_path else None for f in b
+                ],
                 "ckpt_dir": self._ckpt.dir,
                 "schema": schema_json,
                 "defaults": defaults,

@@ -47,15 +47,25 @@ def expire_snapshots(
     keep.update(table.refs().values())  # named refs pin their snapshots
     expired = [s for s in by_id if s.snapshot_id not in keep]
 
+    def _paths_of(sid: int) -> set[str]:
+        out: set[str] = set()
+        for f in table.files(sid):
+            out.add(f.path)
+            if f.delete_path:  # positional-delete sidecars live and die
+                out.add(f.delete_path)  # with the snapshots that reference them
+        return out
+
     reachable: set[str] = set()
     for sid in keep:
-        reachable.update(f.path for f in table.files(sid))
+        reachable.update(_paths_of(sid))
 
     candidates: set[str] = set()
     for s in expired:
-        candidates.update(f.path for f in table.files(s.snapshot_id))
+        candidates.update(_paths_of(s.snapshot_id))
     to_delete = sorted(
-        p for p in candidates - reachable if not os.path.isabs(p) and p.startswith("data/")
+        p
+        for p in candidates - reachable
+        if not os.path.isabs(p) and (p.startswith("data/") or p.startswith("deletes/"))
     )
 
     if not dry_run:
@@ -111,18 +121,22 @@ def sweep_orphans(
     """
     reachable: set[str] = set()
     for s in table.snapshots():
-        reachable.update(f.path for f in table.files(s.snapshot_id))
+        for f in table.files(s.snapshot_id):
+            reachable.add(f.path)
+            if f.delete_path:
+                reachable.add(f.delete_path)
     reachable.update(_checkpointed_paths(table))
 
     now = time.time()
     orphans: list[str] = []
-    for abspath in table.fsa.walk_files(table._p("data")):
-        rel = os.path.relpath(abspath, table.root)
-        if rel in reachable or abspath in reachable:
-            continue
-        if now - table.fsa.mtime(abspath) < min_age_s:
-            continue
-        orphans.append(rel)
+    for sub in ("data", "deletes"):
+        for abspath in table.fsa.walk_files(table._p(sub)):
+            rel = os.path.relpath(abspath, table.root)
+            if rel in reachable or abspath in reachable:
+                continue
+            if now - table.fsa.mtime(abspath) < min_age_s:
+                continue
+            orphans.append(rel)
     orphans.sort()
     if not dry_run:
         for rel in orphans:

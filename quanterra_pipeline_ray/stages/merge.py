@@ -311,7 +311,13 @@ def _make_merge_file_task(source_ref):
                 schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
             )
             defaults = spec.get("defaults") or {}
-            tgt = ensure_schema(pq.read_table(spec["path"]), schema, defaults=defaults)
+            tgt = pq.read_table(spec["path"])
+            if spec.get("delete"):  # positional-delete sidecar: the rewrite
+                # materializes it (output file carries no sidecar)
+                from .deletevec import apply_deletes, read_delete_positions
+
+                tgt = apply_deletes(tgt, read_delete_positions(spec["delete"]))
+            tgt = ensure_schema(tgt, schema, defaults=defaults)
             tkey = _composite_key(tgt)
             # semi-join: source keys present in THIS file (their update lands here)
             src_hit = pc.is_in(skey, value_set=tkey)
@@ -447,6 +453,7 @@ def _merge_broadcast(
                         "path": f.path if f.path.startswith("/") else table._p(f.path),
                         "rel_path": f.path,
                         "checksum": f.checksum,
+                        "delete": table._p(f.delete_path) if f.delete_path else None,
                         "ckpt_dir": ckpt.dir,
                         "schema": schema_to_json(table.schema_of(base)),
                         "defaults": table.defaults_of(base),
@@ -559,11 +566,13 @@ def _merge_shuffle(
     nblocks = int(max(cpus, sum(f.bytes for f in touched) // (64 << 20)))
     parts = []
     if paths:
-        parts.append(
-            rd.read_parquet(paths, override_num_blocks=nblocks).map_batches(
-                tag_target, batch_format="pyarrow"
-            )
-        )
+        if any(f.delete_path for f in touched):
+            from .deletevec import read_files
+
+            target_reader = read_files(table, touched)
+        else:
+            target_reader = rd.read_parquet(paths, override_num_blocks=nblocks)
+        parts.append(target_reader.map_batches(tag_target, batch_format="pyarrow"))
     parts.append(source_ds)
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 

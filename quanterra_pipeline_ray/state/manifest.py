@@ -63,13 +63,22 @@ class CommitConflict(Exception):
 
 @dataclass(frozen=True)
 class DataFile:
-    """Manifest entry for one parquet data file (path relative to table root)."""
+    """Manifest entry for one parquet data file (path relative to table root).
+
+    ``delete_path`` / ``delete_rows``: optional positional-delete sidecar
+    (parquet of row ordinals under ``deletes/``, see ``stages/deletevec``).
+    A file's LIVE rows are ``rows - delete_rows``; readers subtract the
+    sidecar's positions, and any rewrite (compaction, cluster, MERGE)
+    materializes the deletes and drops the sidecar reference.
+    """
 
     path: str
     rows: int
     bytes: int
     checksum: str  # sha256 of the file bytes
     stats: dict[str, list[Any]] = field(default_factory=dict)  # col -> [min, max]
+    delete_path: str | None = None
+    delete_rows: int = 0
 
     def to_json(self) -> dict[str, Any]:
         return asdict(self)
@@ -82,6 +91,8 @@ class DataFile:
             bytes=int(d["bytes"]),
             checksum=d["checksum"],
             stats=d.get("stats", {}),
+            delete_path=d.get("delete_path"),
+            delete_rows=int(d.get("delete_rows", 0)),
         )
 
 
@@ -413,6 +424,7 @@ class TranscriptTable:
                     "ts_min": (f.stats.get("ts") or [None, None])[0],
                     "ts_max": (f.stats.get("ts") or [None, None])[1],
                     "has_bloom": "conv_bloom" in f.stats,
+                    "delete_rows": f.delete_rows,
                 }
             )
         return rd.from_pandas(pd.DataFrame(rows))
@@ -480,7 +492,6 @@ class TranscriptTable:
         files = self.prune_files_for_ts_range(ts_from, ts_to, snapshot_id)
         if not files:
             return rd.from_arrow(self.schema_of(snapshot_id).empty_table())
-        paths = [f.path if os.path.isabs(f.path) else self._p(f.path) for f in files]
         lo = pa.scalar(pd.Timestamp(ts_from).to_pydatetime(), type=pa.timestamp("us"))
         hi = pa.scalar(pd.Timestamp(ts_to).to_pydatetime(), type=pa.timestamp("us"))
 
@@ -490,7 +501,9 @@ class TranscriptTable:
                 _pc.and_(_pc.greater_equal(ts, lo), _pc.less(ts, hi))
             )
 
-        return rd.read_parquet(paths, **kw).map_batches(keep, batch_format="pyarrow")
+        from ..stages.deletevec import read_files
+
+        return read_files(self, files, **kw).map_batches(keep, batch_format="pyarrow")
 
     # -- point-lookup pruning ----------------------------------------------
     def prune_files_for_convs(
@@ -516,13 +529,14 @@ class TranscriptTable:
         files = self.prune_files_for_convs(conv_list, snapshot_id)
         if not files:
             return rd.from_arrow(self.schema.empty_table())
-        paths = [f.path if os.path.isabs(f.path) else self._p(f.path) for f in files]
         wanted = pa.array(conv_list, type=pa.string())
 
         def keep(t: pa.Table) -> pa.Table:
             return t.filter(_pc.is_in(t.column("conv_id").cast(pa.string()), value_set=wanted))
 
-        return rd.read_parquet(paths, **kw).map_batches(keep, batch_format="pyarrow")
+        from ..stages.deletevec import read_files
+
+        return read_files(self, files, **kw).map_batches(keep, batch_format="pyarrow")
 
     # -- named refs (tags) -------------------------------------------------
     def set_ref(self, name: str, snapshot_id: int | None = None) -> int:
@@ -625,11 +639,13 @@ class TranscriptTable:
             snapshot_id = self.snapshot_as_of(as_of_ts).snapshot_id
         snap_schema = self.schema_of(snapshot_id)
         defaults = self.defaults_of(snapshot_id)
-        paths = self.file_paths(snapshot_id)
-        if not paths:
+        files = self.files(snapshot_id)
+        if not files:
             return rd.from_arrow(snap_schema.empty_table())
-        if not self.fsa.is_local and "filesystem" not in read_kwargs:
-            read_kwargs["filesystem"] = self.fsa.fs
+        # both read paths honor positional-delete sidecars (stages/deletevec
+        # read_files is a plain read_parquet when no file carries one)
+        from ..stages.deletevec import read_files
+
         evolved = [n for n in snap_schema.names if n in defaults]
         if evolved and (columns is None or any(c in defaults for c in columns)):
             # old files lack evolved columns: read available ones, pad the
@@ -638,26 +654,31 @@ class TranscriptTable:
             want = list(columns) if columns is not None else list(snap_schema.names)
             physical = [c for c in want if c not in defaults]
             out_schema = pa.schema([snap_schema.field(n) for n in want])
-            ds = rd.read_parquet(paths, columns=physical or None, **read_kwargs)
+            ds = read_files(self, files, columns=physical or None, **read_kwargs)
             pad = {k: v for k, v in defaults.items() if k in want}
 
             def pad_batch(t: pa.Table) -> pa.Table:
                 return ensure_schema(t, out_schema, defaults=pad)
 
             return ds.map_batches(pad_batch, batch_format="pyarrow")
-        return rd.read_parquet(paths, columns=columns, **read_kwargs)
+        return read_files(self, files, columns=columns, **read_kwargs)
 
     def read_all(self, snapshot_id: int | None = None) -> pa.Table:
         """Driver-side full read (tests / small tables only)."""
+        from ..stages.deletevec import apply_deletes, read_delete_positions
+
         snap_schema = self.schema_of(snapshot_id)
         defaults = self.defaults_of(snapshot_id)
-        paths = self.file_paths(snapshot_id)
-        if not paths:
+        files = self.files(snapshot_id)
+        if not files:
             return snap_schema.empty_table()
-        tables = [
-            ensure_schema(
-                pq.read_table(io.BytesIO(self.fsa.read_bytes(p))), snap_schema, defaults=defaults
-            )
-            for p in paths
-        ]
+        tables = []
+        for f in files:
+            p = f.path if os.path.isabs(f.path) else self._p(f.path)
+            t = pq.read_table(io.BytesIO(self.fsa.read_bytes(p)))
+            if f.delete_path:
+                t = apply_deletes(
+                    t, read_delete_positions(self._p(f.delete_path), self.fsa)
+                )
+            tables.append(ensure_schema(t, snap_schema, defaults=defaults))
         return pa.concat_tables(tables)
