@@ -260,12 +260,18 @@ def _q_maint_schema_evolution(sf_dir: str) -> pa.Table:
     from quanterra_pipeline_ray.stages.evolve import evolve_schema
     from quanterra_pipeline_ray.stages.merge import merge_into
 
+    from quanterra_pipeline_ray.stages.evolve import rename_column
+
     table, data = _maint_table(sf_dir, "evolve")
     n_files_before = len(table.files())
     snap = evolve_schema(table, [("priority", "int32", 0)])
     assert len(table.files()) == n_files_before  # metadata-only commit
-    compact(table, target_bytes=4 << 20)
+    compact(table, target_bytes=4 << 20)  # materializes 'priority' physically
+    # RENAME evolution: metadata-only; files written before the rename are
+    # name-mapped at read, and the MERGE rewrite materializes the new name
+    rename_column(table, "priority", "prio")
     merge_into(table, _merge_source(data), target_rows=100_000)
+    assert "prio" in table.schema_of().names
     return _result(table.read_all())
 
 
@@ -889,12 +895,13 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM m GROUP BY conv_id
         "maint_merge": merge_sql,
         "maint_merge_shuffle": merge_sql,
         # the evolved column rides along with default 0 through compaction +
-        # merge (merge source lacks it -> padded)
+        # a rename (priority -> prio, metadata-only, name-mapped at read) +
+        # merge (merge source lacks it -> padded under the NEW name)
         "maint_schema_evolution": merge_sql.replace(
-            "SELECT * FROM kept", "SELECT *, CAST(0 AS INTEGER) AS priority FROM kept"
+            "SELECT * FROM kept", "SELECT *, CAST(0 AS INTEGER) AS prio FROM kept"
         )
-        .replace("SELECT * FROM upd", "SELECT *, CAST(0 AS INTEGER) AS priority FROM upd")
-        .replace("SELECT * FROM ins", "SELECT *, CAST(0 AS INTEGER) AS priority FROM ins"),
+        .replace("SELECT * FROM upd", "SELECT *, CAST(0 AS INTEGER) AS prio FROM upd")
+        .replace("SELECT * FROM ins", "SELECT *, CAST(0 AS INTEGER) AS prio FROM ins"),
         # exact-decimal arithmetic on both sides -> bit-identical doubles
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

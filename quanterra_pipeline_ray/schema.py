@@ -48,6 +48,7 @@ def ensure_schema(
     table: pa.Table,
     schema: pa.Schema = TRANSCRIPTS_SCHEMA,
     defaults: dict | None = None,
+    aliases: dict | None = None,
 ) -> pa.Table:
     """Project + cast ``table`` to ``schema`` (column order included).
 
@@ -59,8 +60,22 @@ def ensure_schema(
     ``defaults``: columns listed here MAY be absent from ``table`` and are
     materialized with the given scalar — the read-side half of additive
     schema evolution (old files lack the new column; scans pad it).
+
+    ``aliases``: ``{current_name: [older physical names, oldest first]}`` —
+    the read-side half of RENAME evolution: a file written before the rename
+    carries the column under a prior name; the newest alias present wins.
+    Renames are metadata-only; the next rewrite materializes the new name.
     """
     defaults = defaults or {}
+    for cur, olds in (aliases or {}).items():
+        if cur in table.column_names:
+            continue
+        for old in reversed(olds):  # newest physical name wins
+            if old in table.column_names:
+                table = table.rename_columns(
+                    [cur if n == old else n for n in table.column_names]
+                )
+                break
     missing = set(schema.names) - set(table.column_names) - set(defaults)
     if missing:
         raise SchemaValidationError(f"missing required columns: {sorted(missing)}")

@@ -3,7 +3,7 @@ from .changelog import changelog
 from .delete import delete_where
 from .deletevec import delete_where_vector
 from .compaction import CompactionOp, compact, plan_bins
-from .evolve import evolve_schema
+from .evolve import drop_column, evolve_schema, rename_column
 from .incremental import conv_counts, incremental_conv_counts
 from .textindex import build_text_index, search_token
 from .expire import expire_snapshots, sweep_orphans
@@ -21,6 +21,8 @@ __all__ = [
     "CompactionOp",
     "plan_bins",
     "evolve_schema",
+    "rename_column",
+    "drop_column",
     "conv_counts",
     "incremental_conv_counts",
     "build_text_index",

@@ -37,6 +37,7 @@ def changelog(
 
     _schema = table.schema_of(to_snapshot)
     _defaults = table.defaults_of(to_snapshot)
+    _aliases = table.aliases_of(to_snapshot)
     _COLS = list(_schema.names)
 
     # file identity includes the positional-delete sidecar: a delete-vector
@@ -58,6 +59,13 @@ def changelog(
 
     def tag(side: int):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
+            for c in _COLS:
+                if c in b.columns:
+                    continue
+                for old in reversed(_aliases.get(c, [])):  # renamed columns:
+                    if old in b.columns:  # map the file's physical name
+                        b = b.rename(columns={old: c})
+                        break
             for c in _COLS:  # pad evolved columns missing from old files
                 if c not in b.columns:
                     b[c] = _defaults.get(c)

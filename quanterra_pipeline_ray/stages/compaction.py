@@ -92,6 +92,7 @@ def _compact_bins_batch(batch, fsa=None) -> "Any":
             schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
         )
         defaults = spec.get("defaults") or {}
+        aliases = spec.get("aliases") or {}
         deletes = spec.get("deletes") or [None] * len(spec["paths"])
         tables = []
         for p, dpath in zip(spec["paths"], deletes):
@@ -100,7 +101,8 @@ def _compact_bins_batch(batch, fsa=None) -> "Any":
                 from .deletevec import apply_deletes, read_delete_positions
 
                 t = apply_deletes(t, read_delete_positions(dpath, fsa))
-            tables.append(ensure_schema(t, schema, defaults=defaults))
+            # ensure_schema also materializes renames (aliases) and drops
+            tables.append(ensure_schema(t, schema, defaults=defaults, aliases=aliases))
         merged = pa.concat_tables(tables)
         # sorts by (conv_id, turn_idx) within file; also MATERIALIZES any
         # evolved columns into the rewritten file (write-on-next-touch)
@@ -166,6 +168,7 @@ class CompactionOp:
                 "ckpt_dir": self._ckpt.dir,
                 "schema": schema_json,
                 "defaults": defaults,
+                "aliases": table.aliases_of(snapshot_id),
             }
             for i, b in enumerate(bins)
         ]

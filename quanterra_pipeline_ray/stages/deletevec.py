@@ -130,6 +130,69 @@ def read_files(
     return ds.map_batches(read_one, batch_size=None, batch_format="pandas")
 
 
+def mapped_read(
+    table: TranscriptTable,
+    files: list[DataFile],
+    want: list[str],
+    out_schema: pa.Schema,
+    defaults: dict,
+    aliases: dict,
+    **read_kwargs,
+):
+    """Per-file schema-mapped read: the fully general snapshot reader.
+
+    Handles, per file, everything metadata-only evolution can leave behind:
+    positional-delete masks, RENAMEd columns (footer-projected read of the
+    file's physical name, mapped to the current name), DROPped columns
+    (never projected), and ADDed columns (padded from defaults).  One Ray
+    task per file — used only when the snapshot actually needs mapping; the
+    plain path stays ``read_parquet``.
+    """
+    import ray.data as rd
+
+    fsa = table.fsa
+    items = [
+        {
+            "spec": json.dumps(
+                {
+                    "path": f.path if os.path.isabs(f.path) else table._p(f.path),
+                    "delete": table._p(f.delete_path) if f.delete_path else None,
+                }
+            )
+        }
+        for f in files
+    ]
+
+    def read_one(batch: pd.DataFrame) -> pa.Table:
+        from ..schema import ensure_schema
+
+        tables = []
+        for spec_json in batch["spec"]:
+            spec = json.loads(spec_json)
+            pf = pq.ParquetFile(spec["path"], filesystem=fsa.fs)  # footer only
+            present = set(pf.schema_arrow.names)
+            cols, rename = [], {}
+            for c in want:
+                if c in present:
+                    cols.append(c)
+                    continue
+                for old in reversed(aliases.get(c, [])):  # newest name wins
+                    if old in present:
+                        cols.append(old)
+                        rename[old] = c
+                        break
+            t = pq.read_table(spec["path"], columns=cols, filesystem=fsa.fs)
+            if spec["delete"]:
+                t = apply_deletes(t, read_delete_positions(spec["delete"], fsa))
+            if rename:
+                t = t.rename_columns([rename.get(n, n) for n in t.column_names])
+            tables.append(ensure_schema(t, out_schema, defaults=defaults))
+        return pa.concat_tables(tables)
+
+    ds = rd.from_items(items, override_num_blocks=len(items))
+    return ds.map_batches(read_one, batch_size=None, batch_format="pandas")
+
+
 # -------------------------------------------------------------------- DELETE
 def delete_where_vector(
     table: TranscriptTable,

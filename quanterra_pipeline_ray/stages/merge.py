@@ -317,7 +317,9 @@ def _make_merge_file_task(source_ref):
                 from .deletevec import apply_deletes, read_delete_positions
 
                 tgt = apply_deletes(tgt, read_delete_positions(spec["delete"]))
-            tgt = ensure_schema(tgt, schema, defaults=defaults)
+            tgt = ensure_schema(
+                tgt, schema, defaults=defaults, aliases=spec.get("aliases") or {}
+            )
             tkey = _composite_key(tgt)
             # semi-join: source keys present in THIS file (their update lands here)
             src_hit = pc.is_in(skey, value_set=tkey)
@@ -457,6 +459,7 @@ def _merge_broadcast(
                         "ckpt_dir": ckpt.dir,
                         "schema": schema_to_json(table.schema_of(base)),
                         "defaults": table.defaults_of(base),
+                        "aliases": table.aliases_of(base),
                     }
                 )
             }
@@ -544,9 +547,10 @@ def _merge_shuffle(
     paths = [f.path if f.path.startswith("/") else table._p(f.path) for f in touched]
     snap_schema = table.schema_of(base)
     snap_defaults = table.defaults_of(base)
+    snap_aliases = table.aliases_of(base)
 
     def tag_target(t: pa.Table) -> pa.Table:
-        t = ensure_schema(t, snap_schema, defaults=snap_defaults)
+        t = ensure_schema(t, snap_schema, defaults=snap_defaults, aliases=snap_aliases)
         t = t.append_column("__del", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
         return t.append_column("__src", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
 

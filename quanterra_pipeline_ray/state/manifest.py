@@ -112,9 +112,16 @@ class Snapshot:
     #: ``[[name, type], ...]`` (None = the engine's base transcripts
     #: schema) plus read-time defaults for columns added after a file was
     #: written.  Maintenance commits inherit the parent's schema; only
-    #: :func:`..stages.evolve.evolve_schema` changes it.
+    #: the :mod:`..stages.evolve` operators change it.
     schema_fields: list | None = None
     defaults: dict | None = None
+    #: RENAME evolution: ``{current_name: [prior physical names, oldest
+    #: first]}`` — readers map a file's old physical name to the current one
+    #: (the name-lineage analog of Iceberg field ids).  DROP evolution:
+    #: tombstoned names (current + all their aliases) that may never be
+    #: re-added, so a re-added name can't resurrect old files' data.
+    column_aliases: dict | None = None
+    dropped_columns: list | None = None
 
     def to_json(self) -> dict[str, Any]:
         return asdict(self)
@@ -130,6 +137,8 @@ class Snapshot:
             commit_ts=int(d.get("commit_ts", d.get("snapshot_id", 0))),
             schema_fields=d.get("schema_fields"),
             defaults=d.get("defaults"),
+            column_aliases=d.get("column_aliases"),
+            dropped_columns=d.get("dropped_columns"),
         )
 
 
@@ -295,6 +304,8 @@ class TranscriptTable:
         commit_ts: int | None = None,
         schema_fields: list | None = None,
         defaults: dict | None = None,
+        column_aliases: dict | None = None,
+        dropped_columns: list | None = None,
     ) -> Snapshot:
         files = sorted(files, key=lambda f: f.path)
         manifest_doc = {"files": [f.to_json() for f in files]}
@@ -312,6 +323,10 @@ class TranscriptTable:
             schema_fields = parent_snap.schema_fields
             if defaults is None:
                 defaults = parent_snap.defaults
+            if column_aliases is None:
+                column_aliases = parent_snap.column_aliases
+            if dropped_columns is None:
+                dropped_columns = parent_snap.dropped_columns
         snap = Snapshot(
             snapshot_id=sid,
             parent_id=parent,
@@ -320,6 +335,8 @@ class TranscriptTable:
             commit_ts=int(commit_ts),
             schema_fields=schema_fields,
             defaults=defaults,
+            column_aliases=column_aliases,
+            dropped_columns=dropped_columns,
             summary={
                 **summary,
                 "total_rows": sum(f.rows for f in files),
@@ -403,6 +420,15 @@ class TranscriptTable:
     def defaults_of(self, snapshot_id: int | None = None) -> dict:
         snap = self.snapshot(snapshot_id)
         return dict(snap.defaults or {})
+
+    def aliases_of(self, snapshot_id: int | None = None) -> dict:
+        """``{current_name: [prior physical names]}`` for renamed columns."""
+        snap = self.snapshot(snapshot_id)
+        return {k: list(v) for k, v in (snap.column_aliases or {}).items()}
+
+    def dropped_of(self, snapshot_id: int | None = None) -> list:
+        snap = self.snapshot(snapshot_id)
+        return list(snap.dropped_columns or [])
 
     # -- metadata tables -----------------------------------------------------
     def files_table(self, snapshot_id: int | None = None):
@@ -639,23 +665,28 @@ class TranscriptTable:
             snapshot_id = self.snapshot_as_of(as_of_ts).snapshot_id
         snap_schema = self.schema_of(snapshot_id)
         defaults = self.defaults_of(snapshot_id)
+        aliases = self.aliases_of(snapshot_id)
+        dropped = self.dropped_of(snapshot_id)
         files = self.files(snapshot_id)
         if not files:
             return rd.from_arrow(snap_schema.empty_table())
-        # both read paths honor positional-delete sidecars (stages/deletevec
-        # read_files is a plain read_parquet when no file carries one)
-        from ..stages.deletevec import read_files
+        from ..stages.deletevec import mapped_read, read_files
 
+        want = list(columns) if columns is not None else list(snap_schema.names)
+        out_schema = pa.schema([snap_schema.field(n) for n in want])
+        pad = {k: v for k, v in defaults.items() if k in want}
+        if aliases or dropped or any(f.delete_path for f in files):
+            # fully general per-file reader: delete masks, renamed columns
+            # mapped from their physical names, dropped columns never
+            # projected, added columns padded
+            return mapped_read(self, files, want, out_schema, pad, aliases, **read_kwargs)
         evolved = [n for n in snap_schema.names if n in defaults]
         if evolved and (columns is None or any(c in defaults for c in columns)):
-            # old files lack evolved columns: read available ones, pad the
-            # rest per batch (write-time materialization happens at the next
-            # compaction/cluster rewrite)
-            want = list(columns) if columns is not None else list(snap_schema.names)
+            # ADD-only evolution: old files lack evolved columns — read the
+            # physical ones row-group-parallel, pad the rest per batch
+            # (write-time materialization happens at the next rewrite)
             physical = [c for c in want if c not in defaults]
-            out_schema = pa.schema([snap_schema.field(n) for n in want])
             ds = read_files(self, files, columns=physical or None, **read_kwargs)
-            pad = {k: v for k, v in defaults.items() if k in want}
 
             def pad_batch(t: pa.Table) -> pa.Table:
                 return ensure_schema(t, out_schema, defaults=pad)
@@ -669,6 +700,7 @@ class TranscriptTable:
 
         snap_schema = self.schema_of(snapshot_id)
         defaults = self.defaults_of(snapshot_id)
+        aliases = self.aliases_of(snapshot_id)
         files = self.files(snapshot_id)
         if not files:
             return snap_schema.empty_table()
@@ -680,5 +712,5 @@ class TranscriptTable:
                 t = apply_deletes(
                     t, read_delete_positions(self._p(f.delete_path), self.fsa)
                 )
-            tables.append(ensure_schema(t, snap_schema, defaults=defaults))
+            tables.append(ensure_schema(t, snap_schema, defaults=defaults, aliases=aliases))
         return pa.concat_tables(tables)
