@@ -106,6 +106,9 @@ def _headline() -> dict:
         # the DISCRETE 3-stage pipeline instead so the cross-round scaling
         # series stays comparable (see BASELINE.md)
         fuse_compact_cluster=os.environ.get("QPR_BENCH_FUSE", "1") == "1",
+        # cluster shuffle implementation: "direct" (default; deterministic
+        # map-reduce exchange) / "sort" (Ray Data sort exchange)
+        exchange=os.environ.get("QPR_BENCH_EXCHANGE", "direct"),
     )
     wall = time.monotonic() - t0
     return {

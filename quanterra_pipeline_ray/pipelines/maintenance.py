@@ -106,6 +106,7 @@ def run_maintenance(
     do_expire: bool = False,
     part_bits: int | None = None,
     fuse_compact_cluster: bool = True,
+    exchange: str = "direct",
 ) -> MaintenanceReport:
     """compact → Z-order cluster → MERGE (→ optional expire); timed per stage.
 
@@ -123,7 +124,7 @@ def run_maintenance(
 
     if fuse_compact_cluster:
         t0 = time.monotonic()
-        s2 = cluster(table, target_rows=target_rows, part_bits=part_bits)
+        s2 = cluster(table, target_rows=target_rows, part_bits=part_bits, exchange=exchange)
         rep.timings_s["compact+zorder(fused)"] = time.monotonic() - t0
         rep.snapshots["zorder"] = s2.snapshot_id
         rep.files["clustered"] = len(table.files())
@@ -135,7 +136,7 @@ def run_maintenance(
         rep.files["compacted"] = len(table.files())
 
         t0 = time.monotonic()
-        s2 = cluster(table, target_rows=target_rows, part_bits=part_bits)
+        s2 = cluster(table, target_rows=target_rows, part_bits=part_bits, exchange=exchange)
         rep.timings_s["zorder"] = time.monotonic() - t0
         rep.snapshots["zorder"] = s2.snapshot_id
         rep.files["clustered"] = len(table.files())

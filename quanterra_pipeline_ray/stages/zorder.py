@@ -171,74 +171,25 @@ class ZKeyEncoder:
         )
 
 
-class _EncodeAndPack:
-    """Fused encoder + map-side of the packed exchange (ONE actor pool):
-    compute z/zpart, then split the batch by ``zpart`` and serialize every
-    slice to zstd parquet bytes.
+def _ipc_encode(t: pa.Table, codec: str) -> bytes:
+    """Arrow-IPC-serialize a table with buffer compression — the wire format
+    of the compressed exchange (measured in ``tools/exchange_sim.py``)."""
+    import io
 
-    The cluster shuffle does not need global ordering — only co-location by
-    partition (the writer sorts within its partition anyway) — so instead of
-    pushing 11.7M wide rows through Ray's sort exchange, we push ~4k
-    compressed blobs (~3x fewer bytes for text-heavy rows).  Codec cost is
-    the price; on a transfer-bound exchange it wins.
-    """
+    import pyarrow.ipc as ipc
 
-    def __init__(self, compression: str = "zstd", **encoder_kwargs):
-        self.encoder = ZKeyEncoder(**encoder_kwargs)
-        self.compression = compression
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import io
-
-        import pyarrow.parquet as pq
-
-        batch = self.encoder(batch)
-        zpart = batch.column("zpart").to_numpy(zero_copy_only=False)
-        order = np.argsort(zpart, kind="stable")
-        sorted_batch = batch.take(pa.array(order))
-        sz = zpart[order]
-        bounds = np.flatnonzero(np.diff(sz)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(sz)]])
-        parts, blobs = [], []
-        for s, e in zip(starts, ends):
-            chunk = sorted_batch.slice(int(s), int(e - s))
-            buf = io.BytesIO()
-            pq.write_table(chunk, buf, compression=self.compression)
-            parts.append(int(sz[s]))
-            blobs.append(buf.getvalue())
-        return pa.table(
-            {
-                "zpart": pa.array(parts, type=pa.uint64()),
-                "payload": pa.array(blobs, type=pa.large_binary()),
-            }
-        )
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema, options=ipc.IpcWriteOptions(compression=codec)) as w:
+        w.write_table(t)
+    return buf.getvalue()
 
 
-def _make_packed_writer(
-    root: str,
-    target_rows: int,
-    ckpt_dir: str,
-    base_snapshot: int,
-    schema_json: list | None = None,
-):
-    """Reduce-side of the packed exchange: decode the partition's blobs,
-    then delegate to the ordinary run writer logic."""
-    inner = _make_run_writer(root, target_rows, ckpt_dir, base_snapshot, schema_json)
+def _ipc_decode(payload: bytes) -> pa.Table:
+    import io
 
-    def write_packed(group: pa.Table) -> pa.Table:
-        import io
+    import pyarrow.ipc as ipc
 
-        import pyarrow.parquet as pq
-
-        if group.num_rows == 0:
-            return pa.table({"record": pa.array([], type=pa.string())})
-        tables = [
-            pq.read_table(io.BytesIO(b.as_py())) for b in group.column("payload")
-        ]
-        return inner(pa.concat_tables(tables))
-
-    return write_packed
+    return ipc.open_stream(io.BytesIO(payload)).read_all()
 
 
 def _make_run_writer(
@@ -294,6 +245,136 @@ def _make_run_writer(
     return write_run
 
 
+def _direct_exchange(
+    table: TranscriptTable,
+    files,
+    base: int,
+    encoder_kwargs: dict,
+    part_bits: int,
+    target_rows: int,
+    ckpt: Checkpoint,
+    done_parts: set[int],
+    schema_json: list,
+    wire_compression: str | None = None,
+) -> list[dict]:
+    """Deterministic direct map-reduce exchange for the cluster shuffle.
+
+    Ray Data's ``groupby`` is a SORT exchange: it samples key boundaries,
+    sorts every block by key, range-partitions, and merges sorted runs on
+    the reduce side — machinery for a global order the cluster stage does
+    not need (``zpart`` is already a uniform deterministic partition id, and
+    the writer re-sorts within its partition anyway).  Ray 2.49's native
+    HASH_SHUFFLE strategy hangs (see CLAUDE.md), so this is the one place
+    the engine drops to raw Ray tasks: the classic two-stage shuffle from
+    the Ray docs — map tasks read a chunk of manifest files, encode
+    ``z``/``zpart``, and return ``P`` per-partition slices via
+    ``num_returns=P``; one reduce task per partition concatenates its
+    slices, sorts by ``z`` and writes.  Versus the sort exchange this
+    removes the boundary-sampling pass, the map-side re-blocking copy and
+    the sorted-run merge — two to three fewer full-width passes over a
+    text-dominated (≈82% of bytes) payload on a memory-bandwidth-bound
+    exchange.  Multi-node: map outputs scatter into the object store and
+    each reducer pulls only its partition's slices (all-to-all, no
+    driver-side data).  Resume: completed partitions' reduces are skipped
+    and their slices dropped map-side, so reruns move only incomplete
+    partitions' bytes.
+    """
+    import ray
+
+    from ..schema import ensure_schema, schema_from_json
+
+    P = 1 << part_bits
+    fsa = table.fsa
+    root = table.root
+    ckpt_dir = ckpt.dir
+    defaults = table.defaults_of(base)
+    aliases = table.aliases_of(base)
+    specs = [
+        {
+            "path": f.path if f.path.startswith("/") else table._p(f.path),
+            "delete": table._p(f.delete_path) if f.delete_path else None,
+            "bytes": f.bytes,
+        }
+        for f in files
+    ]
+    # greedy size-balanced chunks, ~64 MiB each, at least 2 per CPU
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    total_bytes = sum(s["bytes"] for s in specs)
+    n_chunks = int(min(len(specs), max(2 * cpus, total_bytes // (64 << 20))))
+    n_chunks = max(1, n_chunks)
+    bins: list[list[dict]] = [[] for _ in range(n_chunks)]
+    sizes = np.zeros(n_chunks, dtype=np.int64)
+    for s in sorted(specs, key=lambda x: -x["bytes"]):
+        i = int(np.argmin(sizes))
+        bins[i].append(s)
+        sizes[i] += s["bytes"]
+    bins = [b for b in bins if b]
+    skip = frozenset(done_parts)
+
+    def map_chunk(chunk_specs: list[dict]):
+        import pyarrow.parquet as pq
+
+        from .deletevec import apply_deletes, read_delete_positions
+
+        schema = schema_from_json(schema_json)
+        enc = ZKeyEncoder(**encoder_kwargs)
+        encoded, zparts = [], []
+        for spec in chunk_specs:
+            t = pq.read_table(spec["path"], filesystem=fsa.fs)
+            if spec["delete"]:
+                t = apply_deletes(t, read_delete_positions(spec["delete"], fsa))
+            t = ensure_schema(
+                t, schema, defaults=defaults, aliases=aliases
+            ).combine_chunks()
+            t = enc(t)
+            encoded.append(t)
+            zparts.append(t.column("zpart").to_numpy())
+        big = pa.concat_tables(encoded)  # zero-copy chunk collection
+        zp = np.concatenate(zparts)
+        order = np.argsort(zp, kind="stable")
+        bounds = np.searchsorted(zp[order], np.arange(P + 1))
+        empty = big.schema.empty_table()
+        out = []
+        for p in range(P):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if e == s or p in skip:
+                out.append(None if wire_compression else empty)
+            else:
+                # take (not slice): compact buffers, so each return object
+                # carries exactly its partition's bytes into the store
+                part_t = big.take(pa.array(order[s:e]))
+                out.append(
+                    _ipc_encode(part_t, wire_compression)
+                    if wire_compression
+                    else part_t
+                )
+        return tuple(out) if P > 1 else out[0]
+
+    writer = _make_run_writer(root, target_rows, ckpt_dir, base, schema_json)
+
+    def reduce_part(*slices):
+        if wire_compression:
+            slices = [_ipc_decode(s) for s in slices if s is not None]
+        live = [s for s in slices if s.num_rows]
+        if not live:
+            return None
+        group = pa.concat_tables(live)
+        rec = writer(group)
+        return rec.column("record")[0].as_py() if rec.num_rows else None
+
+    map_fn = ray.remote(num_returns=P)(map_chunk)
+    reduce_fn = ray.remote(reduce_part)
+    map_out = [map_fn.remote(b) for b in bins]
+    if P == 1:
+        map_out = [[r] for r in map_out]
+    pending = [
+        reduce_fn.remote(*[m[p] for m in map_out])
+        for p in range(P)
+        if p not in skip
+    ]
+    return [json.loads(r) for r in ray.get(pending) if r]
+
+
 def cluster(
     table: TranscriptTable,
     ts_bucket_us: int = 3_600_000_000,  # 1 hour
@@ -304,7 +385,8 @@ def cluster(
     curve: str = "z",
     hot_conv_threshold_rows: int | None = None,
     time_major: bool = False,
-    exchange: str = "sort",
+    exchange: str = "direct",
+    wire_compression: str | None = None,
 ) -> Snapshot:
     """Z-order-cluster the snapshot; returns the new snapshot.
 
@@ -312,15 +394,23 @@ def cluster(
     by default it is sized so a partition holds ~2 target files.  Resumable:
     completed partitions are filtered out before the shuffle on rerun.
 
-    ``exchange``: ``"sort"`` (default) pushes raw rows through Ray's sort
-    exchange; ``"packed"`` serializes per-partition row slices to zstd
-    parquet blobs map-side and shuffles the compressed blobs (~9x fewer
-    exchange bytes for text-heavy rows).  Measured on the single-node
-    sandbox (plasma transfer is local memcpy): sort ~7.5s vs packed ~13s at
-    32 cpus on 11.7M turns — the codec CPU costs more than the bytes save
-    here.  On a REAL multi-node cluster the exchange crosses the network,
-    where a 9x byte reduction is the difference between wire-bound and
-    compute-bound; pick per deployment.
+    ``exchange``: ``"direct"`` (default) runs the deterministic map-reduce
+    exchange (:func:`_direct_exchange`) — measured faster at every
+    parallelism level AND better-scaling than ``"sort"`` (Ray Data's sort
+    exchange, kept for comparison): 8.7s → 4.0s cluster-stage wall at 32
+    cpus on 11.7M turns, 8→32 stage scaling 0.28 → 0.50.  Both produce
+    byte-identical content-addressed files.
+
+    ``wire_compression`` (direct exchange only): ``None`` / ``"lz4"`` /
+    ``"zstd"`` — IPC-compress each per-partition slice map-side so the
+    exchange ships compressed bytes.  Single-node plasma is memcpy, so None
+    is right here; on a network-bound cluster the measured crossover
+    (``tools/exchange_sim.py``, text-heavy rows) is: below ~1 Gbps/flow
+    zstd wins (6.3× vs raw wire bytes, 5.8× wall at 0.5 Gbps), around
+    ~2.5 Gbps/flow lz4 wins, at ≥5 Gbps/flow raw wins.  Rule of thumb: an
+    exchange whose per-task share of the NIC is under ~2 Gbps should set
+    ``"zstd"``; parquet-blob packing (round 2's "packed" exchange) was
+    retired — it is dominated by IPC-zstd at every bandwidth.
     """
     base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
     files = table.files(base)
@@ -358,11 +448,6 @@ def cluster(
     if encoder_concurrency is None:
         # actor pool sized to the cluster minus headroom for read/shuffle stages
         encoder_concurrency = pool_size(max(2, cpus // 2))
-    # ~64 MiB blocks (lower-bounded by one block per CPU): tiny blocks make
-    # the sort shuffle overhead-bound, giant blocks starve parallelism
-    total_bytes = sum(f.bytes for f in files)
-    nblocks = int(max(cpus, total_bytes // (64 << 20)))
-    ds = table.scan(base, override_num_blocks=nblocks)
     hot: frozenset = frozenset()
     if hot_conv_threshold_rows:
         from .skew import find_hot_keys
@@ -385,25 +470,35 @@ def cluster(
     from ..schema import schema_to_json
 
     schema_json = schema_to_json(table.schema_of(base))
-    if exchange == "packed":
-        enc = ds.map_batches(
-            _EncodeAndPack,
-            fn_constructor_kwargs=encoder_kwargs,
-            batch_format="pyarrow",
-            # explicit large batches: the scan's blocks follow input-file
-            # boundaries (1000s of small fragments), and per-fragment packing
-            # would emit millions of tiny blobs; coalescing to ~200k rows
-            # keeps slices at ~block_rows/parts
-            batch_size=200_000,
-            concurrency=encoder_concurrency,
+    if exchange == "direct":
+        results += _direct_exchange(
+            table,
+            files,
+            base,
+            encoder_kwargs,
+            part_bits,
+            target_rows,
+            ckpt,
+            done_parts,
+            schema_json,
+            wire_compression=wire_compression,
         )
-    else:
-        enc = ds.map_batches(
-            ZKeyEncoder,
-            fn_constructor_kwargs=encoder_kwargs,
-            batch_format="pyarrow",
-            concurrency=encoder_concurrency,
+        return _commit_cluster(
+            table, files, base, results, part_bits, ts_bucket_us, target_rows, ckpt
         )
+    if exchange != "sort":
+        raise ValueError(f"unknown exchange {exchange!r} (expected 'direct' or 'sort')")
+    # ~64 MiB blocks (lower-bounded by one block per CPU): tiny blocks make
+    # the sort shuffle overhead-bound, giant blocks starve parallelism
+    total_bytes = sum(f.bytes for f in files)
+    nblocks = int(max(cpus, total_bytes // (64 << 20)))
+    ds = table.scan(base, override_num_blocks=nblocks)
+    enc = ds.map_batches(
+        ZKeyEncoder,
+        fn_constructor_kwargs=encoder_kwargs,
+        batch_format="pyarrow",
+        concurrency=encoder_concurrency,
+    )
     if done_parts:
         done_arr = pa.array(list(done_parts), type=pa.uint64())
 
@@ -414,19 +509,27 @@ def cluster(
 
         enc = enc.map_batches(drop_done, batch_format="pyarrow")
 
-    if exchange == "packed":
-        out = enc.groupby("zpart").map_groups(
-            _make_packed_writer(table.root, target_rows, ckpt.dir, base, schema_json),
-            batch_format="pyarrow",
-        )
-    else:
-        out = enc.groupby("zpart").map_groups(
-            _make_run_writer(table.root, target_rows, ckpt.dir, base, schema_json),
-            batch_format="pyarrow",
-        )
+    out = enc.groupby("zpart").map_groups(
+        _make_run_writer(table.root, target_rows, ckpt.dir, base, schema_json),
+        batch_format="pyarrow",
+    )
     for row in out.take_all():
         results.append(json.loads(row["record"]))
+    return _commit_cluster(
+        table, files, base, results, part_bits, ts_bucket_us, target_rows, ckpt
+    )
 
+
+def _commit_cluster(
+    table: TranscriptTable,
+    files,
+    base: int,
+    results: list[dict],
+    part_bits: int,
+    ts_bucket_us: int,
+    target_rows: int,
+    ckpt: Checkpoint,
+) -> Snapshot:
     added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]
     snap = table.commit(
         added,

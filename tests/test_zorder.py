@@ -144,21 +144,52 @@ def test_cluster_salts_hot_conversations(tmp_path):
     assert len(set(salted(hot_rows).column("zpart").to_pylist())) >= 2
 
 
-def test_packed_exchange_matches_sort_exchange(tmp_path):
-    """Both exchange plans produce identical table content (the packed plan
-    moves compressed per-partition blobs instead of raw rows)."""
+def test_exchange_plans_identical_output(tmp_path):
+    """Every exchange plan (Ray Data sort exchange, direct map-reduce, direct
+    with compressed wire format) produces byte-identical content-addressed
+    files — the exchange is pure transport."""
     import os
-
-    from quanterra_pipeline_ray.stages.zorder import cluster
-    from quanterra_pipeline_ray.state.manifest import TranscriptTable
-    from quanterra_pipeline_ray.synth import content_fingerprint, fragment_table, generate_transcripts
 
     data = generate_transcripts(n_convs=30, seed=71, hot_convs=0)
     fps = {}
-    for mode in ("sort", "packed"):
+    checks = {}
+    plans = {
+        "sort": dict(exchange="sort"),
+        "direct": dict(exchange="direct"),
+        "direct-zstd": dict(exchange="direct", wire_compression="zstd"),
+        "direct-lz4": dict(exchange="direct", wire_compression="lz4"),
+    }
+    for mode, kw in plans.items():
         root = str(tmp_path / mode)
         table = TranscriptTable.create(root)
         table.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), 6))
-        cluster(table, target_rows=200, part_bits=3, exchange=mode)
+        cluster(table, target_rows=200, part_bits=3, **kw)
         fps[mode] = content_fingerprint(table.read_all())
-    assert fps["sort"] == fps["packed"] == content_fingerprint(data)
+        checks[mode] = sorted(f.checksum for f in table.files())
+    assert len(set(fps.values())) == 1 and fps["sort"] == content_fingerprint(data)
+    assert len({tuple(c) for c in checks.values()}) == 1
+
+
+def test_direct_exchange_with_deletes_and_rename(tmp_path):
+    """The direct exchange's map tasks must apply the full per-file read
+    semantics: positional-delete masks, renamed-column mapping, added-column
+    padding — same invariants as a scan."""
+    import os
+
+    from quanterra_pipeline_ray.stages.deletevec import delete_where_vector
+    from quanterra_pipeline_ray.stages.evolve import evolve_schema, rename_column
+
+    table, data = _make(tmp_path, n_convs=20)
+    evolve_schema(table, [("score", "int64", 5)])
+    rename_column(table, "score", "grade")
+    delete_where_vector(table, lambda b: b["turn_idx"] % 7 == 3, columns=["turn_idx"])
+    expect = table.read_all().sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert any(f.delete_path for f in table.files())
+
+    cluster(table, target_rows=300, part_bits=3, exchange="direct")
+    got = table.read_all().sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.equals(expect)
+    assert not any(f.delete_path for f in table.files())  # deletes materialized
+    # the rewrite materialized the renamed column physically
+    raw = pq.read_table(table._p(table.files()[0].path))
+    assert "grade" in raw.column_names and "score" not in raw.column_names
