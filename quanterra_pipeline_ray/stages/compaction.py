@@ -71,6 +71,49 @@ def plan_bins(
     return bins, carried
 
 
+def _read_bin_fragments(spec: dict, fsa, lo: int = 0, hi: int | None = None) -> pa.Table:
+    """Read + schema-map fragments ``[lo, hi)`` of a bin spec into one table
+    (delete masks applied, renames mapped, added columns padded)."""
+    schema = (
+        schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
+    )
+    defaults = spec.get("defaults") or {}
+    aliases = spec.get("aliases") or {}
+    deletes = spec.get("deletes") or [None] * len(spec["paths"])
+    tables = []
+    for p, dpath in list(zip(spec["paths"], deletes))[lo:hi]:
+        t = pq.read_table(p, filesystem=fsa.fs)
+        if dpath:  # materialize positional deletes into the rewrite
+            from .deletevec import apply_deletes, read_delete_positions
+
+            t = apply_deletes(t, read_delete_positions(dpath, fsa))
+        # ensure_schema also materializes renames (aliases) and drops
+        tables.append(ensure_schema(t, schema, defaults=defaults, aliases=aliases))
+    return pa.concat_tables(tables)
+
+
+def _write_bin(spec: dict, merged: pa.Table, fsa, t0: float) -> dict:
+    """Sort + write one bin's output file, checkpoint + lineage record."""
+    schema = (
+        schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
+    )
+    # sorts by (conv_id, turn_idx) within file; also MATERIALIZES any
+    # evolved columns into the rewritten file (write-on-next-touch)
+    out = write_data_file(merged, spec["root"], schema=schema, fs=fsa)
+    lin = lineage_record(
+        op="compact",
+        partition_id=spec["bin_id"],
+        inputs=[{"path": p, "checksum": c} for p, c in zip(spec["paths"], spec["checksums"])],
+        outputs=[{"path": out.path, "checksum": out.checksum}],
+        rows_in=merged.num_rows,
+        rows_out=out.rows,
+        duration_s=time.monotonic() - t0,
+    )
+    record = {"datafile": out.to_json(), "lineage": lin, "removed": spec["rel_paths"]}
+    Checkpoint.write_record(spec["ckpt_dir"], spec["bin_id"], record, fs=fsa)
+    return record
+
+
 def _compact_bins_batch(batch, fsa=None) -> "Any":
     """Stateless per-bin task: read fragments -> one sorted output file each.
 
@@ -88,36 +131,8 @@ def _compact_bins_batch(batch, fsa=None) -> "Any":
     for spec_json in batch["spec"]:
         spec = json.loads(spec_json)
         t0 = time.monotonic()
-        schema = (
-            schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
-        )
-        defaults = spec.get("defaults") or {}
-        aliases = spec.get("aliases") or {}
-        deletes = spec.get("deletes") or [None] * len(spec["paths"])
-        tables = []
-        for p, dpath in zip(spec["paths"], deletes):
-            t = pq.read_table(p, filesystem=fsa.fs)
-            if dpath:  # materialize positional deletes into the rewrite
-                from .deletevec import apply_deletes, read_delete_positions
-
-                t = apply_deletes(t, read_delete_positions(dpath, fsa))
-            # ensure_schema also materializes renames (aliases) and drops
-            tables.append(ensure_schema(t, schema, defaults=defaults, aliases=aliases))
-        merged = pa.concat_tables(tables)
-        # sorts by (conv_id, turn_idx) within file; also MATERIALIZES any
-        # evolved columns into the rewritten file (write-on-next-touch)
-        out = write_data_file(merged, spec["root"], schema=schema, fs=fsa)
-        lin = lineage_record(
-            op="compact",
-            partition_id=spec["bin_id"],
-            inputs=[{"path": p, "checksum": c} for p, c in zip(spec["paths"], spec["checksums"])],
-            outputs=[{"path": out.path, "checksum": out.checksum}],
-            rows_in=merged.num_rows,
-            rows_out=out.rows,
-            duration_s=time.monotonic() - t0,
-        )
-        record = {"datafile": out.to_json(), "lineage": lin, "removed": spec["rel_paths"]}
-        Checkpoint.write_record(spec["ckpt_dir"], spec["bin_id"], record, fs=fsa)
+        merged = _read_bin_fragments(spec, fsa)
+        record = _write_bin(spec, merged, fsa, t0)
         records.append(json.dumps(record))
     return pd.DataFrame({"record": records})
 
@@ -174,27 +189,66 @@ class CompactionOp:
         ]
 
     def run(self, table: TranscriptTable, partitions: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        import ray
         import ray.data as rd
 
         done = self._ckpt.completed()
         results: list[dict[str, Any]] = []
-        items = []
+        todo: list[dict[str, Any]] = []
         for spec in partitions:
             if str(spec["bin_id"]) in done:
                 results.append(done[str(spec["bin_id"])])
             else:
-                items.append({"spec": json.dumps(spec)})
-        if items:
-            fsa = table.fsa
+                todo.append(spec)
+        if not todo:
+            return results
+        fsa = table.fsa
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        if len(todo) < cpus // 2 and any(len(s["paths"]) > 1 for s in todo):
+            # Under-decomposed plan (bins < half the cluster — e.g. a small
+            # table with large target files): one-task-per-bin would idle
+            # most CPUs for the whole stage.  Split each bin into parallel
+            # fragment-read subtasks feeding one write task.  Only taken when
+            # CPUs would otherwise sit idle — the split ships each bin's
+            # decoded rows through the object store once, which a saturated
+            # cluster (the 100-TB case: bins >> CPUs) should not pay.
+            sub = max(2, (2 * cpus) // max(1, len(todo)))
 
-            def run_bin(batch):
-                return _compact_bins_batch(batch, fsa)
+            def read_part(spec_json: str, lo: int, hi: int) -> pa.Table:
+                return _read_bin_fragments(json.loads(spec_json), fsa, lo, hi)
 
-            ds = rd.from_items(items, override_num_blocks=len(items))
-            out = ds.map_batches(
-                run_bin, batch_size=None, batch_format="pandas"
-            ).take_all()
-            results.extend(json.loads(r["record"]) for r in out)
+            def write_task(spec_json: str, t0: float, *tables: pa.Table) -> str:
+                spec = json.loads(spec_json)
+                return json.dumps(_write_bin(spec, pa.concat_tables(tables), fsa, t0))
+
+            read_fn = ray.remote(read_part)
+            write_fn = ray.remote(write_task)
+            pending = []
+            for spec in todo:
+                t0 = time.monotonic()
+                sj = json.dumps(spec)
+                n = len(spec["paths"])
+                k = min(sub, n)
+                edges = [round(i * n / k) for i in range(k + 1)]
+                refs = [
+                    read_fn.remote(sj, lo, hi)
+                    for lo, hi in zip(edges, edges[1:])
+                    if hi > lo
+                ]
+                pending.append(write_fn.remote(sj, t0, *refs))
+            results.extend(json.loads(r) for r in ray.get(pending))
+            return results
+
+        items = [{"spec": json.dumps(spec)} for spec in todo]
+
+        def run_bin(batch):
+            return _compact_bins_batch(batch, fsa)
+
+        ds = rd.from_items(items, override_num_blocks=len(items))
+        out = ds.map_batches(
+            run_bin, batch_size=None, batch_format="pandas"
+        ).take_all()
+        results.extend(json.loads(r["record"]) for r in out)
         return results
 
     def commit(self, table: TranscriptTable, results: list[dict[str, Any]]) -> Snapshot:

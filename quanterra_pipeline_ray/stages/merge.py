@@ -91,6 +91,40 @@ def _dedupe_source(src: pd.DataFrame) -> pd.DataFrame:
     return src
 
 
+def _dedupe_source_table(t: pa.Table) -> pa.Table:
+    """Arrow-native :func:`_dedupe_source` for the broadcast path's
+    driver-side source.
+
+    The pandas version costs a full to_pandas -> from_pandas round trip of
+    the whole source (two copies + string boxing of the text column) even
+    when no key is duplicated — pure driver-serial time.  Here duplicate
+    candidates are found on a uint64 key hash (no conversion at all), and
+    only that (typically tiny or empty) subset is converted for the exact
+    max-(ts, text)-wins tiebreak.  Hash collisions only ever ADD rows to the
+    candidate subset; the tiebreak itself compares real key values.
+    """
+    from .skew import _splitmix64
+
+    h = key_hash64(t.column("conv_id"))
+    ti = (
+        t.column("turn_idx").cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+    )
+    proxy = _splitmix64(h ^ (ti * np.uint64(0x9E3779B97F4A7C15)))
+    dup = pd.Series(proxy).duplicated(keep=False).to_numpy()
+    if not dup.any():
+        return t
+    idx = np.flatnonzero(dup)
+    sub = t.take(pa.array(idx)).to_pandas()
+    sub["__orig"] = idx
+    sub = sub.sort_values(KEY + ["ts", "text"], kind="mergesort").drop_duplicates(
+        KEY, keep="last"
+    )
+    keep = np.ones(t.num_rows, dtype=bool)
+    keep[idx] = False
+    keep[sub["__orig"].to_numpy()] = True
+    return t.filter(pa.array(keep))
+
+
 def _resolve(tgt: pd.DataFrame, src: pd.DataFrame) -> pd.DataFrame:
     """Pure vectorized MERGE resolution: returns the merged rows (pandas)."""
     src = _dedupe_source(src)
@@ -437,8 +471,8 @@ def _merge_broadcast(
     done = ckpt.completed()
 
     # dedupe once driver-side so every task can trust key uniqueness
-    src_df = _dedupe_source(source.to_pandas())
-    source = pa.Table.from_pandas(src_df, preserve_index=False)
+    # (Arrow-native: no text-column conversion unless keys actually collide)
+    source = _dedupe_source_table(source)
     source_ref = ray.put(source)
     items = []
     results: list[dict[str, Any]] = []
@@ -487,15 +521,25 @@ def _merge_broadcast(
             else np.array([], dtype=np.int64),
         }
     ).drop_duplicates()
-    flags = src_df[KEY].merge(matched, on=KEY, how="left", indicator=True)["_merge"].to_numpy()
+    import pyarrow.compute as pc
+
+    # keys-only frame: the text column never enters pandas
+    src_keys = pd.DataFrame(
+        {
+            "conv_id": source.column("conv_id").to_pandas(),
+            "turn_idx": source.column("turn_idx").to_pandas().astype(np.int64),
+        }
+    )
+    flags = src_keys.merge(matched, on=KEY, how="left", indicator=True)["_merge"].to_numpy()
     is_new = flags == "left_only"
-    inserts = src_df[is_new & (src_df[OP_COL] != "delete").to_numpy()].drop(columns=[OP_COL])
+    not_delete = pc.not_equal(source.column(OP_COL), "delete").to_numpy(zero_copy_only=False)
+    inserts_t = source.filter(pa.array(is_new & not_delete)).drop_columns([OP_COL])
 
     added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]
     lineage = [r["lineage"] for r in results]
-    if len(inserts):
-        for off in range(0, len(inserts), target_rows):
-            chunk = pa.Table.from_pandas(inserts.iloc[off : off + target_rows], preserve_index=False)
+    if inserts_t.num_rows:
+        for off in range(0, inserts_t.num_rows, target_rows):
+            chunk = inserts_t.slice(off, target_rows)
             df = write_data_file(chunk, table.root)
             added.append(df)
             lineage.append(

@@ -95,3 +95,45 @@ def test_compact_resume_skips_completed(tmp_path, monkeypatch):
     compact(table, target_bytes=1 << 20)
     assert content_fingerprint(table.read_all()) == before
     assert ckpt.completed() == {}  # cleared after commit
+
+
+def test_compaction_split_path_matches_unsplit(tmp_path):
+    """When bins < cpus/2 the op splits each bin into parallel fragment-read
+    subtasks + one write task; output must be byte-identical to the
+    one-task-per-bin plan (content-addressed checksums equal)."""
+    import os
+
+    from quanterra_pipeline_ray.stages.compaction import CompactionOp, compact
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import content_fingerprint, fragment_table, generate_transcripts
+
+    data = generate_transcripts(n_convs=50, seed=13, hot_convs=0)
+    sums = {}
+    for variant in ("split", "unsplit"):
+        root = str(tmp_path / variant)
+        t = TranscriptTable.create(root)
+        # split triggers at bins < cpus//2: one big bin always qualifies at
+        # the 4-cpu test fixture; the unsplit variant uses small targets so
+        # bins >= cpus//2 and the Ray Data per-bin path runs
+        n_frags = 12
+        t.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), n_frags))
+        target = (1 << 30) if variant == "split" else 1  # 1 byte -> many bins? no: bytes per file > 1 -> singleton bins carry forward
+        if variant == "split":
+            op = CompactionOp(1 << 30)
+            assert len(op.plan(t, t.current_snapshot_id())) == 1  # precondition
+            compact(t, target_bytes=1 << 30)
+            assert len(t.files()) == 1
+            sums[variant] = sorted(f.checksum for f in t.files())
+        else:
+            # force the per-bin Ray Data path by raising bin count >= cpus//2:
+            # group 12 frags into 6 bins of ~2 via a small target
+            frag_bytes = max(f.bytes for f in t.files())
+            compact(t, target_bytes=2 * frag_bytes + 16)
+            assert len(t.files()) > 1
+        assert content_fingerprint(t.read_all()) == content_fingerprint(data)
+    # the split plan's single output equals a full unsplit single-bin rewrite
+    # (re-compact the unsplit table to one file and compare checksums)
+    root2 = str(tmp_path / "unsplit")
+    t2 = TranscriptTable(root2)
+    compact(t2, target_bytes=1 << 30)  # 1 bin again -> split path; idempotent content
+    assert sorted(f.checksum for f in t2.files()) == sums["split"]
