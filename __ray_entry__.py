@@ -324,6 +324,50 @@ def _q_maint_delete_vector(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_multi_txn(sf_dir: str) -> pa.Table:
+    """Cross-table atomic transaction through the catalog: move the first 50
+    conversations (lexical conv_id order) from table 'a' to table 'b' as ONE
+    catalog-version commit (MERGE into b + DELETE from a).  The result is
+    the catalog view after the transaction, each row tagged with its table —
+    every conversation lives in exactly one table, and intermediate states
+    were never visible to catalog readers (asserted against the pre-commit
+    version)."""
+    import pyarrow.compute as pc
+
+    from quanterra_pipeline_ray.stages.delete import delete_where
+    from quanterra_pipeline_ray.stages.merge import merge_into
+    from quanterra_pipeline_ray.state.catalog import Catalog
+
+    root = os.path.join(_SCRATCH, f"multitxn-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog.create(root)
+    a = cat.create_table("a")
+    cat.create_table("b")
+    data = transcripts_from_events(sf_dir)
+    a.register_fragments(fragment_table(data, os.path.join(a.root, "data", "frags"), 8))
+    txn0 = cat.transaction()
+    txn0.table("a"), txn0.table("b")
+    v0 = txn0.commit()
+
+    convs = sorted(set(data.column("conv_id").to_pylist()))[:50]
+    moved = data.filter(pc.is_in(data.column("conv_id"), value_set=pa.array(convs)))
+    txn = cat.transaction()
+    merge_into(txn.table("b"), moved)
+    delete_where(txn.table("a"), lambda df: df["conv_id"].isin(set(convs)))
+    v1 = txn.commit()
+    # snapshot isolation at catalog scope: the pre-txn version still holds
+    # every moved conversation in 'a' and none in 'b'
+    assert cat.read_all("b", version=v0).num_rows == 0
+
+    tagged = []
+    for name in ("a", "b"):
+        part = cat.read_all(name, version=v1)
+        tagged.append(
+            part.add_column(0, "tbl", pa.array([name] * part.num_rows, type=pa.string()))
+        )
+    return _result(pa.concat_tables(tagged))
+
+
 def _q_maint_text_search(sf_dir: str):
     """Secondary-index token search: build per-file token postings for the
     snapshot, then answer an exact-token query by scanning only posted
@@ -773,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_text_search": _q_maint_text_search,
         "maint_delete_where": _q_maint_delete_where,
         "maint_delete_vector": _q_maint_delete_vector,
+        "maint_multi_txn": _q_maint_multi_txn,
         "maint_compact": _q_maint_compact,
         "maint_zorder": _q_maint_zorder,
         "maint_hilbert": _q_maint_hilbert,
@@ -877,6 +922,15 @@ WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
 """.strip(),
         "maint_delete_where": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",
         "maint_delete_vector": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",
+        # atomic cross-table move: first 50 conversations (lexical order)
+        # relocate from table a to table b in one catalog-version commit
+        "maint_multi_txn": f"""
+WITH t AS ({t}),
+moved AS (SELECT DISTINCT conv_id FROM t ORDER BY conv_id LIMIT 50)
+SELECT 'a' AS tbl, * FROM t WHERE conv_id NOT IN (SELECT conv_id FROM moved)
+UNION ALL
+SELECT 'b' AS tbl, * FROM t WHERE conv_id IN (SELECT conv_id FROM moved)
+""".strip(),
         "maint_incremental_counts": f"""
 WITH t AS ({t}),
 kept AS (SELECT * FROM t WHERE turn_idx % 7 <> 3 AND turn_idx % 13 <> 5),

@@ -12,12 +12,16 @@ points, ``bench.py`` and the test fixture own a Ray session.
 """
 
 from .schema import TRANSCRIPTS_SCHEMA, SchemaValidationError, ensure_schema
+from .state.catalog import Catalog, Transaction, TransactionConflict
 from .state.manifest import DataFile, Snapshot, TranscriptTable, write_data_file
 
 __all__ = [
     "TRANSCRIPTS_SCHEMA",
     "SchemaValidationError",
     "ensure_schema",
+    "Catalog",
+    "Transaction",
+    "TransactionConflict",
     "DataFile",
     "Snapshot",
     "TranscriptTable",
