@@ -275,6 +275,42 @@ def _q_maint_schema_evolution(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_partition_evolution(sf_dir: str) -> pa.Table:
+    """Partition-spec evolution (`stages/spec.py`): declare a pinned cluster
+    layout, cluster, append fresh fragments, then migrate INCREMENTALLY —
+    `cluster(only_stale=True)` rewrites only the untagged appends, leaving
+    current-layout files byte-untouched.  A later layout change (part_bits /
+    bucket / time-major) is a metadata-only commit (zero files move) and the
+    next incremental run migrates the whole table to the new spec.  The
+    scan is layout-independent, so the oracle is the plain table."""
+    from quanterra_pipeline_ray.stages.spec import partition_spec_of, set_partition_spec
+    from quanterra_pipeline_ray.stages.zorder import cluster
+
+    root = os.path.join(_SCRATCH, f"specevo-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(root, ignore_errors=True)
+    table = TranscriptTable.create(root)
+    data = transcripts_from_events(sf_dir)
+    # first 12 fragments now; 4 more arrive "later"
+    frags = fragment_table(data, os.path.join(root, "data", "frags"), 16)
+    table.register_fragments(frags[:12])
+    set_partition_spec(table, part_bits=2, ts_bucket_us=3_600_000_000)
+    cluster(table, target_rows=50_000)  # layout resolved from the declared spec
+    stable = {f.path for f in table.files()}
+    table.register_fragments(frags[12:])
+    cluster(table, target_rows=50_000, only_stale=True)  # appends only
+    assert stable <= {f.path for f in table.files()}, "incremental run rewrote current files"
+    # layout change is metadata-only...
+    n_files = sorted(f.path for f in table.files())
+    set_partition_spec(table, part_bits=3, ts_bucket_us=900_000_000, time_major=True)
+    assert sorted(f.path for f in table.files()) == n_files
+    # ...and the next incremental run migrates everything to the new spec
+    snap = cluster(table, target_rows=50_000, only_stale=True)
+    sid = partition_spec_of(table)["spec_id"]
+    assert snap.summary["spec_id"] == sid
+    assert all(f.spec_id == sid for f in table.files())
+    return _result(table.read_all())
+
+
 def _q_maint_timerange_scan(sf_dir: str):
     """Stats-pruned time-window scan over a Z-ordered table: the ts-bucketed
     curve gives files tight ts ranges, so a one-week window touches a strict
@@ -813,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_point_lookup": _q_maint_point_lookup,
         "maint_incremental_counts": _q_maint_incremental_counts,
         "maint_schema_evolution": _q_maint_schema_evolution,
+        "maint_partition_evolution": _q_maint_partition_evolution,
         "maint_timerange_scan": _q_maint_timerange_scan,
         "maint_text_search": _q_maint_text_search,
         "maint_delete_where": _q_maint_delete_where,
@@ -910,6 +947,9 @@ SELECT 'delete' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
         "maint_timetravel": scan_sql,
         "maint_changelog": changelog_sql,
         "maint_point_lookup": f"WITH t AS ({t}) SELECT * FROM t WHERE conv_id IN ('c17', 'c23', 'c5')",
+        # layout changes never change content: the spec-evolved, twice-
+        # incrementally-reclustered table must scan as the plain table
+        "maint_partition_evolution": scan_sql,
         "maint_timerange_scan": f"""
 WITH t AS ({t})
 SELECT * FROM t

@@ -9,6 +9,7 @@ from .textindex import build_text_index, search_token
 from .expire import expire_snapshots, sweep_orphans
 from .merge import merge_into
 from .protocol import MaintenanceOp, run_op
+from .spec import partition_spec_of, set_partition_spec
 from .streaming import WatermarkWindower, windowed_counts
 from .zorder import cluster, hilbert_d, interleave_bits
 
@@ -33,6 +34,8 @@ __all__ = [
     "cluster",
     "hilbert_d",
     "interleave_bits",
+    "set_partition_spec",
+    "partition_spec_of",
     "MaintenanceOp",
     "run_op",
     "WatermarkWindower",

@@ -377,16 +377,17 @@ def _direct_exchange(
 
 def cluster(
     table: TranscriptTable,
-    ts_bucket_us: int = 3_600_000_000,  # 1 hour
+    ts_bucket_us: int | None = None,  # default 1 hour (or the declared spec's)
     target_rows: int = 200_000,
     part_bits: int | None = None,
     snapshot_id: int | None = None,
     encoder_concurrency: Any = None,
-    curve: str = "z",
+    curve: str | None = None,
     hot_conv_threshold_rows: int | None = None,
-    time_major: bool = False,
+    time_major: bool | None = None,
     exchange: str = "direct",
     wire_compression: str | None = None,
+    only_stale: bool = False,
 ) -> Snapshot:
     """Z-order-cluster the snapshot; returns the new snapshot.
 
@@ -401,6 +402,19 @@ def cluster(
     cpus on 11.7M turns, 8→32 stage scaling 0.28 → 0.50.  Both produce
     byte-identical content-addressed files.
 
+    Layout parameters left as ``None`` resolve from the table's declared
+    partition spec (``stages/spec.py:set_partition_spec``), falling back to
+    the engine defaults; explicit arguments always win.  The layout actually
+    written is registered in the snapshot's ``partition_specs`` and every
+    output file is tagged with its ``spec_id``.  ``only_stale=True`` turns
+    the run into INCREMENTAL re-clustering: only files whose tag differs
+    from the effective layout (fresh appends, compaction/merge output,
+    pre-evolution files) are rewritten — the metadata-only spec change plus
+    repeated ``only_stale`` runs migrate a 100-TB table one maintenance
+    cycle at a time.  Incremental mode requires a pinned ``part_bits``
+    (declared or explicit): auto-sizing tracks data volume, so an unpinned
+    fan-out could re-stale the whole table every run.
+
     ``wire_compression`` (direct exchange only): ``None`` / ``"lz4"`` /
     ``"zstd"`` — IPC-compress each per-partition slice map-side so the
     exchange ships compressed bytes.  Single-node plasma is memcpy, so None
@@ -412,7 +426,30 @@ def cluster(
     ``"zstd"``; parquet-blob packing (round 2's "packed" exchange) was
     retired — it is dominated by IPC-zstd at every bandwidth.
     """
+    from .spec import ENGINE_DEFAULT_SPEC, find_or_add_spec, partition_spec_of
+
     base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    snap = table.snapshot(base)
+    declared = partition_spec_of(table, base)
+
+    def _pick(arg, key):
+        if arg is not None:
+            return arg
+        if declared is not None and declared.get(key) is not None:
+            return declared[key]
+        return ENGINE_DEFAULT_SPEC[key]
+
+    ts_bucket_us = int(_pick(ts_bucket_us, "ts_bucket_us"))
+    curve = _pick(curve, "curve")
+    time_major = bool(_pick(time_major, "time_major"))
+    if part_bits is None and declared is not None and declared.get("part_bits") is not None:
+        part_bits = int(declared["part_bits"])
+    if only_stale and part_bits is None:
+        raise ValueError(
+            "cluster(only_stale=True) needs a pinned part_bits (explicit or via "
+            "set_partition_spec) — auto-sized fan-out re-stales the table as it grows"
+        )
+
     files = table.files(base)
     if not files:
         return table.snapshot(base)
@@ -427,13 +464,38 @@ def cluster(
         cap = max(1, total_rows // max(1, target_rows // 4))
         part_bits = int(np.clip(np.ceil(np.log2(max(2, min(want, cap)))), 1, 12))
 
-    # ts origin from manifest stats (min over files) keeps buckets small ints
-    ts_mins = [f.stats["ts"][0] for f in files if "ts" in f.stats]
-    ts_origin_us = (
-        int(pd.Timestamp(min(ts_mins)).value // 1000) if ts_mins else 0
+    # the concrete layout this run writes: registered at commit, tagged on
+    # every output file (find_or_add reuses an existing identical layout's id)
+    specs, eff_spec_id = find_or_add_spec(
+        snap.partition_specs,
+        {
+            "curve": curve,
+            "ts_bucket_us": ts_bucket_us,
+            "part_bits": part_bits,
+            "time_major": time_major,
+        },
     )
+    if only_stale:
+        files = [f for f in files if f.spec_id != eff_spec_id]
+        if not files:
+            return snap
+        total_rows = sum(f.rows for f in files)
 
-    op_id = f"zorder-s{base}-b{ts_bucket_us}-p{part_bits}-{curve}{'-tm' if time_major else ''}"
+    # ts origin from manifest stats (min over files) keeps buckets small
+    # ints.  Once a layout is registered its origin is PINNED in the spec
+    # entry so incremental runs bucket identically to the files already
+    # written under it (mixed origins would fragment the time axis).
+    if specs[eff_spec_id].get("ts_origin_us") is not None:
+        ts_origin_us = int(specs[eff_spec_id]["ts_origin_us"])
+    else:
+        ts_mins = [f.stats["ts"][0] for f in files if "ts" in f.stats]
+        ts_origin_us = int(pd.Timestamp(min(ts_mins)).value // 1000) if ts_mins else 0
+        specs[eff_spec_id]["ts_origin_us"] = ts_origin_us
+
+    op_id = (
+        f"zorder-s{base}-b{ts_bucket_us}-p{part_bits}-{curve}"
+        f"{'-tm' if time_major else ''}{'-inc' if only_stale else ''}"
+    )
     ckpt = Checkpoint(table.root, op_id)
     done = ckpt.completed()
     done_parts = set(int(k) for k in done)
@@ -484,7 +546,8 @@ def cluster(
             wire_compression=wire_compression,
         )
         return _commit_cluster(
-            table, files, base, results, part_bits, ts_bucket_us, target_rows, ckpt
+            table, files, base, results, part_bits, ts_bucket_us, target_rows, ckpt,
+            specs, eff_spec_id,
         )
     if exchange != "sort":
         raise ValueError(f"unknown exchange {exchange!r} (expected 'direct' or 'sort')")
@@ -516,7 +579,8 @@ def cluster(
     for row in out.take_all():
         results.append(json.loads(row["record"]))
     return _commit_cluster(
-        table, files, base, results, part_bits, ts_bucket_us, target_rows, ckpt
+        table, files, base, results, part_bits, ts_bucket_us, target_rows, ckpt,
+        specs, eff_spec_id,
     )
 
 
@@ -529,8 +593,16 @@ def _commit_cluster(
     ts_bucket_us: int,
     target_rows: int,
     ckpt: Checkpoint,
+    specs: list | None = None,
+    spec_id: int | None = None,
 ) -> Snapshot:
-    added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]
+    import dataclasses
+
+    added = [
+        dataclasses.replace(DataFile.from_json(d), spec_id=spec_id)
+        for r in results
+        for d in r["datafiles"]
+    ]
     snap = table.commit(
         added,
         removed_paths=[f.path for f in files],
@@ -539,8 +611,13 @@ def _commit_cluster(
             "part_bits": part_bits,
             "ts_bucket_us": ts_bucket_us,
             "target_rows": target_rows,
+            "spec_id": spec_id,
         },
         base_snapshot_id=base,
+        # the layout just written becomes the registered default: later
+        # only_stale runs converge toward it (set_partition_spec overrides)
+        partition_specs=specs,
+        default_spec_id=spec_id,
     )
     store_lineage(table.root, snap.snapshot_id, [r["lineage"] for r in results])
     ckpt.clear()

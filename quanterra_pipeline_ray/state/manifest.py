@@ -79,6 +79,11 @@ class DataFile:
     stats: dict[str, list[Any]] = field(default_factory=dict)  # col -> [min, max]
     delete_path: str | None = None
     delete_rows: int = 0
+    #: partition-spec evolution: id of the cluster layout this file was
+    #: written under (index into the snapshot's ``partition_specs``).  None =
+    #: unclustered (raw append / merge output); ``cluster(only_stale=True)``
+    #: rewrites exactly the files whose tag differs from the current default.
+    spec_id: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         return asdict(self)
@@ -93,6 +98,7 @@ class DataFile:
             stats=d.get("stats", {}),
             delete_path=d.get("delete_path"),
             delete_rows=int(d.get("delete_rows", 0)),
+            spec_id=d.get("spec_id"),
         )
 
 
@@ -122,6 +128,15 @@ class Snapshot:
     #: re-added, so a re-added name can't resurrect old files' data.
     column_aliases: dict | None = None
     dropped_columns: list | None = None
+    #: partition-spec evolution (the layout analog of schema evolution):
+    #: ``partition_specs`` is an append-only list of cluster layouts
+    #: ``{"spec_id", "curve", "ts_bucket_us", "part_bits", "time_major"}``;
+    #: ``default_spec_id`` names the layout new cluster runs target.  Data
+    #: files carry the ``spec_id`` they were written under, so changing the
+    #: layout is a metadata-only commit and re-clustering is incremental
+    #: (only files written under another spec move).  See ``stages/spec.py``.
+    partition_specs: list | None = None
+    default_spec_id: int | None = None
 
     def to_json(self) -> dict[str, Any]:
         return asdict(self)
@@ -139,6 +154,8 @@ class Snapshot:
             defaults=d.get("defaults"),
             column_aliases=d.get("column_aliases"),
             dropped_columns=d.get("dropped_columns"),
+            partition_specs=d.get("partition_specs"),
+            default_spec_id=d.get("default_spec_id"),
         )
 
 
@@ -306,6 +323,8 @@ class TranscriptTable:
         defaults: dict | None = None,
         column_aliases: dict | None = None,
         dropped_columns: list | None = None,
+        partition_specs: list | None = None,
+        default_spec_id: int | None = None,
     ) -> Snapshot:
         files = sorted(files, key=lambda f: f.path)
         manifest_doc = {"files": [f.to_json() for f in files]}
@@ -327,6 +346,12 @@ class TranscriptTable:
                 column_aliases = parent_snap.column_aliases
             if dropped_columns is None:
                 dropped_columns = parent_snap.dropped_columns
+        if parent_snap is not None:
+            # layout metadata inherits independently of schema metadata
+            if partition_specs is None:
+                partition_specs = parent_snap.partition_specs
+            if default_spec_id is None:
+                default_spec_id = parent_snap.default_spec_id
         snap = Snapshot(
             snapshot_id=sid,
             parent_id=parent,
@@ -337,6 +362,8 @@ class TranscriptTable:
             defaults=defaults,
             column_aliases=column_aliases,
             dropped_columns=dropped_columns,
+            partition_specs=partition_specs,
+            default_spec_id=default_spec_id,
             summary={
                 **summary,
                 "total_rows": sum(f.rows for f in files),
@@ -368,6 +395,8 @@ class TranscriptTable:
         base_snapshot_id: int | None = None,
         commit_ts: int | None = None,
         max_retries: int = 16,
+        partition_specs: list | None = None,
+        default_spec_id: int | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: ``new = (base - removed) + added``.
 
@@ -401,6 +430,8 @@ class TranscriptTable:
                         "removed_files": len(removed),
                     },
                     commit_ts=commit_ts,
+                    partition_specs=partition_specs,
+                    default_spec_id=default_spec_id,
                 )
             except CommitConflict:
                 if base_snapshot_id is not None or attempt == max_retries:
