@@ -20,6 +20,8 @@ Usage::
     python -m quanterra_pipeline_ray.cli scan    /tmp/t --as-of-ts 250 [--conv c17]
     python -m quanterra_pipeline_ray.cli status  /tmp/t
     python -m quanterra_pipeline_ray.cli log     /tmp/t [--snapshot N]
+    python -m quanterra_pipeline_ray.cli run-flow /tmp/t --flow maintenance [--no-wait]
+    python -m quanterra_pipeline_ray.cli update --release-root /rel --install-path ~/.qpr --yes
 
 The CLI owns the Ray session (guarded init, shutdown on exit) — library code
 never calls ``ray.init``.
@@ -76,6 +78,18 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--as-of-ts", type=int, default=None)
     c.add_argument("--conv", nargs="*", default=None, help="point lookup via stats pruning")
 
+    c = table_cmd("run-flow", "trigger a named flow and poll to completion")
+    c.add_argument("--flow", required=True, help="maintenance|compact|expire")
+    c.add_argument("--param", nargs="*", default=[], metavar="K=V")
+    c.add_argument("--poll-interval", type=float, default=5.0)
+    c.add_argument("--no-wait", action="store_true", help="trigger only, print run id")
+
+    c = sub.add_parser("update", help="self-update from a release root (version manifest)")
+    c.add_argument("--env", default="dev", help="settings environment (dev|prod)")
+    c.add_argument("--release-root", required=True)
+    c.add_argument("--install-path", required=True)
+    c.add_argument("--yes", action="store_true", help="skip the update confirmation prompt")
+
     table_cmd("status", "print snapshot/metrics summary")
 
     c = table_cmd("log", "print lineage records for a snapshot")
@@ -95,12 +109,29 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     owns_ray = not ray.is_initialized()
-    if owns_ray and args.cmd not in ("create", "status", "log", "evolve"):
+    if owns_ray and args.cmd not in ("create", "status", "log", "evolve", "update"):
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
     try:
         from .state.manifest import TranscriptTable
 
+        if args.cmd == "update":
+            from .flowctl import ToolUpdater
+
+            updater = ToolUpdater(args.release_root, args.install_path)
+            confirm = (
+                (lambda cur, new: True)
+                if args.yes
+                else (
+                    lambda cur, new: input(
+                        f"New version {new} available. Current version: {cur}. "
+                        "Do you want to update? [y/N]: "
+                    ).lower()
+                    == "y"
+                )
+            )
+            print(json.dumps(updater.check_for_updates(confirm), sort_keys=True))
+            return 0
         if args.cmd == "create":
             TranscriptTable.create(args.root)
             print(json.dumps({"created": args.root}))
@@ -176,6 +207,24 @@ def main(argv: list[str] | None = None) -> int:
                 adds.append((name, type_str, default))
             snap = evolve_schema(table, adds)
             log.info("schema evolved at snapshot %s", snap.snapshot_id)
+        elif args.cmd == "run-flow":
+            from .flowctl import FlowRunner, default_flows
+
+            params: dict = {}
+            for kv in args.param:
+                k, v = kv.split("=", 1)
+                try:
+                    params[k] = json.loads(v)
+                except json.JSONDecodeError:
+                    params[k] = v
+            runner = FlowRunner(args.root, default_flows())
+            run_id = runner.trigger(args.flow, params)
+            if args.no_wait:
+                print(json.dumps({"run_id": run_id, "state": runner.state(run_id)["state"]}))
+                return 0
+            doc = runner.poll(run_id, interval_s=args.poll_interval)
+            print(json.dumps({"run_id": run_id, **doc}, sort_keys=True))
+            return 0
         elif args.cmd == "changelog":
             from .stages.changelog import changelog
 

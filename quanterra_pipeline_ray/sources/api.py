@@ -90,6 +90,128 @@ class DeterministicFakeAPI:
         }
 
 
+class EODHDRequests:
+    """Endpoint-exact request builder for the reference's EODHD surface.
+
+    Mirrors every endpoint of reference ``src/clients/api/eodhd_client.py``
+    — path templates, conditional params and defaults — as pure
+    ``{"endpoint": path, **params}`` dicts ready for :func:`fetch_fanout`.
+    The auth/format params the reference injects in
+    ``_prepare_request_params`` (`eodhd_client.py:13-20`: ``api_token``,
+    ``fmt=json``) are added uniformly by :meth:`prepare`; transport happens
+    in the actor-pool fetch stage, so request CONSTRUCTION (the testable,
+    network-free part) is byte-faithful while the HTTP call itself stays
+    behind the deterministic fake.
+    """
+
+    def __init__(self, api_key: str = "demo"):
+        self.api_key = api_key
+
+    def prepare(self, endpoint: str, params: dict[str, Any] | None = None) -> dict[str, Any]:
+        """`eodhd_client.py:13-20`: every request carries api_token + fmt."""
+        out = dict(params or {})
+        out["api_token"] = self.api_key
+        out["fmt"] = "json"
+        return {"endpoint": endpoint, **out}
+
+    # -- exchange-level (`eodhd_client.py:26-42`) --------------------------
+    def exchanges(self) -> dict[str, Any]:
+        return self.prepare("exchanges-list")
+
+    def exchange_symbols(
+        self, exchange: str, asset_type: str | None = None, delisted: bool = False
+    ) -> dict[str, Any]:
+        params: dict[str, Any] = {}
+        if asset_type:
+            params["type"] = asset_type
+        if delisted:
+            params["delisted"] = "1"
+        return self.prepare(f"exchange-symbol-list/{exchange}", params)
+
+    # -- instrument-level (`eodhd_client.py:44-74,129-133`) ----------------
+    def eod(
+        self,
+        instrument: str,
+        exchange: str,
+        start_date: str | None = None,
+        end_date: str | None = None,
+    ) -> dict[str, Any]:
+        params: dict[str, Any] = {}
+        if start_date:
+            params["from"] = start_date
+        if end_date:
+            params["to"] = end_date
+        return self.prepare(f"eod/{instrument}.{exchange}", params)
+
+    def fundamentals(self, instrument: str, exchange: str) -> dict[str, Any]:
+        return self.prepare(f"fundamentals/{instrument}.{exchange}")
+
+    def dividends(self, instrument: str, exchange: str) -> dict[str, Any]:
+        return self.prepare(f"div/{instrument}.{exchange}")
+
+    def splits(self, instrument: str, exchange: str) -> dict[str, Any]:
+        return self.prepare(f"splits/{instrument}.{exchange}")
+
+    def news(self, instrument: str, exchange: str) -> dict[str, Any]:
+        return self.prepare("news", {"s": f"{instrument}.{exchange}"})
+
+    # -- bulk (`eodhd_client.py:76-98`: one path, type-discriminated) ------
+    def bulk_eod(self, exchange: str, date: str | None = None) -> dict[str, Any]:
+        params: dict[str, Any] = {}
+        if date:
+            params["date"] = date
+        return self.prepare(f"eod-bulk-last-day/{exchange}", params)
+
+    def bulk_dividends(self, exchange: str, date: str | None = None) -> dict[str, Any]:
+        params: dict[str, Any] = {"type": "dividends"}
+        if date:
+            params["date"] = date
+        return self.prepare(f"eod-bulk-last-day/{exchange}", params)
+
+    def bulk_splits(self, exchange: str, date: str | None = None) -> dict[str, Any]:
+        params: dict[str, Any] = {"type": "splits"}
+        if date:
+            params["date"] = date
+        return self.prepare(f"eod-bulk-last-day/{exchange}", params)
+
+    # -- macro / calendar (`eodhd_client.py:100-127`) ----------------------
+    def economic_events(
+        self,
+        country: str | None = None,
+        comparison: str | None = None,
+        start_date: str | None = None,
+        end_date: str | None = None,
+        limit: int = 1000,
+    ) -> dict[str, Any]:
+        params: dict[str, Any] = {"limit": str(limit)}
+        if country:
+            params["country"] = country
+        if comparison:
+            params["comparison"] = comparison
+        if start_date:
+            params["from"] = start_date
+        if end_date:
+            params["to"] = end_date
+        return self.prepare("economic-events", params)
+
+    def macro_indicator(self, iso_code: str, indicator: str) -> dict[str, Any]:
+        return self.prepare(f"macro-indicator/{iso_code}", {"indicator": indicator})
+
+    INSTRUMENT_ENDPOINTS = ("dividends", "splits", "eod", "fundamentals", "news")
+
+    def instrument_requests(self, instruments: list[str]) -> list[dict[str, Any]]:
+        """The processor's instruments × endpoints fan-out (reference
+        `eodhd_processor.py:236-249`: 5 endpoints per composite
+        ``code.exchange`` key under ``Semaphore(40)``) as a request list —
+        the actor-pool size of :func:`fetch_fanout` plays the semaphore."""
+        reqs = []
+        for instrument in instruments:
+            code, exchange = instrument.split(".", 1)  # `eodhd_processor.py:206`
+            for endpoint in self.INSTRUMENT_ENDPOINTS:
+                reqs.append(getattr(self, endpoint)(code, exchange))
+        return reqs
+
+
 def fanout_items(*dimensions: list) -> list[dict[str, Any]]:
     """Cartesian product of request dimensions as a control-dataset item list
     (the reference's exchanges × data_types / instruments × endpoints)."""
@@ -234,3 +356,29 @@ def fetch_fanout(
     ok = fetched.map_batches(lambda b: b[b["ok"]], batch_format="pandas")
     quarantine = fetched.map_batches(lambda b: b[~b["ok"]], batch_format="pandas")
     return ok, quarantine
+
+
+def eodhd_fanout(
+    requests: list[dict[str, Any]],
+    concurrency: int = 40,  # the processor's Semaphore(40), `eodhd_processor.py:240`
+    on_error: str = "skip",
+    seed: int = 42,
+    fail_every: int = 0,
+):
+    """Fan out :class:`EODHDRequests`-built requests through the actor-pool
+    fetch stage.  Endpoints carry heterogeneous param sets (``news`` has
+    ``s``, bulk has ``type``, …), so params ride in ONE ``request_json``
+    column — each request stays byte-faithful instead of being padded to a
+    union schema with nulls."""
+    items = [
+        {
+            "endpoint": r["endpoint"],
+            "request_json": json.dumps(
+                {k: v for k, v in r.items() if k != "endpoint"}, sort_keys=True
+            ),
+        }
+        for r in requests
+    ]
+    return fetch_fanout(
+        items, concurrency=concurrency, on_error=on_error, seed=seed, fail_every=fail_every
+    )

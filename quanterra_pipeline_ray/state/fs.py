@@ -42,7 +42,9 @@ class StorageAdapter:
 
     # -- reads -------------------------------------------------------------
     def read_bytes(self, path: str) -> bytes:
-        with self.fs.open_input_stream(path) as f:
+        # compression=None: the adapter deals in raw bytes — Arrow must not
+        # infer a codec from the extension (a .tar.gz release blob is data)
+        with self.fs.open_input_stream(path, compression=None) as f:
             return f.read()
 
     def exists(self, path: str) -> bool:
@@ -82,11 +84,11 @@ class StorageAdapter:
         torn file: temp+rename locally, single PUT on object stores."""
         if self.is_local:
             tmp = f"{path}.tmp.{os.getpid()}"
-            with self.fs.open_output_stream(tmp) as f:
+            with self.fs.open_output_stream(tmp, compression=None) as f:
                 f.write(payload)
             self.fs.move(tmp, path)
         else:
-            with self.fs.open_output_stream(path) as f:
+            with self.fs.open_output_stream(path, compression=None) as f:
                 f.write(payload)
 
     def write_if_absent(self, path: str, payload: bytes) -> bool:
@@ -109,7 +111,7 @@ class StorageAdapter:
         """
         if self.is_local:
             tmp = f"{path}.cas.{os.getpid()}.{os.urandom(4).hex()}"
-            with self.fs.open_output_stream(tmp) as f:
+            with self.fs.open_output_stream(tmp, compression=None) as f:
                 f.write(payload)
             try:
                 os.link(tmp, path)

@@ -113,3 +113,33 @@ def test_cli_evolve_changelog_scan_refs(tmp_path):
     got = TranscriptTable.load(root).read_all()
     assert got.num_rows == data.num_rows
     assert got.column("priority").to_pylist() == [0] * data.num_rows
+
+
+def test_cli_run_flow_and_update(tmp_path, capsys):
+    """Round-3 operational surface: run-flow trigger+poll and self-update
+    (reference `upload_transactions.py:53-72`, `tool_update.py:16-27`)."""
+    import json as _json
+
+    from quanterra_pipeline_ray.cli import main
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+
+    root = str(tmp_path / "t")
+    data = generate_transcripts(n_convs=8, seed=3, hot_convs=0)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(data, src)
+    assert main(["create", root]) == 0
+    assert main(["append", root, "--parquet", src]) == 0
+    capsys.readouterr()
+    assert main(["run-flow", root, "--flow", "compact", "--poll-interval", "0.05"]) == 0
+    doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["state"] == "COMPLETED" and doc["flow"] == "compact"
+    assert TranscriptTable.load(root).read_all().num_rows == data.num_rows
+
+    rel = tmp_path / "release"
+    (rel / "versions").mkdir(parents=True)
+    (rel / "latest_version.json").write_text(_json.dumps({"version": "3.1.4"}))
+    (rel / "versions" / "quanterra_pipeline_ray-3.1.4.tar.gz").write_bytes(b"pkg")
+    inst = str(tmp_path / "install")
+    assert main(["update", "--release-root", str(rel), "--install-path", inst, "--yes"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "updated" and out["version"] == "3.1.4"

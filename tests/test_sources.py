@@ -200,3 +200,67 @@ def test_market_data_fetch_and_projection():
     a = out.sort_values(["ticker", "day"]).reset_index(drop=True)
     b = again.sort_values(["ticker", "day"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_eodhd_request_builder_endpoint_fidelity():
+    """Request construction matches the reference endpoint-by-endpoint
+    (`src/clients/api/eodhd_client.py:26-133`): path templates, conditional
+    params, bulk type discriminators, and the uniform api_token/fmt params
+    (`eodhd_client.py:13-20`)."""
+    from quanterra_pipeline_ray.sources.api import EODHDRequests
+
+    r = EODHDRequests(api_key="KEY")
+    auth = {"api_token": "KEY", "fmt": "json"}
+    assert r.exchanges() == {"endpoint": "exchanges-list", **auth}
+    assert r.exchange_symbols("US") == {"endpoint": "exchange-symbol-list/US", **auth}
+    assert r.exchange_symbols("US", asset_type="ETF", delisted=True) == {
+        "endpoint": "exchange-symbol-list/US", "type": "ETF", "delisted": "1", **auth
+    }
+    assert r.eod("AAPL", "US") == {"endpoint": "eod/AAPL.US", **auth}
+    assert r.eod("AAPL", "US", start_date="2024-01-01", end_date="2024-02-01") == {
+        "endpoint": "eod/AAPL.US", "from": "2024-01-01", "to": "2024-02-01", **auth
+    }
+    assert r.fundamentals("AAPL", "US") == {"endpoint": "fundamentals/AAPL.US", **auth}
+    assert r.dividends("AAPL", "US") == {"endpoint": "div/AAPL.US", **auth}
+    assert r.splits("AAPL", "US") == {"endpoint": "splits/AAPL.US", **auth}
+    assert r.news("AAPL", "US") == {"endpoint": "news", "s": "AAPL.US", **auth}
+    assert r.bulk_eod("US") == {"endpoint": "eod-bulk-last-day/US", **auth}
+    assert r.bulk_eod("US", date="2024-03-01") == {
+        "endpoint": "eod-bulk-last-day/US", "date": "2024-03-01", **auth
+    }
+    assert r.bulk_dividends("US") == {
+        "endpoint": "eod-bulk-last-day/US", "type": "dividends", **auth
+    }
+    assert r.bulk_splits("US", date="2024-03-01") == {
+        "endpoint": "eod-bulk-last-day/US", "type": "splits", "date": "2024-03-01", **auth
+    }
+    assert r.economic_events() == {"endpoint": "economic-events", "limit": "1000", **auth}
+    assert r.economic_events(country="US", comparison="qoq", start_date="a", end_date="b", limit=5) == {
+        "endpoint": "economic-events", "limit": "5", "country": "US",
+        "comparison": "qoq", "from": "a", "to": "b", **auth
+    }
+    assert r.macro_indicator("USA", "gdp_growth_rate") == {
+        "endpoint": "macro-indicator/USA", "indicator": "gdp_growth_rate", **auth
+    }
+
+
+def test_eodhd_instrument_fanout_and_fetch():
+    """instruments x 5 endpoints fan-out (`eodhd_processor.py:236-249`)
+    through the actor-pool fetch; composite keys split on the FIRST dot."""
+    from quanterra_pipeline_ray.sources.api import EODHDRequests, eodhd_fanout
+
+    r = EODHDRequests(api_key="K")
+    reqs = r.instrument_requests(["AAPL.US", "BRK.A.US"])
+    assert len(reqs) == 10
+    # split('.', 1): code 'BRK', exchange 'A.US' (reference semantics)
+    assert {"endpoint": "eod/BRK.A.US", "api_token": "K", "fmt": "json"} in reqs
+    paths = {q["endpoint"] for q in reqs}
+    assert {"div/AAPL.US", "splits/AAPL.US", "eod/AAPL.US",
+            "fundamentals/AAPL.US", "news"} <= paths
+    ok, quarantine = eodhd_fanout(reqs, concurrency=4)
+    okp = ok.to_pandas()
+    assert len(okp) == 10 and quarantine.count() == 0
+    assert set(okp.columns) >= {"endpoint", "request_json", "ok", "payload"}
+    # deterministic: same requests -> same payloads
+    ok2, _ = eodhd_fanout(reqs, concurrency=4)
+    assert sorted(okp["payload"]) == sorted(ok2.to_pandas()["payload"])
