@@ -519,6 +519,19 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(ds, "doc_id", "text", threshold=0.8)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram-Jaccard similarity self-join via prefix filtering
+    (AllPairs) — the deterministic counterpart of minhash_dedup_docs: same
+    pair predicate, but candidate generation is provably complete (df-ordered
+    shingle prefixes) instead of probabilistically complete (LSH banding)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import ngram_jaccard_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_join(ds, "doc_id", "text", threshold=0.8)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash banding as the blocking structure, exact (md5) verify, over
     the corpus doubled with planted exact copies — every (id, id+100000)
@@ -878,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint,
         "lang_id_docs": _q_lang_id,
         "minhash_dedup_docs": _q_minhash_dedup,
+        "jaccard_pairs_docs": _q_jaccard_pairs,
         "simhash_pairs_docs": _q_simhash_pairs,
         "similarity_topk": _q_similarity_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
@@ -1131,6 +1145,31 @@ r(s, d) AS (
 comp AS (SELECT s AS doc_id, MIN(d) AS dup_group FROM r GROUP BY s)
 SELECT d.doc_id, COALESCE(c.dup_group, d.doc_id) AS dup_group
 FROM documents d LEFT JOIN comp c USING (doc_id)
+""".strip(),
+        # exact char-5-gram Jaccard pair join (same grams/predicate as the
+        # minhash oracle, pairs only — no CC): the engine's prefix-filter
+        # candidate generation must be COMPLETE for this to hash-match
+        "jaccard_pairs_docs": """
+WITH gs AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams_s
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_transform(grams_s,
+    s -> ((((ascii(substr(s,1,1))::BIGINT * 131 + ascii(substr(s,2,1))) * 131
+           + ascii(substr(s,3,1))) * 131 + ascii(substr(s,4,1))) * 131 + ascii(substr(s,5,1)))) AS grams
+  FROM gs
+),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         LEN(list_intersect(x.grams, y.grams)) AS inter,
+         LEN(x.grams) AS na, LEN(y.grams) AS nb
+  FROM g x JOIN g y
+    ON x.doc_id < y.doc_id
+   AND LEN(x.grams) >= 0.8 * LEN(y.grams)
+   AND LEN(y.grams) >= 0.8 * LEN(x.grams)
+)
+SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)
 """.strip(),
         "simhash_pairs_docs": """
 WITH c AS (

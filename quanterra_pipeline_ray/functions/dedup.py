@@ -536,6 +536,105 @@ def minhash_lsh_dedup(
     return ds.map_batches(label_corpus, batch_format="pandas")
 
 
+# ------------------------------------------- exact n-gram Jaccard (prefix filter)
+def ngram_jaccard_join(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    concurrency: int = 4,
+    n_buckets: int = 64,
+):
+    """EXACT n-gram-Jaccard similarity self-join: all pairs with
+    ``J(shingles(a), shingles(b)) >= threshold``, returned as ``(a, b)``.
+
+    Deterministic counterpart of MinHash-LSH (which is probabilistically
+    complete): candidate generation is **prefix filtering** (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07; Chaudhuri et al.'s
+    SSJoin) — order every document's shingles by ascending global document
+    frequency, keep only the first ``|S| - ceil(t * |S|) + 1`` as that
+    document's *prefix*; any pair with Jaccard >= t must share a prefix
+    shingle (J >= t implies overlap >= ceil(t * |S|) for BOTH sides, and two
+    sets under a common total order whose prefixes at that overlap are
+    disjoint cannot overlap that much).  Because prefixes favor globally
+    RARE shingles, posting groups stay small on natural text even where a
+    naive shingle-inverted-index would explode on stopword grams.
+
+    All-Ray-Data plan, three keyed exchanges plus the shared pair machinery:
+
+    1. postings ``(sh, doc, size)`` via the vectorized rolling-hash kernel;
+    2. groupby shingle-hash bucket: document frequency per shingle is the
+       group size (count + join in ONE grouping);
+    3. groupby doc bucket: sort each doc's postings by ``(df, sh)``, keep
+       the prefix (vectorized rank-vs-prefix-length mask, no per-doc loop);
+    4. groupby shingle bucket: emit candidate pairs by self-merge;
+       then ``_dedupe_pairs -> _attach_side_texts -> _verify_pairs`` (the
+       MinHash verify path) for exact confirmation — texts never land on
+       the driver, and 64-bit shingle-hash collisions can only ADD
+       candidates (verification is hash-free via ``exact_shingles``).
+
+    Scale notes: the df pass is the standard TF pass of similarity joins —
+    map-side distinct per doc, keyed exchange on shingle hash.  Identical
+    duplicate clusters of size g legitimately produce g^2/2 pairs (that IS
+    the answer's size, not blowup).
+    """
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        shs, docs, sizes = [], [], []
+        for i, t in zip(b[id_col].to_numpy(), b[text_col]):
+            sh = _shingle_hashes(t, shingle_k)
+            shs.append(sh)
+            docs.append(np.full(sh.size, i, dtype=np.int64))
+            sizes.append(np.full(sh.size, sh.size, dtype=np.int64))
+        sh = np.concatenate(shs) if shs else np.array([], dtype=np.uint64)
+        out = pd.DataFrame(
+            {
+                "sh": sh,
+                "doc": np.concatenate(docs) if docs else np.array([], dtype=np.int64),
+                "size": np.concatenate(sizes) if sizes else np.array([], dtype=np.int64),
+            }
+        )
+        out["__bkt"] = (out["sh"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
+        return out
+
+    def add_df(g: pd.DataFrame) -> pd.DataFrame:
+        # same-shingle postings all land in this bucket: group size = global df
+        df = g.groupby("sh")["doc"].transform("size")
+        out = g[["sh", "doc", "size"]].copy()
+        out["df"] = df.to_numpy(dtype=np.int64)
+        h = pd.util.hash_pandas_object(out["doc"], index=False).to_numpy(dtype=np.uint64)
+        out["__bkt"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def keep_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc", "df", "sh"], kind="stable")
+        rank = g.groupby("doc", sort=False).cumcount().to_numpy()
+        size = g["size"].to_numpy()
+        prefix_len = size - np.ceil(threshold * size).astype(np.int64) + 1
+        out = g[rank < prefix_len][["sh", "doc"]].copy()
+        out["__bkt"] = (out["sh"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
+        return out
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["sh", "doc"]]
+        m = g.merge(g, on="sh")
+        m = m[m["doc_x"] < m["doc_y"]].drop_duplicates(subset=["doc_x", "doc_y"])
+        return pd.DataFrame(
+            {"a": m["doc_x"].to_numpy(dtype=np.int64), "b": m["doc_y"].to_numpy(dtype=np.int64)}
+        )
+
+    post = ds.map_batches(postings, batch_format="pandas")
+    with_df = post.groupby("__bkt").map_groups(add_df, batch_format="pandas")
+    prefix = with_df.groupby("__bkt").map_groups(keep_prefix, batch_format="pandas")
+    cand = prefix.groupby("__bkt").map_groups(emit_pairs, batch_format="pandas")
+    pairs = _dedupe_pairs(cand, n_buckets).materialize()
+    if pairs.count() == 0:
+        return pairs
+    sided = _attach_side_texts(pairs, ds, id_col, text_col, n_buckets)
+    return _verify_pairs(sided, threshold, shingle_k, n_buckets)
+
+
 # ------------------------------------------------------------------- simhash
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit population count (SWAR bit tricks, no Python loop)."""

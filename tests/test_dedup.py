@@ -162,3 +162,50 @@ def test_exact_shingles_match_sql_gram_semantics():
     assert got == grams
     assert ngram_jaccard(t, t) == 1.0
     assert 0.0 < ngram_jaccard("abcdefghij", "abcdefzzzz") < 1.0
+
+
+def test_ngram_jaccard_join_matches_bruteforce():
+    """Prefix-filtered exact Jaccard join == brute-force all-pairs scan
+    (completeness of the AllPairs prefix filter on real-ish text)."""
+    import itertools
+
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import ngram_jaccard, ngram_jaccard_join
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+    texts = []
+    for i in range(30):
+        base = " ".join(rng.choice(words, size=30))
+        texts.append(base)
+        if i % 3 == 0:  # planted near-dup: one word substituted
+            toks = base.split()
+            toks[rng.integers(len(toks))] = "zulu"
+            texts.append(" ".join(toks))
+        if i % 7 == 0:
+            texts.append(base)  # identical copy
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+
+    expected = sorted(
+        (int(a), int(b))
+        for (a, ta), (b, tb) in itertools.combinations(zip(df["doc_id"], df["text"]), 2)
+        if ngram_jaccard(ta, tb, 5) >= 0.8
+    )
+    assert expected, "fixture must contain true near-dup pairs"
+
+    got = ngram_jaccard_join(rd.from_pandas(df), threshold=0.8, n_buckets=8).to_pandas()
+    assert sorted(zip(got["a"], got["b"])) == expected
+
+
+def test_ngram_jaccard_join_empty_and_disjoint():
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import ngram_jaccard_join
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64),
+         "text": ["aaaaa bbbbb", "ccccc ddddd", "eeeee fffff", "ggggg hhhhh"]}
+    )
+    got = ngram_jaccard_join(rd.from_pandas(df), threshold=0.8, n_buckets=4)
+    assert got.count() == 0
