@@ -80,11 +80,10 @@ def evolve_schema(
         new_defaults[name] = default
         known.add(name)
 
-    files = table.files(base)
     return table._commit_manifest(
-        files,
         parent=base,
         operation="evolve_schema",
+        **table._reuse_commit_args(base),
         summary={"added_columns": [c[0] for c in add_columns]},
         schema_fields=fields,
         defaults=new_defaults,
@@ -120,9 +119,9 @@ def rename_column(
     if old in defaults:
         defaults[new] = defaults.pop(old)
     return table._commit_manifest(
-        table.files(base),
         parent=base,
         operation="rename_column",
+        **table._reuse_commit_args(base),
         summary={"renamed": {old: new}},
         schema_fields=fields,
         defaults=defaults,
@@ -151,9 +150,9 @@ def drop_column(
     defaults = table.defaults_of(base)
     defaults.pop(name, None)
     return table._commit_manifest(
-        table.files(base),
         parent=base,
         operation="drop_column",
+        **table._reuse_commit_args(base),
         summary={"dropped": name},
         schema_fields=fields,
         defaults=defaults,

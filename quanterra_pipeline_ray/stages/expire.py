@@ -71,12 +71,17 @@ def expire_snapshots(
     if not dry_run:
         for p in to_delete:
             table.fsa.remove(table._p(p))
+        # manifest metadata is structurally shared: a shard (or whole list)
+        # is deleted only when NO retained snapshot references it
+        kept_meta: set[str] = set()
+        for k in keep:
+            kept_meta.update(table.manifest_paths(k))
+        expired_meta: set[str] = set()
         for s in expired:
-            manifest_still_used = any(
-                table.snapshot(k).manifest == s.manifest for k in keep
-            )
-            if not manifest_still_used:
-                table.fsa.remove(table._p(s.manifest))
+            expired_meta.update(table.manifest_paths(s.snapshot_id))
+        for p in sorted(expired_meta - kept_meta):
+            table.fsa.remove(table._p(p))
+        for s in expired:
             table.fsa.remove(table._p("snapshots", f"s{s.snapshot_id:06d}.json"))
     return {
         "kept": sorted(keep & {s.snapshot_id for s in by_id}),
@@ -125,11 +130,12 @@ def sweep_orphans(
             reachable.add(f.path)
             if f.delete_path:
                 reachable.add(f.delete_path)
+        reachable.update(table.manifest_paths(s.snapshot_id))
     reachable.update(_checkpointed_paths(table))
 
     now = time.time()
     orphans: list[str] = []
-    for sub in ("data", "deletes"):
+    for sub in ("data", "deletes", "manifests"):
         for abspath in table.fsa.walk_files(table._p(sub)):
             rel = os.path.relpath(abspath, table.root)
             if rel in reachable or abspath in reachable:

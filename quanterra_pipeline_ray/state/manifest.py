@@ -9,12 +9,28 @@ explicit as a tiny lakehouse layout:
 ```
 <root>/
   data/        part-<sha256[:20]>.parquet        content-addressed data files
-  manifests/   m-<sha256[:20]>.json              immutable file lists + stats
-  snapshots/   s<NNNN>.json                      snapshot -> manifest pointer
+  manifests/   m-<sha256[:20]>.json              immutable file-entry SHARDS
+  manifests/   ml-<sha256[:20]>.json             manifest list (shard pointers)
+  snapshots/   s<NNNN>.json                      snapshot -> manifest-list pointer
   checkpoints/ <op_id>/p-<partition>.json        per-partition completion records
   lineage/     s<NNNN>/*.json                    per-partition lineage records
   _latest                                        advisory cache of the current id
 ```
+
+Manifests are SHARDED with structural sharing (the Iceberg
+manifest-list/manifest split): a snapshot points at a manifest LIST whose
+entries reference immutable, content-addressed shards of ~512 file entries
+each, carrying shard-level aggregates (rows/bytes, ts range, a bloom over
+file paths).  Commits rewrite only the shards they touch — an append writes
+ONE new shard and reuses every existing shard by reference, so commit
+metadata I/O is O(changed files), not O(table).  At 100 TB (~10^5-10^6 data
+files) this is the difference between a multi-hundred-MB manifest rewrite
+per commit and a few-KB one.  The path bloom routes removals to their
+shards without reading the others; the ts aggregates let time-window scans
+skip whole shards before any per-file pruning.  Small shards left behind by
+frequent appends are coalesced opportunistically at commit time, bounding
+shard count.  Legacy single-doc manifests (``{"files": [...]}``) remain
+readable; the first sharded commit migrates the layout.
 
 Every maintenance op commits copy-on-write: it writes new data files and a
 new manifest, then CAS-creates ``snapshots/s<parent+1>.json`` — that create
@@ -48,6 +64,7 @@ from ..schema import STATS_COLUMNS, TRANSCRIPTS_SCHEMA, ensure_schema
 from .fs import LOCAL, StorageAdapter
 
 _LATEST = "_latest"
+_MISS = object()  # cache-miss sentinel (None is a valid cached value)
 
 
 class CommitConflict(Exception):
@@ -159,6 +176,48 @@ class Snapshot:
         )
 
 
+#: target file entries per manifest shard when building/coalescing shards
+SHARD_TARGET_FILES = 512
+#: shards smaller than this are coalesce candidates…
+SHARD_COALESCE_MIN = 64
+#: …and get merged once at least this many of them have accumulated
+SHARD_COALESCE_COUNT = 8
+
+
+@dataclass(frozen=True)
+class ManifestShard:
+    """Manifest-list entry: one immutable shard of file entries + aggregates.
+
+    ``ts_min``/``ts_max`` (ISO strings) are the shard-wide ``ts`` stat range
+    when EVERY member file has ts stats (else None — conservatively
+    unprunable).  ``path_bloom`` is a bloom over member file paths used to
+    route removals to the shards that hold them.
+    """
+
+    path: str
+    num_files: int
+    rows: int
+    bytes: int
+    ts_min: str | None = None
+    ts_max: str | None = None
+    path_bloom: str | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        return asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "ManifestShard":
+        return cls(
+            path=d["path"],
+            num_files=int(d["num_files"]),
+            rows=int(d["rows"]),
+            bytes=int(d["bytes"]),
+            ts_min=d.get("ts_min"),
+            ts_max=d.get("ts_max"),
+            path_bloom=d.get("path_bloom"),
+        )
+
+
 def _atomic_write(path: str, payload: bytes, fs: StorageAdapter = LOCAL) -> None:
     """Torn-file-safe publish, via the storage adapter (see state/fs.py)."""
     fs.write_atomic(path, payload)
@@ -250,6 +309,10 @@ class TranscriptTable:
         self.root = os.path.abspath(root) if (fs is None or fs.is_local) else root
         self.schema = schema
         self.fsa = fs or LOCAL
+        # shards and manifest lists are immutable + content-addressed, so
+        # in-process caching by path is always safe (bounded, FIFO-evicted)
+        self._shard_cache: dict[str, list[DataFile]] = {}
+        self._ml_cache: dict[str, list[ManifestShard] | None] = {}
 
     # -- layout ------------------------------------------------------------
     def _p(self, *parts: str) -> str:
@@ -308,13 +371,170 @@ class TranscriptTable:
 
     def files(self, snapshot_id: int | None = None) -> list[DataFile]:
         snap = self.snapshot(snapshot_id)
-        entries = json.loads(self.fsa.read_bytes(self._p(snap.manifest)))["files"]
-        return [DataFile.from_json(e) for e in entries]
+        shards = self._manifest_shards(snap)
+        if shards is None:  # legacy single-doc manifest
+            entries = json.loads(self.fsa.read_bytes(self._p(snap.manifest)))["files"]
+            return [DataFile.from_json(e) for e in entries]
+        lists = self._read_shards([sm.path for sm in shards])
+        out = [e for entries in lists for e in entries]
+        out.sort(key=lambda f: f.path)
+        return out
+
+    # -- manifest shards ----------------------------------------------------
+    def _manifest_shards(self, snap: Snapshot) -> list[ManifestShard] | None:
+        """Parsed manifest list of ``snap`` (None for legacy single-doc)."""
+        cached = self._ml_cache.get(snap.manifest, _MISS)
+        if cached is not _MISS:
+            return cached
+        doc = json.loads(self.fsa.read_bytes(self._p(snap.manifest)))
+        shards = (
+            [ManifestShard.from_json(s) for s in doc["shards"]]
+            if "shards" in doc
+            else None
+        )
+        if len(self._ml_cache) > 64:
+            self._ml_cache.pop(next(iter(self._ml_cache)))
+        self._ml_cache[snap.manifest] = shards
+        return shards
+
+    def _read_shard(self, path: str) -> list[DataFile]:
+        cached = self._shard_cache.get(path)
+        if cached is not None:
+            return cached
+        entries = json.loads(self.fsa.read_bytes(self._p(path)))["files"]
+        out = [DataFile.from_json(e) for e in entries]
+        self._cache_shard(path, out)
+        return out
+
+    def _read_shards(self, paths: list[str]) -> list[list[DataFile]]:
+        """Read many shards, in parallel threads when there are enough to
+        matter (shard reads are independent metadata I/O — on an object
+        store this is the difference between one round-trip and hundreds
+        in sequence)."""
+        misses = [p for p in paths if p not in self._shard_cache]
+        if len(misses) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(misses))) as ex:
+                list(ex.map(self._read_shard, misses))
+        return [self._read_shard(p) for p in paths]
+
+    def _cache_shard(self, path: str, entries: list[DataFile]) -> None:
+        if len(self._shard_cache) > 256:
+            self._shard_cache.pop(next(iter(self._shard_cache)))
+        self._shard_cache[path] = entries
+
+    def _write_shard(self, files: list[DataFile]) -> ManifestShard:
+        """Write one immutable, content-addressed shard; returns its
+        manifest-list entry with shard-level aggregates."""
+        import pandas as pd
+
+        files = sorted(files, key=lambda f: f.path)
+        doc = {"files": [f.to_json() for f in files]}
+        payload = json.dumps(doc, sort_keys=True).encode()
+        rel = f"manifests/m-{hashlib.sha256(payload).hexdigest()[:20]}.json"
+        if not self.fsa.exists(self._p(rel)):
+            _atomic_write(self._p(rel), payload, self.fsa)
+        ts_min = ts_max = None
+        ts_stats = [f.stats.get("ts") for f in files]
+        if files and all(s is not None for s in ts_stats):
+            ts_min = min((s[0] for s in ts_stats), key=pd.Timestamp)
+            ts_max = max((s[1] for s in ts_stats), key=pd.Timestamp)
+        bloom = None
+        if files:
+            from ..stages.skew import key_hash64
+            from .bloom import bloom_build
+
+            bloom = bloom_build(key_hash64(pa.array([f.path for f in files])))
+        self._cache_shard(rel, files)
+        return ManifestShard(
+            path=rel,
+            num_files=len(files),
+            rows=sum(f.rows for f in files),
+            bytes=sum(f.bytes for f in files),
+            ts_min=ts_min,
+            ts_max=ts_max,
+            path_bloom=bloom,
+        )
+
+    def _build_shards(self, files: list[DataFile]) -> list[ManifestShard]:
+        files = sorted(files, key=lambda f: f.path)
+        return [
+            self._write_shard(files[i : i + SHARD_TARGET_FILES])
+            for i in range(0, len(files), SHARD_TARGET_FILES)
+        ]
+
+    def _coalesce_shards(self, shards: list[ManifestShard]) -> list[ManifestShard]:
+        """Merge accumulated small shards (append debris) so shard count
+        stays O(files / SHARD_TARGET_FILES)."""
+        small = [sm for sm in shards if sm.num_files < SHARD_COALESCE_MIN]
+        if len(small) < SHARD_COALESCE_COUNT:
+            return shards
+        big = [sm for sm in shards if sm.num_files >= SHARD_COALESCE_MIN]
+        entries = [e for lst in self._read_shards([sm.path for sm in small]) for e in lst]
+        return big + self._build_shards(entries)
+
+    def _apply_shard_edits(
+        self,
+        shards: list[ManifestShard],
+        added: list[DataFile],
+        removed: set[str],
+    ) -> list[ManifestShard]:
+        """Structural-sharing edit: rewrite only shards holding a removed
+        path (routed by the shard path blooms); append one shard of added
+        entries; reuse everything else by reference."""
+        out: list[ManifestShard] = []
+        found: set[str] = set()
+        rm_hashes = None
+        if removed:
+            from ..stages.skew import key_hash64
+            from .bloom import bloom_any
+
+            rm_hashes = key_hash64(pa.array(sorted(removed)))
+        for sm in shards:
+            if removed and (
+                sm.path_bloom is None or bloom_any(sm.path_bloom, rm_hashes)
+            ):
+                entries = self._read_shard(sm.path)
+                hit = {e.path for e in entries} & removed
+                if hit:
+                    found |= hit
+                    keep = [e for e in entries if e.path not in removed]
+                    if keep:
+                        out.append(self._write_shard(keep))
+                    continue
+            out.append(sm)
+        unknown = removed - found
+        if unknown:
+            raise ValueError(
+                f"commit removes files not in snapshot: {sorted(unknown)[:5]}"
+            )
+        if added:
+            out.extend(self._build_shards(list(added)))
+        return self._coalesce_shards(out)
+
+    def _reuse_commit_args(self, base: int) -> dict:
+        """``files``/``shards`` kwargs for a metadata-only commit that
+        reuses the base snapshot's file set unchanged — zero manifest-shard
+        I/O for sharded tables (schema/spec evolution commits are O(1))."""
+        shards = self._manifest_shards(self.snapshot(base))
+        if shards is not None:
+            return {"files": None, "shards": shards}
+        return {"files": self.files(base), "shards": None}
+
+    def manifest_paths(self, snapshot_id: int | None = None) -> list[str]:
+        """All metadata paths (manifest list + shards) a snapshot references
+        — expiry deletes a shard only when no retained snapshot lists it."""
+        snap = self.snapshot(snapshot_id)
+        shards = self._manifest_shards(snap)
+        if shards is None:
+            return [snap.manifest]
+        return [snap.manifest] + [sm.path for sm in shards]
 
     # -- commit ------------------------------------------------------------
     def _commit_manifest(
         self,
-        files: list[DataFile],
+        files: list[DataFile] | None,
         parent: int | None,
         operation: str,
         summary: dict[str, Any],
@@ -325,12 +545,18 @@ class TranscriptTable:
         dropped_columns: list | None = None,
         partition_specs: list | None = None,
         default_spec_id: int | None = None,
+        shards: list[ManifestShard] | None = None,
     ) -> Snapshot:
-        files = sorted(files, key=lambda f: f.path)
-        manifest_doc = {"files": [f.to_json() for f in files]}
+        """Publish a manifest list + snapshot.  Pass ``shards`` (structural
+        sharing — metadata-only and incremental commits reuse the parent's
+        shards by reference) or ``files`` (full list, sharded fresh)."""
+        if shards is None:
+            shards = self._build_shards(list(files or []))
+        manifest_doc = {"shards": [sm.to_json() for sm in shards]}
         payload = json.dumps(manifest_doc, sort_keys=True).encode()
-        mname = f"manifests/m-{hashlib.sha256(payload).hexdigest()[:20]}.json"
-        _atomic_write(self._p(mname), payload, self.fsa)
+        mname = f"manifests/ml-{hashlib.sha256(payload).hexdigest()[:20]}.json"
+        if not self.fsa.exists(self._p(mname)):
+            _atomic_write(self._p(mname), payload, self.fsa)
 
         sid = 0 if parent is None else parent + 1
         parent_snap = None if parent is None else self.snapshot(parent)
@@ -366,9 +592,9 @@ class TranscriptTable:
             default_spec_id=default_spec_id,
             summary={
                 **summary,
-                "total_rows": sum(f.rows for f in files),
-                "total_bytes": sum(f.bytes for f in files),
-                "num_files": len(files),
+                "total_rows": sum(sm.rows for sm in shards),
+                "total_bytes": sum(sm.bytes for sm in shards),
+                "num_files": sum(sm.num_files for sm in shards),
             },
         )
         # THE commit point: CAS-create of the snapshot file.  Exactly one
@@ -412,16 +638,26 @@ class TranscriptTable:
         removed = set(removed_paths)
         for attempt in range(max_retries + 1):
             base = self.current_snapshot_id() if base_snapshot_id is None else base_snapshot_id
-            current = {f.path: f for f in self.files(base)}
-            unknown = removed - set(current)
-            if unknown:
-                raise ValueError(
-                    f"commit removes files not in snapshot s{base}: {sorted(unknown)[:5]}"
-                )
-            kept = [f for p, f in current.items() if p not in removed]
+            base_shards = self._manifest_shards(self.snapshot(base))
+            if base_shards is not None:
+                # structural sharing: touch only shards holding removed
+                # paths, append one shard of added entries — O(change), not
+                # O(table).  Raises ValueError on unknown removed paths.
+                new_shards = self._apply_shard_edits(base_shards, added, removed)
+            else:
+                # legacy single-doc manifest: full rebuild (one-time migration)
+                current = {f.path: f for f in self.files(base)}
+                unknown = removed - set(current)
+                if unknown:
+                    raise ValueError(
+                        f"commit removes files not in snapshot s{base}: {sorted(unknown)[:5]}"
+                    )
+                kept = [f for p, f in current.items() if p not in removed]
+                new_shards = self._build_shards(kept + added)
             try:
                 return self._commit_manifest(
-                    kept + added,
+                    None,
+                    shards=new_shards,
                     parent=base,
                     operation=operation,
                     summary={
@@ -528,8 +764,26 @@ class TranscriptTable:
 
         lo = pd.Timestamp(ts_from)
         hi = pd.Timestamp(ts_to)
+        shards = self._manifest_shards(self.snapshot(snapshot_id))
+        if shards is not None:
+            # shard-level skip first: a whole shard whose ts aggregate
+            # misses the window is never even read (shards without ts
+            # aggregates are conservatively included)
+            live = [
+                sm
+                for sm in shards
+                if sm.ts_min is None
+                or sm.ts_max is None
+                or (pd.Timestamp(sm.ts_max) >= lo and pd.Timestamp(sm.ts_min) < hi)
+            ]
+            candidates = [
+                e for lst in self._read_shards([sm.path for sm in live]) for e in lst
+            ]
+            candidates.sort(key=lambda f: f.path)
+        else:
+            candidates = self.files(snapshot_id)
         out = []
-        for f in self.files(snapshot_id):
+        for f in candidates:
             stats = f.stats.get("ts")
             if stats is None:
                 out.append(f)
