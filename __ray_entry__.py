@@ -188,6 +188,27 @@ def _q_maint_resume(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_rollback(sf_dir: str) -> pa.Table:
+    """Rollback restores a prior snapshot's state as a NEW commit (history
+    preserved): after a content-changing MERGE, rolling back to the
+    pre-merge snapshot makes the table scan as the plain derived table
+    again.  The rollback commit reuses the target's manifest shards by
+    reference — O(1) metadata regardless of table size."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    table, data = _maint_table(sf_dir, "rollback")
+    compact(table, target_bytes=4 << 20)
+    pre = table.current_snapshot_id()
+    merge_into(table, _merge_source(data), target_rows=100_000)
+    snap = table.rollback(pre)
+    assert snap.snapshot_id > pre  # new commit, history intact
+    assert set(table.manifest_paths(snap.snapshot_id)[1:]) == set(
+        table.manifest_paths(pre)[1:]
+    )  # shards reused by reference
+    return _result(table.read_all())
+
+
 def _q_maint_timetravel(sf_dir: str) -> pa.Table:
     """Timestamp time travel: three commits at logical ts 100/200/300 (the
     third is a compaction), scan ``as_of_ts=250`` -> the pre-compaction state
@@ -858,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_scan": _q_maint_scan,
         "maint_append": _q_maint_append,
         "maint_timetravel": _q_maint_timetravel,
+        "maint_rollback": _q_maint_rollback,
         "maint_changelog": _q_maint_changelog,
         "maint_point_lookup": _q_maint_point_lookup,
         "maint_incremental_counts": _q_maint_incremental_counts,
@@ -959,6 +981,7 @@ SELECT 'delete' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
         "maint_scan": scan_sql,
         "maint_append": scan_sql,
         "maint_timetravel": scan_sql,
+        "maint_rollback": scan_sql,
         "maint_changelog": changelog_sql,
         "maint_point_lookup": f"WITH t AS ({t}) SELECT * FROM t WHERE conv_id IN ('c17', 'c23', 'c5')",
         # layout changes never change content: the spec-evolved, twice-

@@ -90,6 +90,11 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--install-path", required=True)
     c.add_argument("--yes", action="store_true", help="skip the update confirmation prompt")
 
+    c = table_cmd("rollback", "restore a prior snapshot's state as a new commit")
+    c.add_argument("--to", dest="to_snap", type=int, required=True)
+
+    table_cmd("rewrite-manifests", "re-shard manifest metadata to target shard size")
+
     table_cmd("status", "print snapshot/metrics summary")
 
     c = table_cmd("log", "print lineage records for a snapshot")
@@ -109,7 +114,9 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     owns_ray = not ray.is_initialized()
-    if owns_ray and args.cmd not in ("create", "status", "log", "evolve", "update"):
+    if owns_ray and args.cmd not in (
+        "create", "status", "log", "evolve", "update", "rollback", "rewrite-manifests"
+    ):
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
     try:
@@ -224,6 +231,14 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             doc = runner.poll(run_id, interval_s=args.poll_interval)
             print(json.dumps({"run_id": run_id, **doc}, sort_keys=True))
+            return 0
+        elif args.cmd == "rollback":
+            snap = table.rollback(args.to_snap)
+            print(json.dumps({"rolled_back_to": args.to_snap, "snapshot": snap.snapshot_id}))
+            return 0
+        elif args.cmd == "rewrite-manifests":
+            snap = table.rewrite_manifests()
+            print(json.dumps({"snapshot": snap.snapshot_id, **snap.summary}, sort_keys=True))
             return 0
         elif args.cmd == "changelog":
             from .stages.changelog import changelog

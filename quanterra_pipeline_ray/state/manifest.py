@@ -546,10 +546,14 @@ class TranscriptTable:
         partition_specs: list | None = None,
         default_spec_id: int | None = None,
         shards: list[ManifestShard] | None = None,
+        inherit_meta: bool = True,
     ) -> Snapshot:
         """Publish a manifest list + snapshot.  Pass ``shards`` (structural
         sharing — metadata-only and incremental commits reuse the parent's
-        shards by reference) or ``files`` (full list, sharded fresh)."""
+        shards by reference) or ``files`` (full list, sharded fresh).
+        ``inherit_meta=False`` stores the schema/layout arguments VERBATIM
+        (None = engine defaults) instead of inheriting the parent's — used
+        by rollback, whose restore target may predate an evolution."""
         if shards is None:
             shards = self._build_shards(list(files or []))
         manifest_doc = {"shards": [sm.to_json() for sm in shards]}
@@ -563,7 +567,7 @@ class TranscriptTable:
         if commit_ts is None:
             # logical clock: strictly increasing, deterministic under replay
             commit_ts = 0 if parent_snap is None else parent_snap.commit_ts + 1
-        if schema_fields is None and parent_snap is not None:
+        if inherit_meta and schema_fields is None and parent_snap is not None:
             # maintenance commits inherit the parent's evolved schema
             schema_fields = parent_snap.schema_fields
             if defaults is None:
@@ -572,7 +576,7 @@ class TranscriptTable:
                 column_aliases = parent_snap.column_aliases
             if dropped_columns is None:
                 dropped_columns = parent_snap.dropped_columns
-        if parent_snap is not None:
+        if inherit_meta and parent_snap is not None:
             # layout metadata inherits independently of schema metadata
             if partition_specs is None:
                 partition_specs = parent_snap.partition_specs
@@ -848,6 +852,56 @@ class TranscriptTable:
         from ..stages.deletevec import read_files
 
         return read_files(self, files, **kw).map_batches(keep, batch_format="pyarrow")
+
+    # -- rollback / manifest maintenance -----------------------------------
+    def rollback(self, to_snapshot_id: int, max_retries: int = 16) -> Snapshot:
+        """Restore the table to a prior snapshot's state — data AND metadata
+        (schema, column lineage, partition specs) — as a NEW commit, so
+        history is never rewritten (Iceberg ``rollback`` semantics, CoW
+        style).  O(1) metadata: the new snapshot reuses the target's
+        manifest shards by reference; no data file moves."""
+        target = self.snapshot(to_snapshot_id)  # must exist
+        reuse = self._reuse_commit_args(to_snapshot_id)
+        for attempt in range(max_retries + 1):
+            base = self.current_snapshot_id()
+            try:
+                return self._commit_manifest(
+                    parent=base,
+                    operation="rollback",
+                    summary={"rolled_back_to": to_snapshot_id},
+                    schema_fields=target.schema_fields,
+                    defaults=target.defaults,
+                    column_aliases=target.column_aliases,
+                    dropped_columns=target.dropped_columns,
+                    partition_specs=target.partition_specs,
+                    default_spec_id=target.default_spec_id,
+                    inherit_meta=False,
+                    **reuse,
+                )
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+
+    def rewrite_manifests(self, max_retries: int = 16) -> Snapshot:
+        """Re-shard the current manifest to the target shard size — a
+        metadata-only commit that normalizes shard layout after many
+        incremental edits (the manifest analog of data-file compaction).
+        Data files are untouched; content-addressing dedupes any shard
+        whose membership didn't change."""
+        for attempt in range(max_retries + 1):
+            base = self.current_snapshot_id()
+            shards = self._build_shards(self.files(base))
+            try:
+                return self._commit_manifest(
+                    None,
+                    shards=shards,
+                    parent=base,
+                    operation="rewrite_manifests",
+                    summary={"num_shards": len(shards)},
+                )
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
 
     # -- named refs (tags) -------------------------------------------------
     def set_ref(self, name: str, snapshot_id: int | None = None) -> int:

@@ -115,6 +115,30 @@ def test_cli_evolve_changelog_scan_refs(tmp_path):
     assert got.column("priority").to_pylist() == [0] * data.num_rows
 
 
+def test_cli_rollback_and_rewrite_manifests(tmp_path):
+    from quanterra_pipeline_ray.cli import main
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import content_fingerprint
+
+    root = str(tmp_path / "t")
+    data = generate_transcripts(n_convs=8, seed=3, hot_convs=0)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(data, src)
+    assert main(["create", root]) == 0
+    assert main(["append", root, "--parquet", src]) == 0
+    table = TranscriptTable.load(root)
+    target = table.current_snapshot_id()
+    fp = content_fingerprint(table.read_all())
+    extra = str(tmp_path / "extra.parquet")
+    pq.write_table(generate_transcripts(n_convs=2, seed=9, hot_convs=0), extra)
+    assert main(["append", root, "--parquet", extra]) == 0
+    assert main(["rollback", root, "--to", str(target)]) == 0
+    t2 = TranscriptTable.load(root)
+    assert content_fingerprint(t2.read_all()) == fp
+    assert main(["rewrite-manifests", root]) == 0
+    assert content_fingerprint(TranscriptTable.load(root).read_all()) == fp
+
+
 def test_cli_run_flow_and_update(tmp_path, capsys):
     """Round-3 operational surface: run-flow trigger+poll and self-update
     (reference `upload_transactions.py:53-72`, `tool_update.py:16-27`)."""

@@ -170,6 +170,39 @@ def test_expire_keeps_shards_shared_with_retained_snapshots(tmp_path, small_shar
     assert content_fingerprint(fresh.read_all()) == fp_before
 
 
+def test_rollback_restores_state_as_new_commit(tmp_path, small_shards):
+    from quanterra_pipeline_ray.stages.evolve import evolve_schema
+
+    table, src = _mk_table(tmp_path, n_files=9)
+    target = table.current_snapshot_id()
+    fp_target = content_fingerprint(table.read_all())
+    # diverge: drop a file AND evolve the schema
+    table.commit([], removed_paths=[table.files()[0].path], operation="delete")
+    evolve_schema(table, [("extra", "int64", 7)])
+    assert "extra" in table.schema_of().names
+    snap = table.rollback(target)
+    assert snap.snapshot_id > target  # history preserved, not rewritten
+    assert content_fingerprint(table.read_all()) == fp_target
+    assert "extra" not in table.schema_of().names  # metadata restored too
+    # O(1) metadata: the rollback reuses the target's shards by reference
+    assert set(table.manifest_paths()[1:]) == set(table.manifest_paths(target)[1:])
+
+
+def test_rewrite_manifests_normalizes_shard_layout(tmp_path, small_shards):
+    table, src = _mk_table(tmp_path, n_files=9)
+    # fragment the shard layout: remove one file from each of two shards
+    files = table.files()
+    table.commit([], removed_paths=[files[0].path], operation="d1")
+    table.commit([], removed_paths=[files[5].path], operation="d2")
+    fp = content_fingerprint(table.read_all())
+    snap = table.rewrite_manifests()
+    n_files = len(table.files())
+    n_shards = len(table.manifest_paths()) - 1
+    assert n_shards == -(-n_files // mf.SHARD_TARGET_FILES)  # ceil division
+    assert content_fingerprint(table.read_all()) == fp
+    assert snap.operation == "rewrite_manifests"
+
+
 def test_orphan_sweep_collects_unreferenced_manifests(tmp_path, small_shards):
     from quanterra_pipeline_ray.stages.expire import sweep_orphans
 
