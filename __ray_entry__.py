@@ -553,6 +553,31 @@ def _q_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_join(ds, "doc_id", "text", threshold=0.8)
 
 
+def _q_jaccard_incremental(sf_dir: str):
+    """Incremental dedup via the PERSISTED prefix-posting Jaccard index
+    (`functions/jaccard_index.py`): the corpus is split into an already-
+    indexed majority (doc_id % 5 != 0) and a simulated ingest batch
+    (doc_id % 5 == 0); the index is built over the majority and the batch is
+    probed — returning every exact-gram-Jaccard >= 0.8 pair touching the
+    batch (new-vs-indexed and new-vs-new), while indexed-vs-indexed pairs
+    are out of scope by contract (they were vetted when probed)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.jaccard_index import (
+        build_jaccard_index,
+        probe_jaccard_index,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    old = ds.map_batches(lambda b: b[b["doc_id"] % 5 != 0], batch_format="pandas")
+    new = ds.map_batches(lambda b: b[b["doc_id"] % 5 == 0], batch_format="pandas")
+    idx = tempfile.mkdtemp(prefix="qpr_jidx_", dir="/tmp")
+    build_jaccard_index(old, idx, n_buckets=64)
+    return probe_jaccard_index(new, idx, ds, threshold=0.8)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash banding as the blocking structure, exact (md5) verify, over
     the corpus doubled with planted exact copies — every (id, id+100000)
@@ -914,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id,
         "minhash_dedup_docs": _q_minhash_dedup,
         "jaccard_pairs_docs": _q_jaccard_pairs,
+        "jaccard_incremental_docs": _q_jaccard_incremental,
         "simhash_pairs_docs": _q_simhash_pairs,
         "similarity_topk": _q_similarity_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
@@ -1189,6 +1215,26 @@ p0 AS (
          LEN(x.grams) AS na, LEN(y.grams) AS nb
   FROM g x JOIN g y
     ON x.doc_id < y.doc_id
+   AND LEN(x.grams) >= 0.8 * LEN(y.grams)
+   AND LEN(y.grams) >= 0.8 * LEN(x.grams)
+)
+SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)
+""".strip(),
+        # incremental-index probe: same gram/J predicate as jaccard_pairs,
+        # restricted to pairs touching the simulated ingest batch (doc_id%5=0)
+        # — the persisted-index probe must be COMPLETE for this to hash-match
+        "jaccard_incremental_docs": """
+WITH gs AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams
+  FROM documents
+),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         LEN(list_intersect(x.grams, y.grams)) AS inter,
+         LEN(x.grams) AS na, LEN(y.grams) AS nb
+  FROM gs x JOIN gs y
+    ON x.doc_id < y.doc_id
+   AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
    AND LEN(x.grams) >= 0.8 * LEN(y.grams)
    AND LEN(y.grams) >= 0.8 * LEN(x.grams)
 )

@@ -1,0 +1,332 @@
+"""Persisted prefix-posting index for INCREMENTAL exact-Jaccard dedup.
+
+The batch self-join (:func:`..functions.dedup.ngram_jaccard_join`) re-shingles
+the whole corpus every run.  At 100 TB with continuous ingest the right shape
+is an *index*: shingle the corpus once into a partitioned on-disk posting
+table, then each new batch only (1) shingles ITSELF, (2) probes the index
+partitions its rare shingles hash into, and (3) exact-verifies the candidates.
+Probe cost is O(new batch + matching partitions), not O(corpus).
+
+Completeness argument (unconditional, no ordering assumption): the index
+stores EVERY posting ``(shingle, doc, size)`` of indexed docs; a probe doc
+``p`` queries only its *prefix* — any ``|S_p| - ceil(t * |S_p|) + 1`` of its
+shingles.  If ``J(p, q) >= t`` then ``|S_p ∩ S_q| >= ceil(t * |S_p|)``, and
+``p``'s non-prefix remainder has only ``ceil(t * |S_p|) - 1`` shingles, so at
+least one overlap shingle is in the prefix and hits ``q``'s postings
+(pigeonhole).  Unlike AllPairs' index-side prefix (Bayardo et al., WWW'07,
+which needs a global size/frequency order over BOTH sides), probing a FULL
+index is complete under ANY prefix choice — the persisted document-frequency
+table is used purely to pick globally-rare shingles as the prefix, which
+shrinks the candidate set and the number of partitions read.
+
+Layout under ``index_dir`` (all Parquet, hive-partitioned by
+``bkt = shingle_hash % n_buckets``):
+
+* ``postings/bkt=*/``  — ``(sh uint64, doc int64, size int64)``; append-only.
+* ``df/bkt=*/``        — ``(sh uint64, df int64)`` additive deltas; probe
+  sums per shingle, so :func:`extend_jaccard_index` appends rather than
+  rewriting (same structural-sharing idea as the manifest shards).
+* ``meta.json``        — shingle params; doc/posting counters.
+
+Partition pruning: the probe computes its prefix-shingle bucket set on the
+driver (bounded by ``n_buckets`` ints, never row data) and reads ONLY those
+``bkt=`` directories — at cluster scale raise ``n_buckets`` (e.g. 4096) so a
+small batch touches a small fraction of the index bytes.
+
+Reference parity: the reference has no similarity index; this extends its
+"skip work already stored" idiom (store_csv_file_from_blob skip-if-compressed,
+src/clients/google_cloud_storage_client.py:40-57) to dedup state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _attach_side_texts, _dedupe_pairs, _shingle_hashes, _verify_pairs
+
+_META = "meta.json"
+_POSTINGS = "postings"
+_DF = "df"
+
+
+def _postings_fn(id_col: str, text_col: str, shingle_k: int, n_buckets: int):
+    """Batch kernel: explode docs into distinct-shingle posting rows
+    ``(sh, doc, size, bkt)`` via the shared vectorized rolling-hash kernel."""
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        shs, docs, sizes = [], [], []
+        for i, t in zip(b[id_col].to_numpy(), b[text_col]):
+            sh = _shingle_hashes(t, shingle_k)
+            shs.append(sh)
+            docs.append(np.full(sh.size, i, dtype=np.int64))
+            sizes.append(np.full(sh.size, sh.size, dtype=np.int64))
+        sh = np.concatenate(shs) if shs else np.array([], dtype=np.uint64)
+        out = pd.DataFrame(
+            {
+                "sh": sh,
+                "doc": np.concatenate(docs) if docs else np.array([], dtype=np.int64),
+                "size": np.concatenate(sizes) if sizes else np.array([], dtype=np.int64),
+            }
+        )
+        out["bkt"] = (out["sh"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
+        return out
+
+    return postings
+
+
+def _df_rows(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket document-frequency delta rows for a posting group."""
+    counts = g.groupby("sh", sort=False).size()
+    return pd.DataFrame(
+        {
+            "sh": counts.index.to_numpy(dtype=np.uint64),
+            "df": counts.to_numpy(dtype=np.int64),
+            "bkt": np.full(len(counts), int(g["bkt"].iloc[0]), dtype=np.int64),
+        }
+    )
+
+
+def _append_postings(post_ds, index_dir: str) -> dict:
+    """Append a posting Dataset (and its df deltas) under ``index_dir``;
+    returns counters.  Both writes are hive-partitioned APPENDs — extending
+    the index never rewrites existing partition files."""
+    post_ds = post_ds.materialize()
+    post_ds.write_parquet(os.path.join(index_dir, _POSTINGS), partition_cols=["bkt"])
+    df_ds = post_ds.groupby("bkt").map_groups(_df_rows, batch_format="pandas")
+    df_ds.write_parquet(os.path.join(index_dir, _DF), partition_cols=["bkt"])
+    docs = post_ds.map_batches(
+        lambda b: pd.DataFrame({"doc": pd.unique(b["doc"])}), batch_format="pandas"
+    ).to_pandas()
+    return {"n_postings": post_ds.count(), "n_docs": int(docs["doc"].nunique())}
+
+
+def build_jaccard_index(
+    ds,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    n_buckets: int = 256,
+) -> dict:
+    """Create a persisted Jaccard index over ``ds``; returns the meta dict."""
+    os.makedirs(index_dir, exist_ok=True)
+    post = ds.map_batches(_postings_fn(id_col, text_col, shingle_k, n_buckets), batch_format="pandas")
+    counters = _append_postings(post, index_dir)
+    meta = {
+        "version": 1,
+        "shingle_k": shingle_k,
+        "n_buckets": n_buckets,
+        **counters,
+    }
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_index_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, _META)) as f:
+        return json.load(f)
+
+
+def extend_jaccard_index(
+    ds,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Append a new doc batch to an existing index (O(batch) writes: new
+    posting files + additive df-delta files into the hive partitions)."""
+    meta = read_index_meta(index_dir)
+    post = ds.map_batches(
+        _postings_fn(id_col, text_col, meta["shingle_k"], meta["n_buckets"]),
+        batch_format="pandas",
+    )
+    counters = _append_postings(post, index_dir)
+    meta["n_postings"] += counters["n_postings"]
+    meta["n_docs"] += counters["n_docs"]
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _distinct_buckets(post_ds) -> list[int]:
+    """Driver-side distinct partition ids of a posting Dataset — bounded by
+    ``n_buckets`` ints per block, never row data."""
+    b = post_ds.map_batches(
+        lambda b: pd.DataFrame({"bkt": pd.unique(b["bkt"])}), batch_format="pandas"
+    ).to_pandas()
+    return sorted(int(x) for x in b["bkt"].unique())
+
+
+def _partition_paths(index_dir: str, table: str, buckets) -> list[str]:
+    """Existing hive-partition dirs for the requested buckets (the pruned
+    read set — everything else in the index is never opened)."""
+    import glob
+
+    paths = []
+    for bkt in buckets:
+        p = os.path.join(index_dir, table, f"bkt={bkt}")
+        if os.path.isdir(p):
+            # expand to the partition's data files: Ray 2.49 read_parquet
+            # rejects directory entries inside a multi-path list
+            paths.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    return paths
+
+
+def _read_partitions(index_dir: str, table: str, buckets, columns, n_buckets: int):
+    """Pruned read of index partitions; re-derives ``bkt`` from ``sh`` (the
+    hive dir name carries it, but recomputing avoids partitioning-inference
+    differences across readers)."""
+    import ray.data
+
+    paths = _partition_paths(index_dir, table, buckets)
+    if not paths:
+        return None
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[columns].copy()
+        out["bkt"] = (out["sh"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
+        return out
+
+    return ray.data.read_parquet(paths, columns=columns).map_batches(clean, batch_format="pandas")
+
+
+def _empty_pairs():
+    import ray.data
+
+    return ray.data.from_pandas(
+        pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    )
+
+
+def probe_jaccard_index(
+    new_ds,
+    index_dir: str,
+    corpus_ds,
+    *,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets_pairs: int = 64,
+):
+    """All pairs ``(a, b)`` with exact n-gram ``J >= threshold`` where at
+    least one side is in ``new_ds`` — new-vs-indexed AND new-vs-new (so one
+    probe fully vets an ingest batch); indexed-vs-indexed pairs were vetted
+    when THEY were probed.  ``corpus_ds`` supplies verification texts and
+    must cover both sides (e.g. the table scan after append).
+
+    Plan (three keyed exchanges + the shared verify machinery, all pruned to
+    the probe's partitions):
+
+    1. shingle the new batch (`(sh, doc, size, bkt)`), materialized once;
+    2. attach document frequency from the pruned ``df/`` partitions (sum of
+       deltas per shingle; unseen shingles get 0 = rarest) — bucket groupby;
+    3. per-doc prefix selection (rank by ``(df, sh)`` under the doc-bucket
+       groupby, keep ``size - ceil(t*size) + 1``);
+    4. candidates: prefix rows vs FULL postings (pruned index partitions +
+       the new batch's own full postings, so new-new pairs surface) under the
+       shingle-bucket groupby, with the two-sided size filter
+       ``t*|p| <= |q| <= |p|/t``;
+    5. ``_dedupe_pairs -> _attach_side_texts -> _verify_pairs`` — exact
+       confirmation; hash collisions only ever ADD candidates.
+    """
+    meta = read_index_meta(index_dir)
+    k, nb = int(meta["shingle_k"]), int(meta["n_buckets"])
+    new_post = (
+        new_ds.map_batches(_postings_fn(id_col, text_col, k, nb), batch_format="pandas")
+        .materialize()
+    )
+    if new_post.count() == 0:
+        return _empty_pairs()
+    probe_bkts = _distinct_buckets(new_post)
+
+    # --- 2. document-frequency attach (pruned df read, additive deltas)
+    df_ds = _read_partitions(index_dir, _DF, probe_bkts, ["sh", "df"], nb)
+
+    def tag_post(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["df"] = np.int64(-1)  # marker: posting row, not df row
+        return out
+
+    def tag_df(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["doc"] = np.int64(-1)
+        out["size"] = np.int64(0)
+        return out[["sh", "doc", "size", "bkt", "df"]]
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        posts = g[g["df"] < 0]
+        deltas = g[g["df"] >= 0]
+        dfm = deltas.groupby("sh", sort=False)["df"].sum()
+        out = posts[["sh", "doc", "size"]].copy()
+        out["df"] = (
+            out["sh"].map(dfm).fillna(0).to_numpy(dtype=np.int64)
+            if len(dfm)
+            else np.zeros(len(out), dtype=np.int64)
+        )
+        h = pd.util.hash_pandas_object(out["doc"], index=False).to_numpy(dtype=np.uint64)
+        out["dbkt"] = (h % n_buckets_pairs).astype(np.int64)
+        return out
+
+    tagged = new_post.map_batches(tag_post, batch_format="pandas")
+    if df_ds is not None:
+        tagged = tagged.union(df_ds.map_batches(tag_df, batch_format="pandas"))
+    with_df = tagged.groupby("bkt").map_groups(attach_df, batch_format="pandas")
+
+    # --- 3. per-doc prefix (any prefix is complete; df-rare minimizes cost)
+    def keep_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc", "df", "sh"], kind="stable")
+        rank = g.groupby("doc", sort=False).cumcount().to_numpy()
+        size = g["size"].to_numpy()
+        prefix_len = size - np.ceil(threshold * size).astype(np.int64) + 1
+        out = g[rank < prefix_len][["sh", "doc", "size"]].copy()
+        out["bkt"] = (out["sh"].to_numpy(dtype=np.uint64) % nb).astype(np.int64)
+        return out
+
+    prefix = with_df.groupby("dbkt").map_groups(keep_prefix, batch_format="pandas").materialize()
+    prefix_bkts = _distinct_buckets(prefix)
+
+    # --- 4. candidates from pruned index partitions + the batch's own postings
+    idx_post = _read_partitions(index_dir, _POSTINGS, prefix_bkts, ["sh", "doc", "size"], nb)
+
+    def tag_side(side: int):
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[["sh", "doc", "size", "bkt"]].copy()
+            out["side"] = np.int8(side)
+            return out
+
+        return tag
+
+    full = new_post.map_batches(tag_side(1), batch_format="pandas")
+    if idx_post is not None:
+        full = full.union(idx_post.map_batches(tag_side(1), batch_format="pandas"))
+    both = prefix.map_batches(tag_side(0), batch_format="pandas").union(full)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0][["sh", "doc", "size"]]
+        f = g[g["side"] == 1][["sh", "doc", "size"]].drop_duplicates(["sh", "doc"])
+        if not len(p) or not len(f):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        m = p.merge(f, on="sh", suffixes=("_p", "_f"))
+        m = m[m["doc_p"] != m["doc_f"]]
+        sp = m["size_p"].to_numpy(dtype=np.float64)
+        sf = m["size_f"].to_numpy(dtype=np.float64)
+        m = m[(sf >= threshold * sp) & (sp >= threshold * sf)]
+        if not len(m):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        a = np.minimum(m["doc_p"].to_numpy(), m["doc_f"].to_numpy()).astype(np.int64)
+        b = np.maximum(m["doc_p"].to_numpy(), m["doc_f"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    cand = both.groupby("bkt").map_groups(emit_pairs, batch_format="pandas")
+    pairs = _dedupe_pairs(cand, n_buckets_pairs).materialize()
+    if pairs.count() == 0:
+        return _empty_pairs()
+    sided = _attach_side_texts(pairs, corpus_ds, id_col, text_col, n_buckets_pairs)
+    return _verify_pairs(sided, threshold, k, n_buckets_pairs)
