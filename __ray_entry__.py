@@ -474,6 +474,60 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic uniform 25% sample keyed on ``md5(doc_id || ':42')`` —
+    reproducible on any cluster shape, no RNG stream, no exchange
+    (`functions/sampling.py:hash_sample`)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.sampling import hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+    out = hash_sample(ds, 0.25, id_col="doc_id", seed=42)
+    return out.map_batches(
+        lambda b: b.astype({"lang": str, "source": str}), batch_format="pandas"
+    )
+
+
+def _q_quota_sample(sf_dir: str):
+    """Per-source quota (≤ 120 docs per source, seeded md5 draw without
+    replacement) — the pretraining-mix rebalance
+    (`functions/sampling.py:quota_sample`), with a pre-shuffle top-cap
+    combiner bounding exchange bytes to O(groups x cap) per block."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.sampling import quota_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = quota_sample(ds, "source", cap=120, id_col="doc_id", seed=42)
+    return out.map_batches(lambda b: b.astype({"source": str}), batch_format="pandas")
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Fixed-budget sequence packing via the distributed prefix-sum scan
+    (`functions/packing.py`): docs laid head-to-tail in doc_id order, cut
+    every 2048 whitespace tokens — `seq_id = tokens_before // 2048`, the
+    SQL-window-checkable streaming-packing rule."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.packing import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "n_tokens": b["text"].astype(str).str.count(r"\S+").to_numpy(dtype=np.int64),
+            }
+        )
+
+    toks = ds.map_batches(count_tokens, batch_format="pandas")
+    return pack_sequences(
+        toks, token_col="n_tokens", order_col="doc_id", capacity=2048
+    )
+
+
 def _q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -621,6 +675,37 @@ def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     q = np.stack([np.asarray(v, dtype=np.float64) for v in emb.head(3)["embedding"]])
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = ivf_topk(ds, q, k=10, n_lists=16, nprobe=16)
+    qids = emb.head(3)["vec_id"].to_numpy()
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out[["query_id", "vec_id"]].astype(np.int64)
+
+
+def _q_ivf_index_topk(sf_dir: str) -> pd.DataFrame:
+    """Incremental ANN via the PERSISTED IVF index
+    (`functions/ivf_index.py`): build over vec_id % 5 != 0, extend with the
+    remaining fifth (frozen centroids, append-only partitions), then search
+    with ``nprobe == n_lists`` — provably exact over the full corpus, so the
+    brute-force SQL oracle must hash-match even though the engine ran a
+    build/extend/probe lifecycle with partition-level reads."""
+    import tempfile
+
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.ivf_index import (
+        build_ivf_index,
+        extend_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in emb.head(3)["embedding"]])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    old = ds.map_batches(lambda b: b[b["vec_id"] % 5 != 0], batch_format="pandas")
+    new = ds.map_batches(lambda b: b[b["vec_id"] % 5 == 0], batch_format="pandas")
+    idx = tempfile.mkdtemp(prefix="qpr_ivfidx_", dir="/tmp")
+    build_ivf_index(old, idx, n_lists=16)
+    extend_ivf_index(new, idx)
+    out = search_ivf_index(q, idx, k=10, nprobe=16)
     qids = emb.head(3)["vec_id"].to_numpy()
     out["query_id"] = qids[out["query_id"].to_numpy()]
     return out[["query_id", "vec_id"]].astype(np.int64)
@@ -935,6 +1020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact,
         "text_stats_docs": _q_text_stats,
         "token_count_docs": _q_token_count,
+        "pack_sequences_docs": _q_pack_sequences,
+        "hash_sample_docs": _q_hash_sample,
+        "quota_sample_docs": _q_quota_sample,
         "fingerprint_docs": _q_fingerprint,
         "lang_id_docs": _q_lang_id,
         "minhash_dedup_docs": _q_minhash_dedup,
@@ -943,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": _q_simhash_pairs,
         "similarity_topk": _q_similarity_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
+        "ivf_index_topk_embeddings": _q_ivf_index_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "media_decode_features": _q_media_decode,
         "curation_flow": _q_curation_flow,
@@ -1273,6 +1362,32 @@ FROM documents
 WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >= 0.8
   AND LEN(regexp_extract_all(text, '\S+')) >= 20
 """.strip(),
+        # deterministic md5-keyed sampling: VARCHAR '<' on zero-padded hex
+        # is numeric compare, identical in Python and SQL
+        "hash_sample_docs": """
+SELECT doc_id, lang, source
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR) || ':42') < '40000000'
+""".strip(),
+        "quota_sample_docs": """
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+) <= 120
+""".strip(),
+        # streaming-packing rule: seq_id = floor(tokens strictly before / cap)
+        # under doc_id order — integer division keeps the oracle exact
+        "pack_sequences_docs": r"""
+WITH t AS (
+  SELECT doc_id, CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS seq_id
+FROM t
+""".strip(),
         # composed curation oracle: quality gate -> gram-Jaccard dedup over
         # the GATED corpus (recursive-CTE components, drop non-minimum
         # members) -> language id over the survivors
@@ -1391,6 +1506,25 @@ SELECT query_id, vec_id FROM r WHERE rn <= 10
         # nprobe == n_lists probes every inverted list -> provably exact,
         # so the brute-force cross-join SQL is a valid oracle
         "ivf_topk_embeddings": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM s
+)
+SELECT query_id, vec_id FROM r WHERE rn <= 10
+""".strip(),
+        # the persisted-IVF-index variant searches the SAME full corpus
+        # (build over 4/5 + extend with 1/5, nprobe=n_lists) -> same oracle
+        "ivf_index_topk_embeddings": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
   ORDER BY vec_id LIMIT 3

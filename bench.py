@@ -160,7 +160,11 @@ def _queries() -> dict:
         "simhash_pairs_docs",
         "similarity_topk",
         "ivf_topk_embeddings",
+        "ivf_index_topk_embeddings",
         "embedding_near_dups",
+        "pack_sequences_docs",
+        "hash_sample_docs",
+        "quota_sample_docs",
     ]
     import ray.data
 
@@ -264,6 +268,10 @@ def run_scaling() -> dict:
         f"turns_per_sec_{hi}": tput_hi,
         f"sec_{lo}": results[lo]["value"],
         f"sec_{hi}": results[hi]["value"],
+        # per-stage walls of the kept (best) run at each level: which stage
+        # stopped scaling is the actionable datum, not just the ratio
+        f"stage_sec_{lo}": results[lo].get("stage_sec"),
+        f"stage_sec_{hi}": results[hi].get("stage_sec"),
         "scaling_efficiency": round(eff, 3),
         "rows": results[hi]["rows"],
         "criterion": "efficiency >= 0.8 from N to 4N",

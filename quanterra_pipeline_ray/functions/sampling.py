@@ -1,0 +1,91 @@
+"""Deterministic corpus sampling: uniform hash-sample and per-group quotas.
+
+Dataset curation needs *reproducible* sampling — the same subset from every
+run, on any cluster shape, with no driver-held state.  Both operators key on
+``md5(id || ':' || seed)``: a uniform, seed-switchable, order-free random
+key that a SQL oracle reproduces bit-for-bit (the same trick the provenance
+fingerprints use — see ``fingerprint_docs``), unlike numpy RNG streams whose
+draw order depends on block layout.
+
+* :func:`hash_sample` — keep a ``fraction`` of rows: ``md5key < hex
+  threshold``.  Embarrassingly parallel (pure per-row predicate, no
+  exchange); the kept fraction is exact in expectation and concentrated at
+  corpus scale.
+* :func:`quota_sample` — cap rows per group (e.g. ≤ N docs per source
+  domain — the classic pretraining-mix rebalance): rank by ``(md5key, id)``
+  within each group, keep the first ``cap``.  One keyed exchange; each
+  input block pre-truncates to ``cap`` rows per group BEFORE the shuffle
+  (a top-k combiner), so exchange bytes are O(groups x cap) per block, not
+  O(rows) — the reason this survives a skewed 100-TB group.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _md5_keys(ids, seed: int) -> np.ndarray:
+    return np.array(
+        [hashlib.md5(f"{i}:{seed}".encode()).hexdigest() for i in ids], dtype=object
+    )
+
+
+def fraction_threshold_hex(fraction: float, digits: int = 8) -> str:
+    """Hex-string threshold such that ``md5key < threshold`` keeps ~fraction
+    of rows (lexicographic compare on the zero-padded prefix = numeric
+    compare; identical semantics in Python and SQL VARCHAR ``<``)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"  # sorts above every hex digest: keep everything
+    return format(int(fraction * (16**digits)), f"0{digits}x")
+
+
+def hash_sample(ds, fraction: float, id_col: str = "doc_id", seed: int = 42):
+    """Deterministic uniform sample: rows whose ``md5(id || ':' || seed)``
+    is below the fraction threshold.  No exchange, no driver state."""
+    thr = fraction_threshold_hex(fraction)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _md5_keys(b[id_col].to_numpy(), seed)
+        return b[keys < thr]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def quota_sample(
+    ds,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 64,
+):
+    """Keep at most ``cap`` rows per ``group_col`` value, chosen
+    deterministically by ascending ``(md5(id || ':' || seed), id)`` — a
+    seeded uniform draw without replacement per group."""
+
+    def local_cap(b: pd.DataFrame) -> pd.DataFrame:
+        # combiner: a block never needs to ship more than cap rows per
+        # group — the global top-cap is a subset of every block's top-cap
+        b = b.copy()
+        b["__key"] = _md5_keys(b[id_col].to_numpy(), seed)
+        b = b.sort_values(["__key", id_col], kind="mergesort")
+        b = b.groupby(group_col, sort=False).head(cap)
+        h = pd.util.hash_pandas_object(b[group_col], index=False).to_numpy(dtype=np.uint64)
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__key", id_col], kind="mergesort")
+        g = g.groupby(group_col, sort=False).head(cap)
+        return g.drop(columns=["__key", "__bkt"])
+
+    return (
+        ds.map_batches(local_cap, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(final_cap, batch_format="pandas")
+    )

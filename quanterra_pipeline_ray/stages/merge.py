@@ -402,6 +402,7 @@ def merge_into(
     num_buckets: int | None = None,
     broadcast_threshold: int = 200_000,
     snapshot_id: int | None = None,
+    exchange: str = "direct",
 ) -> Snapshot:
     """MERGE ``source`` into the table; returns the new snapshot.
 
@@ -449,7 +450,7 @@ def merge_into(
         )
     else:
         snap, lineage = _merge_shuffle(
-            table, source, touched, base, target_rows, num_buckets, src_token
+            table, source, touched, base, target_rows, num_buckets, src_token, exchange
         )
     store_lineage(table.root, snap.snapshot_id, lineage)
     return snap
@@ -564,6 +565,143 @@ def _merge_broadcast(
     return snap, lineage
 
 
+def _merge_direct_exchange(
+    table: TranscriptTable,
+    source: "pa.Table | Any",
+    touched: list[DataFile],
+    base: int,
+    target_rows: int,
+    num_buckets: int,
+    ckpt: Checkpoint,
+    done_buckets: set[int],
+) -> list[dict]:
+    """Deterministic two-stage map-reduce exchange for the shuffle MERGE —
+    the same plan that replaced Ray Data's sort exchange in the cluster
+    stage (``stages/zorder.py:_direct_exchange``), for the same measured
+    reason: ``groupby('__bucket')`` is a SORT exchange (boundary sampling,
+    per-block sorts, sorted-run merge, driver-coordinated reduce waves)
+    whose machinery a hash-bucketed merge does not need.  On a 35 M-turn /
+    ~10 GB-in-memory merge the sort exchange ran 367 s of wall for ~150 s
+    of task CPU (stats-profiled; most of the wall is exchange idle), and
+    the single-block ``from_arrow`` source serialized the map side.
+
+    Map tasks: read a ~64 MiB chunk of touched files (or a slice of the
+    source), tag ``__del``/``__src``, hash-bucket by ``conv_id``, and return
+    ``P`` per-bucket slices via ``num_returns=P``.  Reduce tasks: one per
+    bucket — concat the slices from every map task and run the SAME
+    ``_make_bucket_resolver`` kernel the sort path uses (bit-identical
+    output files).  Resume drops completed buckets' slices map-side.
+    Multi-node: slices scatter through the object store; each reducer pulls
+    only its bucket (all-to-all, no driver-side row data).
+    """
+    import ray
+
+    P = int(num_buckets)
+    fsa = table.fsa
+    root, ckpt_dir = table.root, ckpt.dir
+    schema = table.schema_of(base)
+    schema_json = schema_to_json(schema)
+    defaults = table.defaults_of(base)
+    aliases = table.aliases_of(base)
+    skip = frozenset(int(b) for b in done_buckets)
+
+    def _partition(t: pa.Table) -> tuple:
+        """Append __bucket and split into P compact per-bucket slices."""
+        bucket = (key_hash64(t.column("conv_id")) % np.uint64(P)).astype(np.int64)
+        t = t.append_column("__bucket", pa.array(bucket, type=pa.int64()))
+        order = np.argsort(bucket, kind="stable")
+        bounds = np.searchsorted(bucket[order], np.arange(P + 1))
+        out = []
+        for p in range(P):
+            s, e = int(bounds[p]), int(bounds[p + 1])
+            if e == s or p in skip:
+                out.append(None)
+            else:
+                # take (not slice): compact buffers — each return object
+                # carries exactly its bucket's bytes into the store
+                out.append(t.take(pa.array(order[s:e])))
+        return tuple(out) if P > 1 else out[0]
+
+    def map_files(chunk_specs: list[dict]):
+        from .deletevec import apply_deletes, read_delete_positions
+
+        sch = schema_from_json(schema_json)
+        tables = []
+        for spec in chunk_specs:
+            t = pq.read_table(spec["path"], filesystem=fsa.fs)
+            if spec["delete"]:
+                t = apply_deletes(t, read_delete_positions(spec["delete"], fsa))
+            t = ensure_schema(t, sch, defaults=defaults, aliases=aliases)
+            tables.append(t)
+        big = pa.concat_tables(tables).combine_chunks()
+        n = big.num_rows
+        big = big.append_column("__del", pa.array(np.zeros(n, dtype=np.int8)))
+        big = big.append_column("__src", pa.array(np.zeros(n, dtype=np.int8)))
+        return _partition(big)
+
+    def map_source(chunk: pa.Table):
+        import pyarrow.compute as pc
+
+        t = _normalize_source(chunk, schema_from_json(schema_json), defaults)
+        dele = pc.cast(pc.equal(t.column(OP_COL), "delete"), pa.int8())
+        t = t.drop_columns([OP_COL]).append_column("__del", dele)
+        t = t.append_column("__src", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        return _partition(t.combine_chunks())
+
+    resolver = _make_bucket_resolver(root, target_rows, ckpt_dir, base, schema_json)
+
+    def reduce_bucket(*slices):
+        live = [s for s in slices if s is not None and s.num_rows]
+        if not live:
+            return None
+        rec = resolver(pa.concat_tables(live))
+        return rec.column("record")[0].as_py() if rec.num_rows else None
+
+    # ~64 MiB greedy size-balanced file chunks, at least 2 per CPU
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    specs = [
+        {
+            "path": f.path if f.path.startswith("/") else table._p(f.path),
+            "delete": table._p(f.delete_path) if f.delete_path else None,
+            "bytes": f.bytes,
+        }
+        for f in touched
+    ]
+    total_bytes = sum(s["bytes"] for s in specs)
+    n_chunks = max(1, int(min(len(specs), max(2 * cpus, total_bytes // (64 << 20)))))
+    bins: list[list[dict]] = [[] for _ in range(n_chunks)]
+    sizes = np.zeros(n_chunks, dtype=np.int64)
+    for s in sorted(specs, key=lambda x: -x["bytes"]):
+        i = int(np.argmin(sizes))
+        bins[i].append(s)
+        sizes[i] += s["bytes"]
+    bins = [b for b in bins if b]
+
+    # source chunks: ~64 MiB zero-copy slices (Table) or the Dataset's own
+    # blocks (already distributed; refs passed as task args, zero-copy)
+    if isinstance(source, pa.Table):
+        n_sc = max(1, int(source.nbytes // (64 << 20)) + 1)
+        step = -(-source.num_rows // n_sc)
+        src_chunks = [
+            source.slice(off, step) for off in range(0, source.num_rows, step)
+        ]
+    else:
+        src_chunks = list(source.to_arrow_refs())
+
+    map_files_fn = ray.remote(num_returns=P)(map_files)
+    map_src_fn = ray.remote(num_returns=P)(map_source)
+    reduce_fn = ray.remote(reduce_bucket)
+    map_out = [map_files_fn.remote(b) for b in bins] + [
+        map_src_fn.remote(c) for c in src_chunks
+    ]
+    if P == 1:
+        map_out = [[r] for r in map_out]
+    pending = [
+        reduce_fn.remote(*[m[p] for m in map_out]) for p in range(P) if p not in skip
+    ]
+    return [json.loads(r) for r in ray.get(pending) if r]
+
+
 def _merge_shuffle(
     table: TranscriptTable,
     source: "pa.Table | Any",
@@ -572,6 +710,7 @@ def _merge_shuffle(
     target_rows: int,
     num_buckets: int | None,
     src_token: str = "",
+    exchange: str = "direct",
 ) -> tuple[Snapshot, list[dict]]:
     import pyarrow.compute as pc
     import ray
@@ -586,6 +725,32 @@ def _merge_shuffle(
     ckpt = Checkpoint(table.root, op_id)
     done = ckpt.completed()
     results: list[dict[str, Any]] = list(done.values())
+
+    if exchange == "direct":
+        results += _merge_direct_exchange(
+            table,
+            source,
+            touched,
+            base,
+            target_rows,
+            num_buckets,
+            ckpt,
+            {int(k) for k in done},
+        )
+        added = [DataFile.from_json(d) for r in results for d in r["datafiles"]]
+        snap = table.commit(
+            added,
+            removed_paths=[f.path for f in touched],
+            operation="merge",
+            summary={"plan": "shuffle", "source_rows": n_src, "buckets": num_buckets},
+            base_snapshot_id=base,
+        )
+        lineage = [r["lineage"] for r in results]
+        ckpt.clear()
+        return snap, lineage
+    if exchange != "sort":
+        raise ValueError(f"unknown exchange {exchange!r} (expected 'direct' or 'sort')")
+
     done_buckets = pa.array([int(k) for k in done], type=pa.int64())
 
     paths = [f.path if f.path.startswith("/") else table._p(f.path) for f in touched]

@@ -163,6 +163,53 @@ def test_merge_shuffle_accepts_ray_dataset_source(tmp_path):
     assert got.num_rows > 0
 
 
+def test_merge_exchange_plans_identical_content(tmp_path):
+    """Direct map-reduce exchange == Ray Data sort exchange, row for row
+    (same bucket hash, same resolver kernel), including deletes."""
+    table_a, data = _make(tmp_path, n_files=6)
+    src = _source_from(data, update_every=4, deletes=5)
+    snap_a = merge_into(
+        table_a, src, target_rows=10_000, broadcast_threshold=0, exchange="direct"
+    )
+    assert snap_a.summary["plan"] == "shuffle"
+
+    root_b = str(tmp_path / "t_sort")
+    table_b = TranscriptTable.create(root_b)
+    paths = fragment_table(data, os.path.join(root_b, "data", "frags"), 6)
+    table_b.register_fragments(paths)
+    snap_b = merge_into(
+        table_b, src, target_rows=10_000, broadcast_threshold=0, exchange="sort"
+    )
+    assert content_fingerprint(table_a.read_all()) == content_fingerprint(table_b.read_all())
+    # resolved rows equal the reference last-writer-wins semantics
+    got = (
+        table_a.read_all()
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = _expected(data, src)
+    assert got["text"].tolist() == exp["text"].tolist()
+
+
+def test_merge_direct_exchange_dataset_source(tmp_path):
+    """Dataset sources flow through the direct exchange via their own block
+    refs (no driver materialization)."""
+    import ray.data as rd
+
+    table, data = _make(tmp_path)
+    src = _source_from(data, update_every=4)
+    snap = merge_into(
+        table, rd.from_arrow(src), target_rows=10_000, broadcast_threshold=0, exchange="direct"
+    )
+    assert snap.summary["plan"] == "shuffle"
+    exp = _expected(data, src)
+    got = (
+        table.read_all().to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert got["text"].tolist() == exp["text"].tolist()
+
+
 def test_run_op_protocol_drives_compaction(tmp_path):
     from quanterra_pipeline_ray.stages.compaction import CompactionOp
     from quanterra_pipeline_ray.stages.protocol import MaintenanceOp, run_op

@@ -1,0 +1,71 @@
+"""Deterministic hash sampling and per-group quota sampling."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from quanterra_pipeline_ray.functions.sampling import (
+    fraction_threshold_hex,
+    hash_sample,
+    quota_sample,
+)
+
+
+def _df(n=2_000, groups=("a", "b", "c")):
+    rng = np.random.default_rng(4)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "grp": rng.choice(groups, size=n),
+            "payload": rng.integers(0, 1000, size=n),
+        }
+    )
+
+
+def test_hash_sample_matches_reference_predicate():
+    df = _df()
+    got = hash_sample(rd.from_pandas(df), 0.25, id_col="doc_id", seed=42).to_pandas()
+    thr = fraction_threshold_hex(0.25)
+    assert thr == "40000000"
+    expected = df[
+        [hashlib.md5(f"{i}:42".encode()).hexdigest() < thr for i in df["doc_id"]]
+    ]
+    assert sorted(got["doc_id"]) == sorted(expected["doc_id"])
+    # roughly a quarter, deterministic across invocations
+    assert 0.2 < len(got) / len(df) < 0.3
+    again = hash_sample(rd.from_pandas(df), 0.25, id_col="doc_id", seed=42).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(got["doc_id"])
+    # different seed -> different subset
+    other = hash_sample(rd.from_pandas(df), 0.25, id_col="doc_id", seed=7).to_pandas()
+    assert sorted(other["doc_id"]) != sorted(got["doc_id"])
+
+
+def test_hash_sample_edges():
+    df = _df(100)
+    assert hash_sample(rd.from_pandas(df), 0.0).count() == 0
+    assert hash_sample(rd.from_pandas(df), 1.0).count() == 100
+
+
+def test_quota_sample_matches_reference_ranking():
+    df = _df()
+    cap = 37
+    got = quota_sample(rd.from_pandas(df), "grp", cap, id_col="doc_id", seed=42).to_pandas()
+
+    ref = df.copy()
+    ref["__key"] = [hashlib.md5(f"{i}:42".encode()).hexdigest() for i in ref["doc_id"]]
+    ref = ref.sort_values(["__key", "doc_id"]).groupby("grp", sort=False).head(cap)
+    assert sorted(got["doc_id"]) == sorted(ref["doc_id"])
+    assert (got.groupby("grp").size() <= cap).all()
+    assert set(got.columns) == {"doc_id", "grp", "payload"}
+
+
+def test_quota_sample_small_groups_kept_whole():
+    df = pd.DataFrame(
+        {"doc_id": np.arange(10, dtype=np.int64), "grp": ["x"] * 3 + ["y"] * 7}
+    )
+    got = quota_sample(rd.from_pandas(df), "grp", 5, id_col="doc_id").to_pandas()
+    assert (got["grp"] == "x").sum() == 3  # under cap: group intact
+    assert (got["grp"] == "y").sum() == 5
