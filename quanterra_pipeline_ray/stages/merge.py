@@ -19,11 +19,15 @@ new snapshot untouched.
 
 Two physical plans, selected by source size:
 
-* **hash-shuffle** (general, both sides large): tag ``__src``, union, add
-  ``__bucket = hash(conv_id) % B``, ``groupby('__bucket').map_groups`` with a
-  vectorized pandas resolver per bucket — the groupby-on-conv_id anti/semi
-  join.  Bucket count B bounds per-group memory; hot conversations share a
-  bucket only with ~1/B of the table.
+* **hash-shuffle** (general, both sides large): both sides are tagged
+  ``__src``/``__del``, hash-bucketed on ``conv_id`` (``__bucket = hash %
+  B``), and resolved per bucket by a vectorized Arrow kernel — the
+  groupby-on-conv_id anti/semi join.  Bucket count B bounds per-group
+  memory; hot conversations share a bucket only with ~1/B of the table.
+  The exchange itself is the deterministic two-stage map-reduce
+  (:func:`_merge_direct_exchange`, default) — Ray Data's sort exchange is
+  kept as ``exchange='sort'`` for comparison and produces bit-identical
+  output.
 * **broadcast** (source below threshold): source is ``ray.put`` once; each
   touched file is an independent task that resolves its own rows against the
   broadcast source (semi/anti join, NO shuffle); unmatched source keys are

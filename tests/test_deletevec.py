@@ -123,6 +123,37 @@ def test_delete_vector_then_merge_materializes(tmp_path):
     assert all(not f.delete_path for f in table.files() if f.path.startswith("data/part-"))
 
 
+def test_delete_vector_then_shuffle_merge_materializes(tmp_path):
+    """Same contract through the SHUFFLE plan's direct exchange: map tasks
+    apply the sidecar mask before bucketing."""
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    table, data = _make(tmp_path)
+    df = data.to_pandas()
+    delete_where_vector(table, lambda b: b["turn_idx"] % 9 == 4)
+
+    upd = df[df["turn_idx"] % 6 == 1].copy()
+    upd["text"] = "M " + upd["text"]
+    upd["__op"] = "upsert"
+    snap = merge_into(
+        table,
+        pa.Table.from_pandas(upd, preserve_index=False),
+        broadcast_threshold=0,
+        exchange="direct",
+    )
+    assert snap.summary["plan"] == "shuffle"
+
+    kept = df[~(df["turn_idx"] % 9 == 4)].copy()
+    mask = kept["turn_idx"] % 6 == 1
+    kept.loc[mask, "text"] = "M " + kept.loc[mask, "text"]
+    resurrected = df[(df["turn_idx"] % 9 == 4) & (df["turn_idx"] % 6 == 1)].copy()
+    resurrected["text"] = "M " + resurrected["text"]
+    exp = pd.concat([kept, resurrected], ignore_index=True)
+    assert content_fingerprint(table.read_all()) == content_fingerprint(
+        pa.Table.from_pandas(exp, preserve_index=False)
+    )
+
+
 def test_delete_vector_compaction_materializes_and_expire_sweeps(tmp_path):
     from quanterra_pipeline_ray.stages.compaction import compact
     from quanterra_pipeline_ray.stages.expire import expire_snapshots
