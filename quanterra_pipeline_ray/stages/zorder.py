@@ -206,7 +206,9 @@ def _make_run_writer(
             return pa.table({"record": pa.array([], type=pa.string())})
         t0 = time.monotonic()
         part_id = int(group.column("zpart")[0].as_py())
-        group = group.sort_by(
+        # the group arrives as N concatenated slices (N chunks): compact
+        # before sort_by so the gather stays on Arrow's single-chunk path
+        group = group.combine_chunks().sort_by(
             [("z", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
         from ..schema import TRANSCRIPTS_SCHEMA, schema_from_json
@@ -329,7 +331,13 @@ def _direct_exchange(
             t = enc(t)
             encoded.append(t)
             zparts.append(t.column("zpart").to_numpy())
-        big = pa.concat_tables(encoded)  # zero-copy chunk collection
+        # combine_chunks after concat: pa.Table.take with random indices on
+        # a MULTI-chunk string column falls off Arrow's fast path (per-index
+        # chunk resolution) — measured 39 s for the 128 per-partition takes
+        # on a 2-file / 427 MB chunk vs 0.8 s after one compacting copy.
+        # Single-file chunks never hit this (already one chunk), which is
+        # why only low-CPU levels (bigger chunks) showed it.
+        big = pa.concat_tables(encoded).combine_chunks()
         zp = np.concatenate(zparts)
         order = np.argsort(zp, kind="stable")
         bounds = np.searchsorted(zp[order], np.arange(P + 1))

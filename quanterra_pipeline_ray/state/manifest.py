@@ -263,7 +263,13 @@ def write_data_file(
     """
     table = ensure_schema(table, schema)
     if sort_within and table.num_rows > 1 and {"conv_id", "turn_idx"} <= set(table.column_names):
-        table = table.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        # compact multi-chunk inputs (compaction bins, merge-resolver
+        # concats) before sort_by: the sort's gather on a multi-chunk string
+        # column is Arrow's slow per-index-chunk-resolution path — measured
+        # 0.90 s vs 0.13 s combine + 0.56 s sort on a 72-chunk / 211 MB bin
+        table = table.combine_chunks().sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
     buf = io.BytesIO()
     pq.write_table(table, buf, compression=compression)
     payload = buf.getvalue()
