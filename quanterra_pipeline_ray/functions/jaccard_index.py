@@ -95,6 +95,8 @@ def _append_postings(post_ds, index_dir: str) -> dict:
     returns counters.  Both writes are hive-partitioned APPENDs — extending
     the index never rewrites existing partition files."""
     post_ds = post_ds.materialize()
+    if post_ds.count() == 0:  # empty build/extend (bootstrap store)
+        return {"n_postings": 0, "n_docs": 0}
     post_ds.write_parquet(os.path.join(index_dir, _POSTINGS), partition_cols=["bkt"])
     df_ds = post_ds.groupby("bkt").map_groups(_df_rows, batch_format="pandas")
     df_ds.write_parquet(os.path.join(index_dir, _DF), partition_cols=["bkt"])
@@ -198,10 +200,13 @@ def _read_partitions(index_dir: str, table: str, buckets, columns, n_buckets: in
 
 
 def _empty_pairs():
+    import pyarrow as pa
     import ray.data
 
-    return ray.data.from_pandas(
-        pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    # from_arrow, not from_pandas: Ray 2.49 drops a 0-row pandas frame's
+    # schema on the to_pandas round trip
+    return ray.data.from_arrow(
+        pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     )
 
 

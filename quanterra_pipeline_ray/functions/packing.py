@@ -46,6 +46,10 @@ def global_cumsum(
     Two-phase distributed scan — see module docstring.  ``order_col`` values
     must be unique non-negative int64 (ties would make "preceding" ambiguous).
     """
+    # materialize the input ONCE: max(), the partials pass, and the scan
+    # pass all consume it — without this the upstream pipeline (e.g. a
+    # token-count map) would re-execute per consumer
+    ds = ds.materialize()
     hi = ds.max(order_col)
     if hi is None:
         return ds
@@ -57,7 +61,7 @@ def global_cumsum(
         b["__bkt"] = (b[order_col].to_numpy(dtype=np.int64) // width).astype(np.int64)
         return b
 
-    bucketed = ds.map_batches(add_bkt, batch_format="pandas").materialize()
+    bucketed = ds.map_batches(add_bkt, batch_format="pandas")
 
     # phase 1: per-bucket partial sums (tiny: one row per bucket)
     partials = (
