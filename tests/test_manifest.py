@@ -166,6 +166,67 @@ def test_concurrent_committers_both_land(tmp_path):
     assert t1.scan().count() == 20
 
 
+def test_concurrent_committers_multiprocess_stress(tmp_path):
+    """Real contention: 4 OS processes x 5 appends each against one table
+    root, no coordination.  Every commit must land (CAS losers re-parent
+    and retry), lineage must be one linear chain, and no rows may be lost."""
+    import subprocess
+    import sys
+
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root)
+    n_procs, n_commits, rows_each = 4, 5, 7
+
+    script = """
+import sys
+sys.path.insert(0, {repo!r})
+import numpy as np, pandas as pd, pyarrow as pa
+from quanterra_pipeline_ray.state.manifest import TranscriptTable
+w = int(sys.argv[1]); root = sys.argv[2]
+t = TranscriptTable.load(root)
+for c in range({n_commits}):
+    df = pd.DataFrame({{
+        "conv_id": [f"w{{w}}-c{{c}}"] * {rows_each},
+        "turn_idx": np.arange({rows_each}, dtype=np.int32),
+        "role": ["user"] * {rows_each},
+        "text": [f"msg {{w}}/{{c}}/{{i}}" for i in range({rows_each})],
+        "tool": [""] * {rows_each},
+        "ts": pd.to_datetime(np.arange({rows_each}), unit="s").astype("datetime64[us]"),
+    }})
+    t.append_table(pa.Table.from_pandas(df, preserve_index=False))
+print("ok", w)
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           n_commits=n_commits, rows_each=rows_each)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(w), root],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in range(n_procs)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, err
+        assert out.startswith("ok")
+
+    t = TranscriptTable.load(root)
+    snaps = sorted(t.snapshots(), key=lambda s: s.snapshot_id)
+    assert len(snaps) == n_procs * n_commits + 1  # + create
+    # one linear chain: ids dense, each child points at the previous id
+    ids = [s.snapshot_id for s in snaps]
+    assert ids == list(range(len(snaps)))
+    assert all(s.parent_id == i - 1 for i, s in enumerate(snaps) if i > 0)
+    # no rows lost
+    assert len(t.files()) == n_procs * n_commits
+    got = t.read_all()
+    assert got.num_rows == n_procs * n_commits * rows_each
+    convs = set(got.column("conv_id").to_pylist())
+    assert convs == {f"w{w}-c{c}" for w in range(n_procs) for c in range(n_commits)}
+
+
 def test_pinned_base_commit_surfaces_conflict(tmp_path):
     """A committer that PINNED its base snapshot must see the conflict (its
     plan may be stale), not silently re-parent."""
