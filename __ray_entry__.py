@@ -632,6 +632,30 @@ def _q_jaccard_incremental(sf_dir: str):
     return probe_jaccard_index(new, idx, ds, threshold=0.8)
 
 
+def _q_minhash_incremental(sf_dir: str):
+    """Incremental near-dup via the PERSISTED MinHash-LSH band index
+    (`functions/minhash_index.py`): constant per-doc index metadata (16 band
+    rows), probe reads only the batch's band-hash partitions, exact
+    char-5-gram verify.  Same split and pair predicate as
+    jaccard_incremental_docs — banding recall on this corpus is complete
+    (deterministic seed), so the exact-J oracle must hash-match."""
+    import tempfile
+
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.minhash_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    old = ds.map_batches(lambda b: b[b["doc_id"] % 5 != 0], batch_format="pandas")
+    new = ds.map_batches(lambda b: b[b["doc_id"] % 5 == 0], batch_format="pandas")
+    idx = tempfile.mkdtemp(prefix="qpr_mhidx_", dir="/tmp")
+    build_minhash_index(old, idx, n_buckets=64)
+    return probe_minhash_index(new, idx, ds, threshold=0.8)
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash banding as the blocking structure, exact (md5) verify, over
     the corpus doubled with planted exact copies — every (id, id+100000)
@@ -1028,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _q_minhash_dedup,
         "jaccard_pairs_docs": _q_jaccard_pairs,
         "jaccard_incremental_docs": _q_jaccard_incremental,
+        "minhash_incremental_docs": _q_minhash_incremental,
         "simhash_pairs_docs": _q_simhash_pairs,
         "similarity_topk": _q_similarity_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
@@ -1313,6 +1338,26 @@ SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)
         # restricted to pairs touching the simulated ingest batch (doc_id%5=0)
         # — the persisted-index probe must be COMPLETE for this to hash-match
         "jaccard_incremental_docs": """
+WITH gs AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams
+  FROM documents
+),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         LEN(list_intersect(x.grams, y.grams)) AS inter,
+         LEN(x.grams) AS na, LEN(y.grams) AS nb
+  FROM gs x JOIN gs y
+    ON x.doc_id < y.doc_id
+   AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
+   AND LEN(x.grams) >= 0.8 * LEN(y.grams)
+   AND LEN(y.grams) >= 0.8 * LEN(x.grams)
+)
+SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)
+""".strip(),
+        # LSH-index probe, same predicate: banding (64 hashes / 16 bands,
+        # fixed seed) is recall-complete on this corpus, exact verify kills
+        # any false positives — so the exact-J pair oracle applies verbatim
+        "minhash_incremental_docs": """
 WITH gs AS (
   SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams
   FROM documents
