@@ -61,19 +61,16 @@ def _assign_and_write(ds, index_dir: str, centroids: np.ndarray, id_col: str, ve
     """Route each vector to its nearest centroid's hive partition (append)."""
     c_norm = _normalize(centroids)
 
-    class Router:
-        def __init__(self):
-            self.c = c_norm
+    # plain function, not an actor class: routing holds no per-actor state
+    # (the small centroid matrix rides the closure), and a task pool skips
+    # the actor-pool startup latency on every build/extend call
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        v = _normalize(_stack(b[vec_col]))
+        out = b[[id_col, vec_col]].copy()
+        out["lst"] = np.argmax(v @ c_norm.T, axis=1).astype(np.int64)
+        return out
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            v = _normalize(_stack(b[vec_col]))
-            out = b[[id_col, vec_col]].copy()
-            out["lst"] = np.argmax(v @ self.c.T, axis=1).astype(np.int64)
-            return out
-
-    routed = ds.map_batches(
-        Router, batch_format="pandas", concurrency=_pool_size(4)
-    ).materialize()
+    routed = ds.map_batches(route, batch_format="pandas").materialize()
     routed.write_parquet(os.path.join(index_dir, _VECTORS), partition_cols=["lst"])
     return routed.count()
 

@@ -12,8 +12,10 @@ draw order depends on block layout.
   exchange); the kept fraction is exact in expectation and concentrated at
   corpus scale.
 * :func:`quota_sample` — cap rows per group (e.g. ≤ N docs per source
-  domain — the classic pretraining-mix rebalance): rank by ``(md5key, id)``
-  within each group, keep the first ``cap``.  One keyed exchange; each
+  domain — the classic pretraining-mix rebalance; the reference applies the
+  same fixed-quota idea at config level with its dev-mode volume caps,
+  `src/models/config/pipeline_settings.py:172-176`): rank by
+  ``(md5key, id)`` within each group, keep the first ``cap``.  One keyed exchange; each
   input block pre-truncates to ``cap`` rows per group BEFORE the shuffle
   (a top-k combiner), so exchange bytes are O(groups x cap) per block, not
   O(rows) — the reason this survives a skewed 100-TB group.
