@@ -474,6 +474,19 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_topk_per_lang(sf_dir: str):
+    """Per-group top-k (5 longest docs per language, deterministic doc_id
+    tiebreak) via the combiner-first distributed selection
+    (`pipelines/relational.py:topk_per_group`)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import topk_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    out = topk_per_group(ds, ["lang"], ["n_chars"], k=5, tiebreak=["doc_id"])
+    return out.map_batches(lambda b: b.astype({"lang": str}), batch_format="pandas")
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic uniform 25% sample keyed on ``md5(doc_id || ':42')`` —
     reproducible on any cluster shape, no RNG stream, no exchange
@@ -1045,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_docs": _q_text_stats,
         "token_count_docs": _q_token_count,
         "pack_sequences_docs": _q_pack_sequences,
+        "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
         "fingerprint_docs": _q_fingerprint,
@@ -1406,6 +1420,11 @@ SELECT doc_id, LEN(regexp_extract_all(text, '\S+')) AS n_tokens
 FROM documents
 WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >= 0.8
   AND LEN(regexp_extract_all(text, '\S+')) >= 20
+""".strip(),
+        "topk_per_lang_docs": """
+SELECT doc_id, lang, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
 """.strip(),
         # deterministic md5-keyed sampling: VARCHAR '<' on zero-padded hex
         # is numeric compare, identical in Python and SQL

@@ -258,6 +258,40 @@ def topk_orders(sf_dir: str, k: int = 10):
     )
 
 
+def topk_per_group(
+    ds,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    ascending: "list[bool] | None" = None,
+    tiebreak: "list[str] | None" = None,
+    n_buckets: int = 64,
+):
+    """Top-k rows per group (e.g. the k highest-quality docs per language).
+
+    Combiner-first: every input block keeps at most k rows per group BEFORE
+    the shuffle (the global per-group top-k is a subset of every block's),
+    so exchange bytes are O(groups x k) per block, not O(rows); one keyed
+    exchange on the group hash finishes the selection.  ``tiebreak`` columns
+    (ascending) make the result deterministic when order values collide.
+    """
+    asc = ascending if ascending is not None else [False] * len(order_cols)
+    tb = tiebreak or []
+    sort_cols = order_cols + tb
+    sort_asc = list(asc) + [True] * len(tb)
+
+    def local_cap(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+        return b.groupby(group_cols, sort=False).head(k)
+
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+        return g.groupby(group_cols, sort=False).head(k)
+
+    capped = ds.map_batches(local_cap, batch_format="pandas")
+    return bucketed_groupby(capped, group_cols, final_cap, n_buckets)
+
+
 # ------------------------------------------------------------------- windows
 def events_hourly(sf_dir: str):
     """Tumbling 1h window: events per (user_id, hour). Int outputs only."""

@@ -110,3 +110,33 @@ def test_frame_sampler_expands_rows():
         batch_format="pandas", concurrency=2,
     )
     assert out.count() == n_videos * 4
+
+
+def test_topk_per_group_matches_pandas_reference():
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.pipelines.relational import topk_per_group
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500, dtype=np.int64),
+            "grp": rng.choice(["x", "y", "z"], size=500),
+            "score": rng.integers(0, 40, size=500),  # many ties -> tiebreak matters
+        }
+    )
+    got = (
+        topk_per_group(rd.from_pandas(df), ["grp"], ["score"], k=7, tiebreak=["id"])
+        .to_pandas()
+        .sort_values(["grp", "score", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values(["score", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("grp", sort=False)
+        .head(7)
+        .sort_values(["grp", "score", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["id", "grp", "score"]], ref[["id", "grp", "score"]])
