@@ -474,6 +474,22 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_dataprep_flow(sf_dir: str):
+    """Composed pretraining-prep flagship (`pipelines/dataprep.py`):
+    quality gate -> exact dedup (min-id survivor per distinct text) ->
+    per-source quota rebalance (md5 draw) -> fixed-budget sequence packing.
+    Checked end-to-end against one chained-CTE SQL oracle."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.dataprep import prep_documents
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    out = prep_documents(ds)
+    return out.map_batches(lambda b: b.astype({"source": str}), batch_format="pandas")
+
+
 def _q_topk_per_lang(sf_dir: str):
     """Per-group top-k (5 longest docs per language, deterministic doc_id
     tiebreak) via the combiner-first distributed selection
@@ -1058,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_docs": _q_text_stats,
         "token_count_docs": _q_token_count,
         "pack_sequences_docs": _q_pack_sequences,
+        "dataprep_flow": _q_dataprep_flow,
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
@@ -1425,6 +1442,31 @@ WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >=
 SELECT doc_id, lang, n_chars
 FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
+""".strip(),
+        # composed prep oracle: gate -> min-id-per-text dedup -> md5 quota
+        # -> prefix-sum packing, one chained-CTE recomposition
+        "dataprep_flow": r"""
+WITH gated AS (
+  SELECT doc_id, source, text,
+         CAST(LEN(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >= 0.8
+    AND LEN(regexp_extract_all(text, '\S+')) >= 20
+),
+dedup AS (
+  SELECT * FROM gated
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+quota AS (
+  SELECT doc_id, source, n_tokens FROM dedup
+  QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+  ) <= 120
+)
+SELECT doc_id, source, n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS seq_id
+FROM quota
 """.strip(),
         # deterministic md5-keyed sampling: VARCHAR '<' on zero-padded hex
         # is numeric compare, identical in Python and SQL

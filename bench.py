@@ -165,6 +165,8 @@ def _queries() -> dict:
         "pack_sequences_docs",
         "hash_sample_docs",
         "quota_sample_docs",
+        "topk_per_lang_docs",
+        "dataprep_flow",
     ]
     import ray.data
 
