@@ -474,6 +474,20 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles of doc length: distributed value-count
+    histogram (counts, not samples, cross the exchange), driver reduce over
+    the distinct-value domain (`pipelines/relational.py:quantiles_disc`)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import quantiles_disc
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    out = quantiles_disc(ds, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    out["v"] = out["v"].astype(np.int64)
+    return out
+
+
 def _q_dataprep_flow(sf_dir: str):
     """Composed pretraining-prep flagship (`pipelines/dataprep.py`):
     quality gate -> exact dedup (min-id survivor per distinct text) ->
@@ -1075,6 +1089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": _q_token_count,
         "pack_sequences_docs": _q_pack_sequences,
         "dataprep_flow": _q_dataprep_flow,
+        "quantiles_docs": _q_quantiles,
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
@@ -1442,6 +1457,14 @@ WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >=
 SELECT doc_id, lang, n_chars
 FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
+""".strip(),
+        "quantiles_docs": """
+SELECT CAST(0.1 AS DOUBLE) AS q, CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS v FROM documents
+UNION ALL SELECT 0.25, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) FROM documents
+UNION ALL SELECT 0.5, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) FROM documents
+UNION ALL SELECT 0.75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT) FROM documents
+UNION ALL SELECT 0.9, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents
+UNION ALL SELECT 0.99, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents
 """.strip(),
         # composed prep oracle: gate -> min-id-per-text dedup -> md5 quota
         # -> prefix-sum packing, one chained-CTE recomposition

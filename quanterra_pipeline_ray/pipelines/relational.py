@@ -292,6 +292,50 @@ def topk_per_group(
     return bucketed_groupby(capped, group_cols, final_cap, n_buckets)
 
 
+def quantiles_disc(ds, col: str, qs: list[float], n_buckets: int = 64) -> pd.DataFrame:
+    """EXACT discrete quantiles (nearest-rank, SQL ``quantile_disc``
+    semantics: the value at sorted index ``max(0, ceil(q*n) - 1)``) of an
+    integer-ish column, computed distributed in one pass.
+
+    Plan: per-block partial value-counts (map-side combine) -> one keyed
+    exchange on value hash -> per-bucket count merge -> the driver reduces
+    the DISTINCT-VALUE histogram (one ``(value, count)`` row per distinct
+    value — bounded by the value domain, not the row count; fine for
+    lengths/token counts/scores, not for continuous floats).  Exact at any
+    row count because counts, not samples, cross the exchange.
+    """
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby(col, sort=False).size()
+        return pd.DataFrame({col: c.index.to_numpy(), "n": c.to_numpy(dtype=np.int64)})
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(col, sort=False)["n"].sum()
+        return pd.DataFrame({col: c.index.to_numpy(), "n": c.to_numpy(dtype=np.int64)})
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial_counts, batch_format="pandas"),
+            [col],
+            merge_counts,
+            n_buckets,
+        )
+        .to_pandas()
+        .sort_values(col)
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    values = hist[col].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))  # 1-based nearest rank
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(q))
+        out_v.append(values[min(idx, len(values) - 1)])
+    return pd.DataFrame({"q": np.array(out_q, dtype=np.float64), "v": out_v})
+
+
 # ------------------------------------------------------------------- windows
 def events_hourly(sf_dir: str):
     """Tumbling 1h window: events per (user_id, hour). Int outputs only."""

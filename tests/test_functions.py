@@ -140,3 +140,20 @@ def test_topk_per_group_matches_pandas_reference():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["id", "grp", "score"]], ref[["id", "grp", "score"]])
+
+
+def test_quantiles_disc_matches_numpy_nearest_rank():
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.pipelines.relational import quantiles_disc
+
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 300, size=5_000).astype(np.int64)
+    df = pd.DataFrame({"x": vals})
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = quantiles_disc(rd.from_pandas(df), "x", qs, n_buckets=8)
+    srt = np.sort(vals)
+    for q, v in zip(got["q"], got["v"]):
+        rank = max(1, int(np.ceil(q * len(srt))))
+        assert v == srt[rank - 1]
