@@ -474,6 +474,21 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding 1h windows hopping every 15min per event_type
+    (`pipelines/relational.py:sliding_window_counts`): vectorized 4x window
+    expansion with per-block partial counts before the keyed exchange."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import sliding_window_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    out = sliding_window_counts(ds)
+    return out.map_batches(
+        lambda b: b.astype({"event_type": str}), batch_format="pandas"
+    )
+
+
 def _q_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact discrete quantiles of doc length: distributed value-count
     histogram (counts, not samples, cross the exchange), driver reduce over
@@ -1090,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": _q_pack_sequences,
         "dataprep_flow": _q_dataprep_flow,
         "quantiles_docs": _q_quantiles,
+        "events_sliding_windows": _q_events_sliding,
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
@@ -1457,6 +1473,17 @@ WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >=
 SELECT doc_id, lang, n_chars
 FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
+""".strip(),
+        # hopping-window recomposition: each event joins its 4 covering
+        # window starts (k = 0..3 hops back from its own hop bucket)
+        "events_sliding_windows": """
+WITH w AS (
+  SELECT event_type,
+         make_timestamp(((epoch_us(ts) // 900000000) - k.k) * 900000000) AS window_start
+  FROM events, (VALUES (0), (1), (2), (3)) k(k)
+)
+SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY event_type, window_start
 """.strip(),
         "quantiles_docs": """
 SELECT CAST(0.1 AS DOUBLE) AS q, CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS v FROM documents

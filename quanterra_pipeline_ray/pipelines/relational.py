@@ -292,6 +292,60 @@ def topk_per_group(
     return bucketed_groupby(capped, group_cols, final_cap, n_buckets)
 
 
+def sliding_window_counts(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    size_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+    n_buckets: int = 64,
+):
+    """Sliding (hopping) window counts per key: every event lands in the
+    ``size/hop`` windows covering it (e.g. 1 h windows hopping every 15 min
+    → 4).  Completes the windows family (tumbling `events_hourly`, session
+    `events_sessions`, watermark `stages/streaming`).
+
+    Vectorized expansion (repeat/tile, no per-row loop) with a PER-BLOCK
+    partial count before the keyed exchange — the shuffle carries
+    ``(key, window) -> count`` partials, not the ``size/hop``-times-expanded
+    events.  Requires ``size_us % hop_us == 0`` (every covering window is
+    then exactly ``floor(ts/hop)*hop - k*hop`` for ``k < size/hop``).
+    """
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    nhops = size_us // hop_us
+
+    def expand_count(b: pd.DataFrame) -> pd.DataFrame:
+        us = b[ts_col].astype("int64").to_numpy()
+        base = (us // hop_us) * hop_us
+        reps = np.repeat(np.arange(len(b)), nhops)
+        k = np.tile(np.arange(nhops, dtype=np.int64), len(b))
+        g = pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy()[reps],
+                "window_start": (base[reps] - k * hop_us).astype("datetime64[us]"),
+            }
+        )
+        return (
+            g.groupby([key_col, "window_start"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([key_col, "window_start"], as_index=False)["n_events"].sum()
+
+    out = bucketed_groupby(
+        ds.map_batches(expand_count, batch_format="pandas"),
+        [key_col, "window_start"],
+        combine,
+        n_buckets,
+    )
+    return out.map_batches(
+        lambda b: b.assign(n_events=b["n_events"].astype(np.int64)), batch_format="pandas"
+    )
+
+
 def quantiles_disc(ds, col: str, qs: list[float], n_buckets: int = 64) -> pd.DataFrame:
     """EXACT discrete quantiles (nearest-rank, SQL ``quantile_disc``
     semantics: the value at sorted index ``max(0, ceil(q*n) - 1)``) of an

@@ -157,3 +157,41 @@ def test_quantiles_disc_matches_numpy_nearest_rank():
     for q, v in zip(got["q"], got["v"]):
         rank = max(1, int(np.ceil(q * len(srt))))
         assert v == srt[rank - 1]
+
+
+def test_sliding_window_counts_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.pipelines.relational import sliding_window_counts
+
+    rng = np.random.default_rng(6)
+    n = 3_000
+    ts = rng.integers(0, 10 * 3_600_000_000, size=n)
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b"], size=n),
+            "ts": ts.astype("datetime64[us]"),
+        }
+    )
+    got = (
+        sliding_window_counts(rd.from_pandas(df), size_us=3_600_000_000, hop_us=900_000_000)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for et, t in zip(df["event_type"], ts):
+        base = (t // 900_000_000) * 900_000_000
+        for k in range(4):
+            rows.append((et, base - k * 900_000_000))
+    ref = (
+        pd.DataFrame(rows, columns=["event_type", "ws"])
+        .groupby(["event_type", "ws"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_events", "ws": "window_start"})
+    )
+    ref["window_start"] = ref["window_start"].astype("datetime64[us]")
+    ref = ref.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    ref["n_events"] = ref["n_events"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[["event_type", "window_start", "n_events"]], ref)
