@@ -474,6 +474,32 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_events_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per (event_type, hour): two-level
+    dedupe-then-count groupby, both passes map-side-combined
+    (`pipelines/relational.py:distinct_count_by`)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import distinct_count_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "ts"])
+
+    def add_hour(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": ((us // 3_600_000_000) * 3_600_000_000).astype("datetime64[us]"),
+                "user_id": b["user_id"],
+            }
+        )
+
+    out = distinct_count_by(
+        ds.map_batches(add_hour, batch_format="pandas"), ["event_type", "hour"], "user_id"
+    )
+    return out.map_batches(lambda b: b.astype({"event_type": str}), batch_format="pandas")
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding 1h windows hopping every 15min per event_type
     (`pipelines/relational.py:sliding_window_counts`): vectorized 4x window
@@ -1106,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataprep_flow": _q_dataprep_flow,
         "quantiles_docs": _q_quantiles,
         "events_sliding_windows": _q_events_sliding,
+        "events_distinct_users": _q_events_distinct_users,
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
@@ -1473,6 +1500,11 @@ WHERE LENGTH(regexp_replace(text, '\s', '', 'g')) / GREATEST(LENGTH(text), 1) >=
 SELECT doc_id, lang, n_chars
 FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
+""".strip(),
+        "events_distinct_users": """
+SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type, hour
 """.strip(),
         # hopping-window recomposition: each event joins its 4 covering
         # window starts (k = 0..3 hops back from its own hop bucket)

@@ -346,6 +346,50 @@ def sliding_window_counts(
     )
 
 
+def distinct_count_by(
+    ds,
+    group_cols: list[str],
+    distinct_col: str,
+    out_col: str = "n_distinct",
+    n_buckets: int = 64,
+):
+    """EXACT ``COUNT(DISTINCT distinct_col)`` per group at any cardinality.
+
+    Two passes, both with map-side combining: (1) per-block dedupe of
+    ``(group, distinct)`` pairs, keyed exchange on the PAIR hash, per-bucket
+    global dedupe — the exchange carries each distinct pair once per block
+    at most; (2) per-block partial counts of the now-unique pairs, keyed
+    exchange on the group hash, sum.  The approximate counterpart (KMV
+    sketches, `state/bloom.py`) trades this second exchange for fixed-size
+    mergeable state; this is the exact path.
+    """
+    cols = group_cols + [distinct_col]
+
+    def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return b[cols].drop_duplicates()
+
+    def global_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    uniq = bucketed_groupby(
+        ds.map_batches(local_distinct, batch_format="pandas"), cols, global_distinct, n_buckets
+    )
+
+    def partial_count(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby(group_cols, as_index=False).size()
+        return c.rename(columns={"size": out_col})
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(group_cols, as_index=False)[out_col].sum()
+
+    out = bucketed_groupby(
+        uniq.map_batches(partial_count, batch_format="pandas"), group_cols, sum_counts, n_buckets
+    )
+    return out.map_batches(
+        lambda b: b.assign(**{out_col: b[out_col].astype(np.int64)}), batch_format="pandas"
+    )
+
+
 def quantiles_disc(ds, col: str, qs: list[float], n_buckets: int = 64) -> pd.DataFrame:
     """EXACT discrete quantiles (nearest-rank, SQL ``quantile_disc``
     semantics: the value at sorted index ``max(0, ceil(q*n) - 1)``) of an

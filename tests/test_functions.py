@@ -195,3 +195,33 @@ def test_sliding_window_counts_matches_bruteforce():
     ref = ref.sort_values(["event_type", "window_start"]).reset_index(drop=True)
     ref["n_events"] = ref["n_events"].astype(np.int64)
     pd.testing.assert_frame_equal(got[["event_type", "window_start", "n_events"]], ref)
+
+
+def test_distinct_count_by_matches_pandas():
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.pipelines.relational import distinct_count_by
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], size=4_000),
+            "u": rng.integers(0, 150, size=4_000),
+        }
+    )
+    got = (
+        distinct_count_by(rd.from_pandas(df), ["g"], "u")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("g", as_index=False)["u"]
+        .nunique()
+        .rename(columns={"u": "n_distinct"})
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    ref["n_distinct"] = ref["n_distinct"].astype(np.int64)
+    pd.testing.assert_frame_equal(got[["g", "n_distinct"]], ref)
