@@ -474,6 +474,17 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Grouped argmax (latest event per user) = per-group top-1 with
+    deterministic event_id tiebreak — `topk_per_group(k=1)` reused."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import topk_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return topk_per_group(ds, ["user_id"], ["ts"], k=1, tiebreak=["event_id"])
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per (event_type, hour): two-level
     dedupe-then-count groupby, both passes map-side-combined
@@ -1133,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_docs": _q_quantiles,
         "events_sliding_windows": _q_events_sliding,
         "events_distinct_users": _q_events_distinct_users,
+        "latest_event_per_user": _q_latest_event_per_user,
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
@@ -1505,6 +1517,11 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 5
 SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type, hour
+""".strip(),
+        "latest_event_per_user": """
+SELECT event_id, user_id, ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
 """.strip(),
         # hopping-window recomposition: each event joins its 4 covering
         # window starts (k = 0..3 hops back from its own hop bucket)
