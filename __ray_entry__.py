@@ -474,6 +474,20 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_rolling_max_value(sf_dir: str):
+    """Window frames: per-user rolling MAX(value) over the last 3 events
+    (`pipelines/relational.py:rolling_max_by`) — the exactly-reproducible
+    frame aggregate (comparisons only, no float-summation order)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import rolling_max_by
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return rolling_max_by(ds, "user_id", ["ts", "event_id"], "value", window=3)
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """Grouped argmax (latest event per user) = per-group top-1 with
     deterministic event_id tiebreak — `topk_per_group(k=1)` reused."""
@@ -1145,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_windows": _q_events_sliding,
         "events_distinct_users": _q_events_distinct_users,
         "latest_event_per_user": _q_latest_event_per_user,
+        "rolling_max_value_events": _q_rolling_max_value,
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
@@ -1522,6 +1537,14 @@ FROM events GROUP BY event_type, hour
 SELECT event_id, user_id, ts
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
+""".strip(),
+        "rolling_max_value_events": """
+SELECT event_id, user_id, ts, value,
+       MAX(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS rolling_max
+FROM events
 """.strip(),
         # hopping-window recomposition: each event joins its 4 covering
         # window starts (k = 0..3 hops back from its own hop bucket)

@@ -346,6 +346,38 @@ def sliding_window_counts(
     )
 
 
+def rolling_max_by(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rolling_max",
+    n_buckets: int = 64,
+):
+    """Per-key rolling maximum over the last ``window`` rows (inclusive) in
+    ``order_cols`` order — SQL ``MAX(v) OVER (PARTITION BY key ORDER BY ...
+    ROWS window-1 PRECEDING)``.  The window-frame family's representative:
+    one keyed exchange (all of a key's rows share a bucket), then a
+    vectorized pandas ``groupby(...).rolling`` inside the bucket.  MAX is
+    chosen as the exactly-reproducible frame aggregate (pure comparisons,
+    no float summation order to match)."""
+
+    def bucket_roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        r = (
+            g.groupby(key_col, sort=False)[value_col]
+            .rolling(window, min_periods=1)
+            .max()
+            .reset_index(drop=True)
+        )
+        out = g.copy()
+        out[out_col] = r.to_numpy()
+        return out
+
+    return bucketed_groupby(ds, [key_col], bucket_roll, n_buckets)
+
+
 def distinct_count_by(
     ds,
     group_cols: list[str],

@@ -225,3 +225,35 @@ def test_distinct_count_by_matches_pandas():
     )
     ref["n_distinct"] = ref["n_distinct"].astype(np.int64)
     pd.testing.assert_frame_equal(got[["g", "n_distinct"]], ref)
+
+
+def test_rolling_max_by_matches_pandas_window():
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.pipelines.relational import rolling_max_by
+
+    rng = np.random.default_rng(19)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "uid": rng.integers(0, 40, size=n),
+            "t": rng.integers(0, 10_000, size=n),
+            "v": rng.normal(size=n),
+        }
+    )
+    got = (
+        rolling_max_by(rd.from_pandas(df), "uid", ["t", "eid"], "v", window=3)
+        .to_pandas()
+        .sort_values(["uid", "t", "eid"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["uid", "t", "eid"]).reset_index(drop=True)
+    ref["rolling_max"] = (
+        ref.groupby("uid", sort=False)["v"].rolling(3, min_periods=1).max().reset_index(drop=True).to_numpy()
+    )
+    pd.testing.assert_frame_equal(
+        got[["eid", "uid", "t", "v", "rolling_max"]],
+        ref[["eid", "uid", "t", "v", "rolling_max"]],
+    )
