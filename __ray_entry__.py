@@ -474,6 +474,20 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(doubled, "doc_id", "text")
 
 
+def _q_event_type_pivot(sf_dir: str):
+    """Crosstab per user over the five declared event types
+    (`pipelines/relational.py:pivot_counts`): per-block vectorized partial
+    crosstabs, one keyed exchange of count partials."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import pivot_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return pivot_counts(
+        ds, "user_id", "event_type", ["click", "error", "purchase", "signup", "view"]
+    )
+
+
 def _q_rolling_max_value(sf_dir: str):
     """Window frames: per-user rolling MAX(value) over the last 3 events
     (`pipelines/relational.py:rolling_max_by`) — the exactly-reproducible
@@ -1160,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "latest_event_per_user": _q_latest_event_per_user,
         "rolling_max_value_events": _q_rolling_max_value,
+        "event_type_pivot": _q_event_type_pivot,
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
@@ -1545,6 +1560,15 @@ SELECT event_id, user_id, ts, value,
          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
        ) AS rolling_max
 FROM events
+""".strip(),
+        "event_type_pivot": """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
 """.strip(),
         # hopping-window recomposition: each event joins its 4 covering
         # window starts (k = 0..3 hops back from its own hop bucket)

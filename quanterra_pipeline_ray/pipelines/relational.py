@@ -346,6 +346,43 @@ def sliding_window_counts(
     )
 
 
+def pivot_counts(
+    ds,
+    key_col: str,
+    pivot_col: str,
+    values: list[str],
+    prefix: str = "n_",
+    n_buckets: int = 64,
+):
+    """Crosstab: one row per key, one count column per DECLARED pivot value
+    (``n_<value>``).  The value set is an explicit argument, not discovered
+    from the data — at scale the output schema must be known before the
+    pipeline runs, and undeclared values are ignored deterministically.
+
+    Per-block partial crosstabs (vectorized eq-masks, no per-row loop)
+    before one keyed exchange; the reduce sums the partial count columns.
+    """
+    cols = [f"{prefix}{v}" for v in values]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key_col: b[key_col]})
+        pv = b[pivot_col].astype(str).to_numpy()
+        for v, c in zip(values, cols):
+            out[c] = (pv == v).astype(np.int64)
+        return out.groupby(key_col, as_index=False)[cols].sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False)[cols].sum()
+
+    out = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"), [key_col], combine, n_buckets
+    )
+    return out.map_batches(
+        lambda b: b.assign(**{c: b[c].astype(np.int64) for c in cols}),
+        batch_format="pandas",
+    )
+
+
 def rolling_max_by(
     ds,
     key_col: str,

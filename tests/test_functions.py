@@ -257,3 +257,29 @@ def test_rolling_max_by_matches_pandas_window():
         got[["eid", "uid", "t", "v", "rolling_max"]],
         ref[["eid", "uid", "t", "v", "rolling_max"]],
     )
+
+
+def test_pivot_counts_matches_crosstab():
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.pipelines.relational import pivot_counts
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, size=3_000),
+            "t": rng.choice(["a", "b", "c"], size=3_000),
+        }
+    )
+    got = (
+        pivot_counts(rd.from_pandas(df), "k", "t", ["a", "b", "zzz"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = pd.crosstab(df["k"], df["t"])
+    assert (got.set_index("k")["n_a"] == ref["a"]).all()
+    assert (got.set_index("k")["n_b"] == ref["b"]).all()
+    assert (got["n_zzz"] == 0).all()  # undeclared-in-data value: zeros
+    assert "c" not in "".join(got.columns)  # undeclared-in-args value: ignored
