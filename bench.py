@@ -167,6 +167,12 @@ def _queries() -> dict:
         "quota_sample_docs",
         "topk_per_lang_docs",
         "dataprep_flow",
+        "events_sliding_windows",
+        "events_distinct_users",
+        "latest_event_per_user",
+        "rolling_max_value_events",
+        "event_type_pivot",
+        "quantiles_docs",
     ]
     import ray.data
 
