@@ -22,6 +22,9 @@ Usage::
     python -m quanterra_pipeline_ray.cli log     /tmp/t [--snapshot N]
     python -m quanterra_pipeline_ray.cli run-flow /tmp/t --flow maintenance [--no-wait]
     python -m quanterra_pipeline_ray.cli update --release-root /rel --install-path ~/.qpr --yes
+    python -m quanterra_pipeline_ray.cli index-build /tmp/idx --corpus docs.parquet
+    python -m quanterra_pipeline_ray.cli index-probe /tmp/idx --batch new.parquet --corpus all.parquet
+    python -m quanterra_pipeline_ray.cli ingest-dedup /tmp/store --batch new.parquet
 
 The CLI owns the Ray session (guarded init, shutdown on exit) — library code
 never calls ``ray.init``.
@@ -95,6 +98,23 @@ def _build_parser() -> argparse.ArgumentParser:
 
     table_cmd("rewrite-manifests", "re-shard manifest metadata to target shard size")
 
+    c = table_cmd("index-build", "build a persisted dedup index over a document corpus")
+    c.add_argument("--corpus", nargs="+", required=True, help="parquet file(s): doc_id, text")
+    c.add_argument("--kind", choices=["jaccard", "minhash"], default="jaccard")
+    c.add_argument("--n-buckets", type=int, default=256)
+
+    c = table_cmd("index-probe", "probe a batch against a persisted dedup index")
+    c.add_argument("--batch", nargs="+", required=True)
+    c.add_argument("--corpus", nargs="+", required=True,
+                   help="parquet with texts for BOTH sides (history + batch)")
+    c.add_argument("--kind", choices=["jaccard", "minhash"], default="jaccard")
+    c.add_argument("--threshold", type=float, default=0.8)
+    c.add_argument("--limit", type=int, default=20)
+
+    c = table_cmd("ingest-dedup", "vet one batch against a store's history, append survivors")
+    c.add_argument("--batch", nargs="+", required=True)
+    c.add_argument("--threshold", type=float, default=0.8)
+
     table_cmd("status", "print snapshot/metrics summary")
 
     c = table_cmd("log", "print lineage records for a snapshot")
@@ -142,6 +162,54 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "create":
             TranscriptTable.create(args.root)
             print(json.dumps({"created": args.root}))
+            return 0
+        if args.cmd in ("index-build", "index-probe", "ingest-dedup"):
+            # corpus-store commands: args.root is an index/store directory,
+            # not a transcript-table root
+            import ray.data as rd
+
+            if args.cmd == "index-build":
+                if args.kind == "jaccard":
+                    from .functions.jaccard_index import build_jaccard_index as build
+                else:
+                    from .functions.minhash_index import build_minhash_index as build
+                meta = build(
+                    rd.read_parquet(list(args.corpus), columns=["doc_id", "text"]),
+                    args.root,
+                    n_buckets=args.n_buckets,
+                )
+                print(json.dumps(meta, sort_keys=True))
+            elif args.cmd == "index-probe":
+                if args.kind == "jaccard":
+                    from .functions.jaccard_index import probe_jaccard_index as probe
+                else:
+                    from .functions.minhash_index import probe_minhash_index as probe
+                pairs = probe(
+                    rd.read_parquet(list(args.batch), columns=["doc_id", "text"]),
+                    args.root,
+                    rd.read_parquet(list(args.corpus), columns=["doc_id", "text"]),
+                    threshold=args.threshold,
+                ).to_pandas()
+                print(
+                    json.dumps(
+                        {
+                            "n_pairs": int(len(pairs)),
+                            "sample": pairs.head(args.limit).to_dict("records")
+                            if len(pairs)
+                            else [],
+                        },
+                        sort_keys=True,
+                    )
+                )
+            else:
+                from .pipelines.incremental_ingest import ingest_with_dedup
+
+                rep = ingest_with_dedup(
+                    rd.read_parquet(list(args.batch), columns=["doc_id", "text"]),
+                    args.root,
+                    threshold=args.threshold,
+                )
+                print(json.dumps(rep, sort_keys=True))
             return 0
         table = TranscriptTable.load(args.root)
 

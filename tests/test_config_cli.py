@@ -167,3 +167,49 @@ def test_cli_run_flow_and_update(tmp_path, capsys):
     assert main(["update", "--release-root", str(rel), "--install-path", inst, "--yes"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "updated" and out["version"] == "3.1.4"
+
+
+def test_cli_index_and_ingest_commands(tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.cli import main
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+                "kilo lima mike november oscar papa quebec romeo sierra tango",
+                "uniform victor whiskey xray yankee zulu one two three four",
+                "five six seven eight nine ten eleven twelve thirteen fourteen",
+                "fifteen sixteen seventeen eighteen nineteen twenty half more",
+                "alpha bravo charlie delta echo foxtrot golf hotel india juliet",  # dup of 0
+            ],
+        }
+    )
+    corpus_path = str(tmp_path / "docs.parquet")
+    docs.head(5).to_parquet(corpus_path)
+    batch_path = str(tmp_path / "batch.parquet")
+    docs.tail(1).to_parquet(batch_path)
+    allp = str(tmp_path / "all.parquet")
+    docs.to_parquet(allp)
+
+    idx = str(tmp_path / "idx")
+    assert main(["index-build", idx, "--corpus", corpus_path, "--n-buckets", "16"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == 5
+
+    assert main(["index-probe", idx, "--batch", batch_path, "--corpus", allp]) == 0
+    probe = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert probe["n_pairs"] == 1 and probe["sample"][0] == {"a": 0, "b": 5}
+
+    store = str(tmp_path / "store")
+    assert main(["ingest-dedup", store, "--batch", corpus_path]) == 0
+    rep0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep0["n_kept"] == 5
+    assert main(["ingest-dedup", store, "--batch", batch_path]) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["n_kept"] == 0 and rep1["drops"] == [[5, 0]]
