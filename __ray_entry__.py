@@ -612,6 +612,20 @@ def _q_hash_sample(sf_dir: str):
     )
 
 
+def _q_mix_sources(sf_dir: str):
+    """Training-mix rates: even-numbered sources admitted at 50%, odd at
+    12.5% (`functions/sampling.py:mix_sources`) — per-row md5 predicate,
+    no exchange, deterministic on any cluster shape."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.sampling import mix_sources
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    fractions = {f"src{i}": (0.5 if i % 2 == 0 else 0.125) for i in range(20)}
+    out = mix_sources(ds, fractions)
+    return out.map_batches(lambda b: b.astype({"source": str}), batch_format="pandas")
+
+
 def _q_quota_sample(sf_dir: str):
     """Per-source quota (≤ 120 docs per source, seeded md5 draw without
     replacement) — the pretraining-mix rebalance
@@ -1178,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
+        "mix_sources_docs": _q_mix_sources,
         "fingerprint_docs": _q_fingerprint,
         "lang_id_docs": _q_lang_id,
         "minhash_dedup_docs": _q_minhash_dedup,
@@ -1628,6 +1643,14 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
 ) <= 120
+""".strip(),
+        # per-source admission rates: 0.5 -> '80000000', 0.125 -> '20000000'
+        "mix_sources_docs": """
+SELECT doc_id, source
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR) || ':42') <
+      CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+           THEN '80000000' ELSE '20000000' END
 """.strip(),
         # streaming-packing rule: seq_id = floor(tokens strictly before / cap)
         # under doc_id order — integer division keeps the oracle exact

@@ -58,6 +58,31 @@ def hash_sample(ds, fraction: float, id_col: str = "doc_id", seed: int = 42):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def mix_sources(
+    ds,
+    fractions: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+):
+    """Per-group admission fractions — the training-mix knob expressed as
+    sampling rates instead of absolute caps (:func:`quota_sample`): each
+    row keeps iff its ``md5(id || ':' || seed)`` key is under ITS group's
+    threshold.  Pure per-row predicate (no exchange), deterministic on any
+    cluster shape; groups absent from ``fractions`` get
+    ``default_fraction``."""
+    thr = {g: fraction_threshold_hex(f) for g, f in fractions.items()}
+    thr_default = fraction_threshold_hex(default_fraction)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _md5_keys(b[id_col].to_numpy(), seed)
+        limits = b[group_col].map(thr).fillna(thr_default).to_numpy(dtype=object)
+        return b[keys < limits]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def quota_sample(
     ds,
     group_col: str,

@@ -69,3 +69,26 @@ def test_quota_sample_small_groups_kept_whole():
     got = quota_sample(rd.from_pandas(df), "grp", 5, id_col="doc_id").to_pandas()
     assert (got["grp"] == "x").sum() == 3  # under cap: group intact
     assert (got["grp"] == "y").sum() == 5
+
+
+def test_mix_sources_fractions_and_default():
+    import hashlib
+
+    from quanterra_pipeline_ray.functions.sampling import fraction_threshold_hex, mix_sources
+
+    df = _df(3_000, groups=("a", "b", "c"))
+    got = mix_sources(
+        rd.from_pandas(df), {"a": 0.5, "b": 0.125}, group_col="grp"
+    ).to_pandas()
+    assert (got["grp"] != "c").all()  # default fraction 0 drops unlisted groups
+    thr = {"a": fraction_threshold_hex(0.5), "b": fraction_threshold_hex(0.125)}
+    exp = df[
+        [
+            g in thr and hashlib.md5(f"{i}:42".encode()).hexdigest() < thr[g]
+            for i, g in zip(df["doc_id"], df["grp"])
+        ]
+    ]
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    frac_a = (got["grp"] == "a").sum() / (df["grp"] == "a").sum()
+    frac_b = (got["grp"] == "b").sum() / (df["grp"] == "b").sum()
+    assert 0.4 < frac_a < 0.6 and 0.06 < frac_b < 0.19
