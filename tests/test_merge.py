@@ -210,6 +210,49 @@ def test_merge_direct_exchange_dataset_source(tmp_path):
     assert got["text"].tolist() == exp["text"].tolist()
 
 
+def test_merge_direct_exchange_resumes_after_bucket_failure(tmp_path):
+    """Crash mid-exchange: one bucket's reduce raises; the retry must skip
+    completed buckets (checkpoint records) and converge to the clean-run
+    state."""
+    from quanterra_pipeline_ray.stages import merge as mergemod
+
+    table_clean, data = _make(tmp_path, n_files=6)
+    src = _source_from(data, update_every=4)
+    merge_into(table_clean, src, target_rows=10_000, broadcast_threshold=0, exchange="direct")
+    want = content_fingerprint(table_clean.read_all())
+
+    root_b = str(tmp_path / "t_crash")
+    table = TranscriptTable.create(root_b)
+    paths = fragment_table(data, os.path.join(root_b, "data", "frags"), 6)
+    table.register_fragments(paths)
+
+    orig_factory = mergemod._make_bucket_resolver
+
+    def failing_factory(*a, **kw):
+        resolver = orig_factory(*a, **kw)
+
+        def failing_resolver(group):
+            bucket = int(group.column("__bucket")[0].as_py())
+            if bucket == 1:
+                raise RuntimeError("injected bucket failure")
+            return resolver(group)
+
+        return failing_resolver
+
+    mergemod._make_bucket_resolver = failing_factory
+    try:
+        with pytest.raises(Exception):
+            merge_into(table, src, target_rows=10_000, broadcast_threshold=0, exchange="direct")
+    finally:
+        mergemod._make_bucket_resolver = orig_factory
+
+    # retry with the SAME source: completed buckets' checkpoints are reused,
+    # the failed bucket re-runs, and the table converges
+    snap = merge_into(table, src, target_rows=10_000, broadcast_threshold=0, exchange="direct")
+    assert snap.summary["plan"] == "shuffle"
+    assert content_fingerprint(table.read_all()) == want
+
+
 def test_run_op_protocol_drives_compaction(tmp_path):
     from quanterra_pipeline_ray.stages.compaction import CompactionOp
     from quanterra_pipeline_ray.stages.protocol import MaintenanceOp, run_op
