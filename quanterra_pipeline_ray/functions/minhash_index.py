@@ -51,7 +51,16 @@ def _band_rows_fn(meta: dict, id_col: str, text_col: str):
     nb = int(meta["n_buckets"])
 
     def rows(b: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([hasher.signature(t) for t in b[text_col]]) if len(b) else np.zeros((0, hasher.num_hashes), dtype=np.uint64)
+        if not len(b):  # np.stack rejects empty batches
+            return pd.DataFrame(
+                {
+                    "band": pd.Series(dtype="int32"),
+                    "bh": pd.Series(dtype="uint64"),
+                    "doc": pd.Series(dtype="int64"),
+                    "bkt": pd.Series(dtype="int64"),
+                }
+            )
+        sigs = np.stack([hasher.signature(t) for t in b[text_col]])
         br = _band_rows(
             pd.DataFrame({id_col: b[id_col].to_numpy(), "__sig": list(sigs)}),
             id_col,
