@@ -488,6 +488,21 @@ def _q_event_type_pivot(sf_dir: str):
     )
 
 
+def _q_event_type_long(sf_dir: str):
+    """Pivot → unpivot round trip (`pivot_counts` then `unpivot_counts`):
+    the long form keeps explicit zeros, so the pair is a faithful inverse;
+    checked against a users × declared-types recomposition."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import pivot_counts, unpivot_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_counts(ds, "user_id", "event_type", types)
+    out = unpivot_counts(wide, "user_id", types, name_col="event_type", value_col="n_events")
+    return out.map_batches(lambda b: b.astype({"event_type": str}), batch_format="pandas")
+
+
 def _q_rolling_max_value(sf_dir: str):
     """Window frames: per-user rolling MAX(value) over the last 3 events
     (`pipelines/relational.py:rolling_max_by`) — the exactly-reproducible
@@ -1189,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "rolling_max_value_events": _q_rolling_max_value,
         "event_type_pivot": _q_event_type_pivot,
+        "event_type_long": _q_event_type_long,
         "topk_per_lang_docs": _q_topk_per_lang,
         "hash_sample_docs": _q_hash_sample,
         "quota_sample_docs": _q_quota_sample,
@@ -1584,6 +1600,15 @@ SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY user_id
+""".strip(),
+        # pivot->unpivot round trip: users x declared types, zeros explicit
+        "event_type_long": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
 """.strip(),
         # hopping-window recomposition: each event joins its 4 covering
         # window starts (k = 0..3 hops back from its own hop bucket)

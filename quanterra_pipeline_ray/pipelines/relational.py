@@ -383,6 +383,29 @@ def pivot_counts(
     )
 
 
+def unpivot_counts(
+    wide_ds,
+    key_col: str,
+    values: list[str],
+    prefix: str = "n_",
+    name_col: str = "name",
+    value_col: str = "n",
+):
+    """Inverse of :func:`pivot_counts`: wide count columns back to long
+    ``(key, name, n)`` rows, zeros included (faithful inverse — dropping
+    zeros would lose which combinations were observed as absent).  Pure
+    per-batch reshape (vectorized tile/repeat), no exchange."""
+    cols = [f"{prefix}{v}" for v in values]
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        k = np.repeat(b[key_col].to_numpy(), len(values))
+        names = np.tile(np.array(values, dtype=object), len(b))
+        vals = b[cols].to_numpy(dtype=np.int64).reshape(-1)
+        return pd.DataFrame({key_col: k, name_col: names, value_col: vals})
+
+    return wide_ds.map_batches(melt, batch_format="pandas")
+
+
 def rolling_max_by(
     ds,
     key_col: str,

@@ -283,3 +283,35 @@ def test_pivot_counts_matches_crosstab():
     assert (got.set_index("k")["n_b"] == ref["b"]).all()
     assert (got["n_zzz"] == 0).all()  # undeclared-in-data value: zeros
     assert "c" not in "".join(got.columns)  # undeclared-in-args value: ignored
+
+
+def test_unpivot_inverts_pivot():
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.pipelines.relational import pivot_counts, unpivot_counts
+
+    rng = np.random.default_rng(27)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 30, size=1_000), "t": rng.choice(["a", "b", "c"], size=1_000)}
+    )
+    wide = pivot_counts(rd.from_pandas(df), "k", "t", ["a", "b", "c"])
+    long = (
+        unpivot_counts(wide, "k", ["a", "b", "c"], name_col="t", value_col="n")
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby(["k", "t"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .set_index(["k", "t"])
+        .reindex(
+            pd.MultiIndex.from_product([sorted(df["k"].unique()), ["a", "b", "c"]], names=["k", "t"]),
+            fill_value=0,
+        )
+        .reset_index()
+    )
+    ref["n"] = ref["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(long[["k", "t", "n"]], ref)
