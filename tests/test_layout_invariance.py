@@ -97,3 +97,33 @@ def test_quantiles_layout_invariant():
     ]
     for r in results[1:]:
         pd.testing.assert_frame_equal(results[0], r)
+
+
+def test_jaccard_index_probe_layout_invariant(tmp_path):
+    """Probe pairs are identical no matter how the batch is blocked."""
+    from quanterra_pipeline_ray.functions.jaccard_index import (
+        build_jaccard_index,
+        probe_jaccard_index,
+    )
+
+    rng = np.random.default_rng(33)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    texts = [" ".join(rng.choice(words, size=25)) for _ in range(40)]
+    texts += [texts[0], texts[3]]  # dups
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    old, new = df[df["doc_id"] < 30], df[df["doc_id"] >= 30]
+    idx = str(tmp_path / "jidx")
+    build_jaccard_index(rd.from_pandas(old), idx, n_buckets=16)
+
+    results = []
+    for ds in _layouts(new):
+        p = (
+            probe_jaccard_index(ds, idx, rd.from_pandas(df), threshold=0.8)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        results.append(p)
+    assert len(results[0]) > 0
+    for r in results[1:]:
+        pd.testing.assert_frame_equal(results[0], r)
