@@ -351,6 +351,19 @@ def _q_maint_timerange_scan(sf_dir: str):
     return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
 
 
+def _q_maint_text_search_and(sf_dir: str):
+    """Conjunctive index search: intersection of posting sets (rarest token
+    bounds the scan), exact all-tokens row filter over survivors."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.textindex import build_text_index, search_tokens_all
+
+    table, _ = _maint_table(sf_dir, "textsearchand")
+    compact(table, target_bytes=1 << 20)
+    build_text_index(table)
+    out = search_tokens_all(table, ["purchase", "57}"])
+    return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
+
+
 def _q_maint_delete_where(sf_dir: str) -> pa.Table:
     """Predicate DELETE through the MERGE machinery (stats/bloom-pruned
     file rewrites, copy-on-write commit)."""
@@ -1173,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_partition_evolution": _q_maint_partition_evolution,
         "maint_timerange_scan": _q_maint_timerange_scan,
         "maint_text_search": _q_maint_text_search,
+        "maint_text_search_and": _q_maint_text_search_and,
         "maint_delete_where": _q_maint_delete_where,
         "maint_delete_vector": _q_maint_delete_vector,
         "maint_multi_txn": _q_maint_multi_txn,
@@ -1298,6 +1312,12 @@ WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
 WITH t AS ({t})
 SELECT * FROM t
 WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
+""".strip(),
+        "maint_text_search_and": rf"""
+WITH t AS ({t})
+SELECT * FROM t
+WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
+  AND LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = '57}}')) > 0
 """.strip(),
         "maint_delete_where": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",
         "maint_delete_vector": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",

@@ -98,6 +98,50 @@ def build_text_index(
     return index_dir
 
 
+def search_tokens_all(
+    table: TranscriptTable,
+    tokens: list[str],
+    snapshot_id: int | None = None,
+    text_col: str = "text",
+    columns: list[str] | None = None,
+):
+    """Conjunctive (AND) token search: rows whose tokenization contains
+    EVERY query token.  Candidate files are the INTERSECTION of each
+    token's posting set — each lookup reads one bucket directory, and the
+    rarest token bounds the scan (classic conjunctive posting-list
+    intersection); the exact all-tokens row filter runs over survivors."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    if not tokens:
+        raise ValueError("tokens must be non-empty")
+    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    index_dir = table._p("index", f"s{base:06d}", "tokens")
+    paths: set | None = None
+    for token in tokens:
+        bucket = int(_token_bucket(np.array([token], dtype=object))[0])
+        bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
+        if not os.path.isdir(bucket_dir):
+            return rd.from_arrow(table.schema_of(base).empty_table())
+        postings = pads.dataset(bucket_dir).to_table(
+            columns=["token", "path"], filter=pads.field("token") == token
+        )
+        s = set(postings.column("path").to_pylist())
+        paths = s if paths is None else (paths & s)
+        if not paths:
+            return rd.from_arrow(table.schema_of(base).empty_table())
+    abs_paths = [p if os.path.isabs(p) else table._p(p) for p in sorted(paths)]
+    want = list(tokens)
+
+    def keep_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].astype(str).str.findall(r"\S+")
+        has = toks.map(lambda ts: all(t in ts for t in want))
+        return b[has.to_numpy()]
+
+    ds = rd.read_parquet(abs_paths, columns=columns)
+    return ds.map_batches(keep_rows, batch_format="pandas")
+
+
 def search_token(
     table: TranscriptTable,
     token: str,

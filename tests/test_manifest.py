@@ -570,3 +570,35 @@ def test_text_index_prunes_and_is_sound(tmp_path):
     assert set(hits["conv_id"]) == {target_conv}
     # missing token -> empty, correct schema
     assert search_token(table, "no-such-token-at-all").count() == 0
+
+
+def test_search_tokens_all_intersects_postings(tmp_path):
+    """Conjunctive search: posting-set intersection prunes files; exact
+    all-tokens row filter; disjoint tokens return empty."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from quanterra_pipeline_ray.stages.textindex import build_text_index, search_tokens_all
+
+    root = str(tmp_path / "t")
+    table = TranscriptTable.create(root)
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(6)],
+            "turn_idx": np.zeros(6, dtype=np.int32),
+            "role": ["user"] * 6,
+            "text": [
+                "red apple pie", "red banana split", "green apple tart",
+                "red apple cake", "blue sky high", "green grass low",
+            ],
+            "tool": [""] * 6,
+            "ts": pd.to_datetime(np.arange(6), unit="s").astype("datetime64[us]"),
+        }
+    )
+    table.append_table(pa.Table.from_pandas(df, preserve_index=False))
+    build_text_index(table)
+
+    got = search_tokens_all(table, ["red", "apple"]).to_pandas()
+    assert sorted(got["text"]) == ["red apple cake", "red apple pie"]
+    assert search_tokens_all(table, ["blue", "grass"]).count() == 0
