@@ -351,6 +351,19 @@ def _q_maint_timerange_scan(sf_dir: str):
     return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
 
 
+def _q_maint_text_search_or(sf_dir: str):
+    """Disjunctive index search: union of posting sets, exact any-token
+    row filter."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.textindex import build_text_index, search_tokens_any
+
+    table, _ = _maint_table(sf_dir, "textsearchor")
+    compact(table, target_bytes=1 << 20)
+    build_text_index(table)
+    out = search_tokens_any(table, ["purchase", "signup"])
+    return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
+
+
 def _q_maint_text_search_and(sf_dir: str):
     """Conjunctive index search: intersection of posting sets (rarest token
     bounds the scan), exact all-tokens row filter over survivors."""
@@ -1187,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_timerange_scan": _q_maint_timerange_scan,
         "maint_text_search": _q_maint_text_search,
         "maint_text_search_and": _q_maint_text_search_and,
+        "maint_text_search_or": _q_maint_text_search_or,
         "maint_delete_where": _q_maint_delete_where,
         "maint_delete_vector": _q_maint_delete_vector,
         "maint_multi_txn": _q_maint_multi_txn,
@@ -1318,6 +1332,12 @@ WITH t AS ({t})
 SELECT * FROM t
 WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
   AND LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = '57}}')) > 0
+""".strip(),
+        "maint_text_search_or": rf"""
+WITH t AS ({t})
+SELECT * FROM t
+WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
+   OR LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'signup')) > 0
 """.strip(),
         "maint_delete_where": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",
         "maint_delete_vector": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",

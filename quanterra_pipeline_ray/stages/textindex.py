@@ -142,6 +142,47 @@ def search_tokens_all(
     return ds.map_batches(keep_rows, batch_format="pandas")
 
 
+def search_tokens_any(
+    table: TranscriptTable,
+    tokens: list[str],
+    snapshot_id: int | None = None,
+    text_col: str = "text",
+    columns: list[str] | None = None,
+):
+    """Disjunctive (OR) token search: rows containing ANY query token.
+    Candidate files are the UNION of the tokens' posting sets; the exact
+    any-token row filter runs over the survivors."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    if not tokens:
+        raise ValueError("tokens must be non-empty")
+    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    index_dir = table._p("index", f"s{base:06d}", "tokens")
+    paths: set = set()
+    for token in tokens:
+        bucket = int(_token_bucket(np.array([token], dtype=object))[0])
+        bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
+        if not os.path.isdir(bucket_dir):
+            continue
+        postings = pads.dataset(bucket_dir).to_table(
+            columns=["token", "path"], filter=pads.field("token") == token
+        )
+        paths |= set(postings.column("path").to_pylist())
+    if not paths:
+        return rd.from_arrow(table.schema_of(base).empty_table())
+    abs_paths = [p if os.path.isabs(p) else table._p(p) for p in sorted(paths)]
+    want = set(tokens)
+
+    def keep_rows(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].astype(str).str.findall(r"\S+")
+        has = toks.map(lambda ts: any(t in want for t in ts))
+        return b[has.to_numpy()]
+
+    ds = rd.read_parquet(abs_paths, columns=columns)
+    return ds.map_batches(keep_rows, batch_format="pandas")
+
+
 def search_token(
     table: TranscriptTable,
     token: str,

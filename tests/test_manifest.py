@@ -602,3 +602,9 @@ def test_search_tokens_all_intersects_postings(tmp_path):
     got = search_tokens_all(table, ["red", "apple"]).to_pandas()
     assert sorted(got["text"]) == ["red apple cake", "red apple pie"]
     assert search_tokens_all(table, ["blue", "grass"]).count() == 0
+
+    from quanterra_pipeline_ray.stages.textindex import search_tokens_any
+
+    got_or = search_tokens_any(table, ["pie", "sky"]).to_pandas()
+    assert sorted(got_or["text"]) == ["blue sky high", "red apple pie"]
+    assert search_tokens_any(table, ["absent"]).count() == 0
