@@ -115,6 +115,12 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--batch", nargs="+", required=True)
     c.add_argument("--threshold", type=float, default=0.8)
 
+    c = table_cmd("text-search", "token search via the secondary posting index")
+    c.add_argument("--tokens", nargs="+", required=True)
+    c.add_argument("--mode", choices=["and", "or"], default="and")
+    c.add_argument("--build", action="store_true", help="(re)build the index first")
+    c.add_argument("--limit", type=int, default=10)
+
     table_cmd("status", "print snapshot/metrics summary")
 
     c = table_cmd("log", "print lineage records for a snapshot")
@@ -282,6 +288,30 @@ def main(argv: list[str] | None = None) -> int:
                 adds.append((name, type_str, default))
             snap = evolve_schema(table, adds)
             log.info("schema evolved at snapshot %s", snap.snapshot_id)
+        elif args.cmd == "text-search":
+            from .stages.textindex import (
+                build_text_index,
+                search_tokens_all,
+                search_tokens_any,
+            )
+
+            if args.build:
+                build_text_index(table)
+            search = search_tokens_all if args.mode == "and" else search_tokens_any
+            rows = search(table, list(args.tokens)).take(args.limit)
+            print(
+                json.dumps(
+                    {
+                        "mode": args.mode,
+                        "tokens": list(args.tokens),
+                        "rows": [
+                            {k: str(v) for k, v in r.items()} for r in rows
+                        ],
+                    },
+                    sort_keys=True,
+                )
+            )
+            return 0
         elif args.cmd == "run-flow":
             from .flowctl import FlowRunner, default_flows
 

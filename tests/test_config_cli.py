@@ -213,3 +213,37 @@ def test_cli_index_and_ingest_commands(tmp_path, capsys):
     assert main(["ingest-dedup", store, "--batch", batch_path]) == 0
     rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep1["n_kept"] == 0 and rep1["drops"] == [[5, 0]]
+
+
+def test_cli_text_search(tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.cli import main
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+
+    root = str(tmp_path / "t")
+    TranscriptTable.create(root)
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1", "c2"],
+            "turn_idx": np.zeros(3, dtype=np.int32),
+            "role": ["user"] * 3,
+            "text": ["red apple pie", "red banana", "green apple"],
+            "tool": [""] * 3,
+            "ts": pd.to_datetime([0, 1, 2], unit="s").astype("datetime64[us]"),
+        }
+    )
+    import pyarrow as pa
+
+    TranscriptTable.load(root).append_table(pa.Table.from_pandas(df, preserve_index=False))
+
+    assert main(["text-search", root, "--tokens", "red", "apple", "--mode", "and", "--build"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["text"] for r in out["rows"]] == ["red apple pie"]
+
+    assert main(["text-search", root, "--tokens", "banana", "green", "--mode", "or"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(r["text"] for r in out["rows"]) == ["green apple", "red banana"]
