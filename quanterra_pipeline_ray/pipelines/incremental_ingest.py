@@ -23,6 +23,15 @@ that story:
 Everything upstream of the greedy step is the distributed machinery already
 oracle-verified (`jaccard_incremental_docs`); the flow's own tests assert
 the sequential-greedy semantics against a brute-force reference.
+
+Concurrency contract: ONE ingester per store.  This is semantic, not an
+implementation shortcut — batch N+1's probe must observe batch N's
+survivors (the accepted-history-wins rule orders batches), so concurrent
+ingest has no meaningful answer; a deployment wanting parallel intake
+shards the stream by a stable key into independent stores (cross-shard
+dups are then handled by a periodic batch join, the standard
+lambda-architecture split).  The transcript TABLE's commits, by contrast,
+are CAS-protected multi-writer (see ``state/manifest.py``).
 """
 
 from __future__ import annotations
