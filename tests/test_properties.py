@@ -208,3 +208,51 @@ def test_driver_union_find_matches_label_semantics(edges):
                     seen.add(y)
                     stack.append(y)
         assert label == min(seen)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=8, max_size=20),
+        min_size=4,
+        max_size=14,
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=8, deadline=None)
+def test_jaccard_index_probe_complete_on_random_corpora(word_lists, seed_off):
+    """Probe completeness property: for ANY corpus/batch split, the
+    persisted-index probe returns exactly the brute-force J>=t pairs
+    touching the batch (the pigeonhole argument is unconditional)."""
+    import itertools
+
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.dedup import ngram_jaccard
+    from quanterra_pipeline_ray.functions.jaccard_index import (
+        build_jaccard_index,
+        probe_jaccard_index,
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    texts = [" ".join(ws) for ws in word_lists]
+    texts.append(texts[0])  # ensure at least one certain pair
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    new_mask = df["doc_id"] % 2 == 0
+    old, new = df[~new_mask], df[new_mask]
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix=f"prop_jidx_{seed_off}_", dir="/tmp")
+    build_jaccard_index(rd.from_pandas(old), idx, n_buckets=8)
+    got = probe_jaccard_index(rd.from_pandas(new), idx, rd.from_pandas(df), threshold=0.8)
+    got_pairs = sorted(
+        zip(got.to_pandas()["a"].astype(int), got.to_pandas()["b"].astype(int))
+    )
+    new_ids = set(new["doc_id"].astype(int))
+    expected = sorted(
+        (int(a), int(b))
+        for (a, ta), (b, tb) in itertools.combinations(zip(df["doc_id"], df["text"]), 2)
+        if (int(a) in new_ids or int(b) in new_ids) and ngram_jaccard(ta, tb, 5) >= 0.8
+    )
+    assert got_pairs == expected
