@@ -1186,8 +1186,62 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from quanterra_pipeline_ray.pipelines import relational as rel
 
+    # Registry ORDER matters: the round-3 driver evaluated only the first 50
+    # entries, so queries that have never had a driver-green CORRECTNESS row
+    # lead (VERDICT r3 "Next round #1"); the 23 stable maint queries — driver
+    # green in r2 AND r3 — ride in the tail.
     return {
-        # lakehouse maintenance (scan-equality against derived transcripts)
+        # --- never driver-checked (r3 positions 51-70) first ---
+        "jaccard_pairs_docs": _q_jaccard_pairs,
+        "jaccard_incremental_docs": _q_jaccard_incremental,
+        "minhash_incremental_docs": _q_minhash_incremental,
+        "ivf_index_topk_embeddings": _q_ivf_index_topk,
+        "simhash_pairs_docs": _q_simhash_pairs,
+        "similarity_topk": _q_similarity_topk,
+        "ivf_topk_embeddings": _q_ivf_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "media_decode_features": _q_media_decode,
+        "curation_flow": _q_curation_flow,
+        "quality_filter_docs": _q_quality_filter,
+        "length_histogram_docs": _q_length_histogram,
+        "events_watermark_hourly": _q_events_watermark_hourly,
+        "asof_join_events": _q_asof_join_events,
+        "range_join_events": _q_range_join_events,
+        "semi_join_events": _q_semi_join_events,
+        "split_key_docs": _q_split_key_docs,
+        "storage_keys_events": _q_storage_keys_events,
+        "csv_roundtrip_events": _q_csv_roundtrip_events,
+        "ingest_flow": _q_ingest_flow,
+        # --- relational engine ops ---
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "orders_per_nation": rel.orders_per_nation,
+        "lineitems_per_region": rel.lineitems_per_region,
+        "topk_orders": rel.topk_orders,
+        "events_hourly": rel.events_hourly,
+        "events_sessions": rel.events_sessions,
+        "distinct_event_types": rel.distinct_event_types,
+        "docs_stats_by_lang": rel.docs_stats_by_lang,
+        # --- training-data ops ---
+        "dedup_exact_docs": _q_dedup_exact,
+        "text_stats_docs": _q_text_stats,
+        "token_count_docs": _q_token_count,
+        "pack_sequences_docs": _q_pack_sequences,
+        "dataprep_flow": _q_dataprep_flow,
+        "quantiles_docs": _q_quantiles,
+        "events_sliding_windows": _q_events_sliding,
+        "events_distinct_users": _q_events_distinct_users,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "rolling_max_value_events": _q_rolling_max_value,
+        "event_type_pivot": _q_event_type_pivot,
+        "event_type_long": _q_event_type_long,
+        "topk_per_lang_docs": _q_topk_per_lang,
+        "hash_sample_docs": _q_hash_sample,
+        "quota_sample_docs": _q_quota_sample,
+        "mix_sources_docs": _q_mix_sources,
+        "fingerprint_docs": _q_fingerprint,
+        "lang_id_docs": _q_lang_id,
+        "minhash_dedup_docs": _q_minhash_dedup,
+        # --- lakehouse maintenance (driver-green r2+r3; stable tail) ---
         "maint_scan": _q_maint_scan,
         "maint_append": _q_maint_append,
         "maint_timetravel": _q_maint_timetravel,
@@ -1211,57 +1265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_merge_shuffle": _q_maint_merge_shuffle,
         "maint_expire": _q_maint_expire,
         "maint_resume": _q_maint_resume,
-        # relational engine ops
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "orders_per_nation": rel.orders_per_nation,
-        "lineitems_per_region": rel.lineitems_per_region,
-        "topk_orders": rel.topk_orders,
-        "events_hourly": rel.events_hourly,
-        "events_sessions": rel.events_sessions,
-        "distinct_event_types": rel.distinct_event_types,
-        "docs_stats_by_lang": rel.docs_stats_by_lang,
-        # training-data ops
-        "dedup_exact_docs": _q_dedup_exact,
-        "text_stats_docs": _q_text_stats,
-        "token_count_docs": _q_token_count,
-        "pack_sequences_docs": _q_pack_sequences,
-        "dataprep_flow": _q_dataprep_flow,
-        "quantiles_docs": _q_quantiles,
-        "events_sliding_windows": _q_events_sliding,
-        "events_distinct_users": _q_events_distinct_users,
-        "latest_event_per_user": _q_latest_event_per_user,
-        "rolling_max_value_events": _q_rolling_max_value,
-        "event_type_pivot": _q_event_type_pivot,
-        "event_type_long": _q_event_type_long,
-        "topk_per_lang_docs": _q_topk_per_lang,
-        "hash_sample_docs": _q_hash_sample,
-        "quota_sample_docs": _q_quota_sample,
-        "mix_sources_docs": _q_mix_sources,
-        "fingerprint_docs": _q_fingerprint,
-        "lang_id_docs": _q_lang_id,
-        "minhash_dedup_docs": _q_minhash_dedup,
-        "jaccard_pairs_docs": _q_jaccard_pairs,
-        "jaccard_incremental_docs": _q_jaccard_incremental,
-        "minhash_incremental_docs": _q_minhash_incremental,
-        "simhash_pairs_docs": _q_simhash_pairs,
-        "similarity_topk": _q_similarity_topk,
-        "ivf_topk_embeddings": _q_ivf_topk,
-        "ivf_index_topk_embeddings": _q_ivf_index_topk,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "media_decode_features": _q_media_decode,
-        "curation_flow": _q_curation_flow,
-        "quality_filter_docs": _q_quality_filter,
-        "length_histogram_docs": _q_length_histogram,
-        # streaming / temporal
-        "events_watermark_hourly": _q_events_watermark_hourly,
-        "asof_join_events": _q_asof_join_events,
-        "range_join_events": _q_range_join_events,
-        # ingestion-layer operators (reference parity)
-        "semi_join_events": _q_semi_join_events,
-        "split_key_docs": _q_split_key_docs,
-        "storage_keys_events": _q_storage_keys_events,
-        "csv_roundtrip_events": _q_csv_roundtrip_events,
-        "ingest_flow": _q_ingest_flow,
     }
 
 
