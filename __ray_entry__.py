@@ -377,6 +377,49 @@ def _q_maint_text_search_and(sf_dir: str):
     return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
 
 
+def _extension_rows(data: pa.Table) -> pa.Table:
+    """SQL-mirrorable append batch: every turn with turn_idx%17==2, moved to
+    a new conversation id and prefixed so it matches the 'purchase' token."""
+    df = data.to_pandas()
+    ext = df[df["turn_idx"] % 17 == 2].copy()
+    ext["conv_id"] = ext["conv_id"] + "x"
+    ext["text"] = "purchase extension " + ext["text"]
+    return pa.Table.from_pandas(ext, preserve_index=False, schema=data.schema)
+
+
+def _q_maint_text_search_extend(sf_dir: str):
+    """Persisted text-index LIFECYCLE (build -> append -> extend -> probe):
+    the index is built at the base snapshot, new rows are appended, and
+    ``extend_text_index`` indexes ONLY the new data files (posting files of
+    covered files are never rewritten).  A search before the extend REFUSES
+    (StaleTextIndexError) rather than returning incomplete results; after
+    the extend the search equals the SQL whole-token filter over the
+    post-append table."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.stages.append import append_dataset
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.textindex import (
+        StaleTextIndexError,
+        build_text_index,
+        extend_text_index,
+        search_token,
+    )
+
+    table, data = _maint_table(sf_dir, "textsearchext")
+    compact(table, target_bytes=1 << 20)
+    build_text_index(table)
+    append_dataset(table, rd.from_arrow(_extension_rows(data)), rows_per_file=2000)
+    try:
+        search_token(table, "purchase")
+        raise AssertionError("search over a stale index must refuse")
+    except StaleTextIndexError:
+        pass
+    assert extend_text_index(table) > 0  # covered only the NEW files
+    out = search_token(table, "purchase")
+    return out.map_batches(lambda t: _result(t), batch_format="pyarrow")
+
+
 def _q_maint_delete_where(sf_dir: str) -> pa.Table:
     """Predicate DELETE through the MERGE machinery (stats/bloom-pruned
     file rewrites, copy-on-write commit)."""
@@ -1191,7 +1234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # lead (VERDICT r3 "Next round #1"); the 23 stable maint queries — driver
     # green in r2 AND r3 — ride in the tail.
     return {
-        # --- never driver-checked (r3 positions 51-70) first ---
+        # --- new in r4 (never driver-checked) first ---
+        "maint_text_search_extend": _q_maint_text_search_extend,
+        # --- never driver-checked (r3 positions 51-70) ---
         "jaccard_pairs_docs": _q_jaccard_pairs,
         "jaccard_incremental_docs": _q_jaccard_incremental,
         "minhash_incremental_docs": _q_minhash_incremental,
@@ -1341,6 +1386,17 @@ WITH t AS ({t})
 SELECT * FROM t
 WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
    OR LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'signup')) > 0
+""".strip(),
+        "maint_text_search_extend": rf"""
+WITH t AS ({t}),
+ext AS (
+  SELECT conv_id || 'x' AS conv_id, turn_idx, role,
+         'purchase extension ' || text AS text, tool, ts
+  FROM t WHERE turn_idx % 17 = 2
+),
+u AS (SELECT * FROM t UNION ALL SELECT * FROM ext)
+SELECT * FROM u
+WHERE LEN(list_filter(regexp_extract_all(text, '\S+'), x -> x = 'purchase')) > 0
 """.strip(),
         "maint_delete_where": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",
         "maint_delete_vector": f"WITH t AS ({t}) SELECT * FROM t WHERE turn_idx % 11 <> 7",

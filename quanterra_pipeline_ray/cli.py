@@ -119,6 +119,11 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--tokens", nargs="+", required=True)
     c.add_argument("--mode", choices=["and", "or"], default="and")
     c.add_argument("--build", action="store_true", help="(re)build the index first")
+    c.add_argument(
+        "--extend",
+        action="store_true",
+        help="extend the index to cover the current snapshot's new files first",
+    )
     c.add_argument("--limit", type=int, default=10)
 
     table_cmd("status", "print snapshot/metrics summary")
@@ -291,12 +296,15 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "text-search":
             from .stages.textindex import (
                 build_text_index,
+                extend_text_index,
                 search_tokens_all,
                 search_tokens_any,
             )
 
             if args.build:
                 build_text_index(table)
+            elif args.extend:
+                extend_text_index(table)
             search = search_tokens_all if args.mode == "and" else search_tokens_any
             rows = search(table, list(args.tokens)).take(args.limit)
             print(

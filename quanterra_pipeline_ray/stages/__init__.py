@@ -5,7 +5,12 @@ from .deletevec import delete_where_vector
 from .compaction import CompactionOp, compact, plan_bins
 from .evolve import drop_column, evolve_schema, rename_column
 from .incremental import conv_counts, incremental_conv_counts
-from .textindex import build_text_index, search_token
+from .textindex import (
+    StaleTextIndexError,
+    build_text_index,
+    extend_text_index,
+    search_token,
+)
 from .expire import expire_snapshots, sweep_orphans
 from .merge import merge_into
 from .protocol import MaintenanceOp, run_op
@@ -27,6 +32,8 @@ __all__ = [
     "conv_counts",
     "incremental_conv_counts",
     "build_text_index",
+    "extend_text_index",
+    "StaleTextIndexError",
     "search_token",
     "expire_snapshots",
     "sweep_orphans",

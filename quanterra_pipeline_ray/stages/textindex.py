@@ -1,26 +1,39 @@
 """Secondary index: per-file token postings for text search.
 
-A maintenance artifact, like the manifest itself: for a given snapshot,
-each data file gets a posting list of its distinct whitespace tokens
+A maintenance artifact with the same build -> extend -> probe lifecycle as
+the similarity-index triad (``functions/jaccard_index.py`` etc.): for each
+data file the index stores a posting list of its distinct whitespace tokens
 (``\\S+`` runs — the same tokenization the engine's text stats and the
-DuckDB oracle use).  A token search then reads ONLY the files whose
-postings contain the token (sound pruning by construction: the index is
-complete for the snapshot it was built against) and applies the exact
-per-row filter over the survivors.
+DuckDB oracle use).  A token search reads ONLY the files whose postings
+contain the token (sound pruning by construction) and applies the exact
+vectorized per-row filter over the survivors.
 
-Layout: ``<root>/index/s<NNNN>/tokens/bucket=<B>/*.parquet`` — posting rows
-``(token, path)`` hash-partitioned into buckets so a lookup reads one
-bucket directory, not the whole index.  Building is embarrassingly parallel
-(one stateless task per data file, same control-dataset pattern as
-compaction); the index is snapshot-pinned and immutable, so maintenance
-ops never invalidate it silently — they commit NEW snapshots, and the
-caller rebuilds (or keeps querying the pinned snapshot).
+Layout (shared across snapshots, append-only — structural sharing like the
+manifest shards):
+
+* ``<root>/index/tokens/postings/bucket=<B>/*.parquet`` — rows
+  ``(token, path)`` hash-partitioned so a lookup reads one bucket dir.
+* ``<root>/index/tokens/_coverage.json`` — the set of data files whose
+  postings are present.  :func:`extend_text_index` indexes ONLY files not
+  yet covered (O(new files), never a rebuild); compaction/merge rewrites
+  produce new files which a later extend picks up, while postings of
+  now-dead files are neutralized by intersecting candidates with the
+  queried snapshot's file set (and reclaimed by a rebuild).
+
+A search against a snapshot whose files are not fully covered raises
+:class:`StaleTextIndexError` — append-without-extend REFUSES rather than
+silently returning incomplete results.
+
+Building/extending is embarrassingly parallel (one stateless task per data
+file, same control-dataset pattern as compaction).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -30,6 +43,13 @@ from ..state.manifest import TranscriptTable
 
 N_BUCKETS = 64
 
+_COVERAGE = "_coverage.json"
+_POSTINGS = "postings"
+
+
+class StaleTextIndexError(RuntimeError):
+    """The queried snapshot has data files the index has never seen."""
+
 
 def _token_bucket(tokens: np.ndarray) -> np.ndarray:
     from .skew import key_hash64
@@ -37,31 +57,43 @@ def _token_bucket(tokens: np.ndarray) -> np.ndarray:
     return (key_hash64(tokens) % np.uint64(N_BUCKETS)).astype(np.int64)
 
 
-def build_text_index(
-    table: TranscriptTable,
-    snapshot_id: int | None = None,
-    text_col: str = "text",
-) -> str:
-    """Build the token→file posting index for a snapshot; returns its dir."""
+def _index_root(table: TranscriptTable) -> str:
+    return table._p("index", "tokens")
+
+
+def _read_coverage(index_dir: str) -> set[str]:
+    p = os.path.join(index_dir, _COVERAGE)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f)["files"])
+
+
+def _write_coverage(index_dir: str, files: set[str]) -> None:
+    LOCAL.makedirs(index_dir)
+    tmp = os.path.join(index_dir, _COVERAGE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": 2, "files": sorted(files)}, f)
+    os.replace(tmp, os.path.join(index_dir, _COVERAGE))
+
+
+def _index_new_files(
+    table: TranscriptTable, rel_paths: list[str], index_dir: str, text_col: str
+) -> None:
+    """Append posting files for ``rel_paths`` into the shared bucket dirs."""
     import ray.data as rd
 
-    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
-    index_dir = table._p("index", f"s{base:06d}", "tokens")
     items = [
         {
             "spec": json.dumps(
                 {
-                    "path": f.path if os.path.isabs(f.path) else table._p(f.path),
-                    "rel_path": f.path,
-                    "index_dir": index_dir,
+                    "path": p if os.path.isabs(p) else table._p(p),
+                    "rel_path": p,
                 }
             )
         }
-        for f in table.files(base)
+        for p in rel_paths
     ]
-    if not items:
-        LOCAL.makedirs(index_dir)
-        return index_dir
 
     def index_file(batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -74,7 +106,7 @@ def build_text_index(
             t = pq.read_table(spec["path"], columns=[text_col])
             # Arrow-native tokenization: unicode-whitespace split -> flatten
             # -> unique, all inside Arrow buffers (split semantics match the
-            # search filter's \S+ findall: runs of non-whitespace, no empties)
+            # search filter's \S+ runs: no empties)
             col = t.column(text_col)
             if pa.types.is_large_string(col.type):
                 col = col.cast(pa.string())
@@ -94,8 +126,114 @@ def build_text_index(
 
     ds = rd.from_items(items, override_num_blocks=len(items))
     postings = ds.map_batches(index_file, batch_size=None, batch_format="pandas")
-    postings.write_parquet(index_dir, partition_cols=["bucket"])
+    postings.write_parquet(os.path.join(index_dir, _POSTINGS), partition_cols=["bucket"])
+
+
+def build_text_index(
+    table: TranscriptTable,
+    snapshot_id: int | None = None,
+    text_col: str = "text",
+) -> str:
+    """(Re)build the token->file posting index from scratch for a snapshot's
+    files; returns the index dir.  Discards any prior postings (the only
+    operation that reclaims postings of compacted-away files)."""
+    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    index_dir = _index_root(table)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    LOCAL.makedirs(index_dir)
+    rel_paths = [f.path for f in table.files(base)]
+    if rel_paths:
+        _index_new_files(table, rel_paths, index_dir, text_col)
+    _write_coverage(index_dir, set(rel_paths))
     return index_dir
+
+
+def extend_text_index(
+    table: TranscriptTable,
+    snapshot_id: int | None = None,
+    text_col: str = "text",
+) -> int:
+    """Extend the index to cover a (newer) snapshot: index ONLY files not
+    yet covered and append their postings (O(new files) — existing posting
+    files are never rewritten, the structural-sharing idea of the manifest
+    shards).  Returns the number of newly indexed files.  With no existing
+    index this is a fresh build."""
+    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    index_dir = _index_root(table)
+    covered = _read_coverage(index_dir)
+    rel_paths = [f.path for f in table.files(base) if f.path not in covered]
+    if rel_paths:
+        _index_new_files(table, rel_paths, index_dir, text_col)
+    _write_coverage(index_dir, covered | set(rel_paths))
+    return len(rel_paths)
+
+
+def _candidate_state(table: TranscriptTable, snapshot_id: int | None):
+    """(index_dir, snapshot file set) with the staleness gate applied."""
+    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
+    index_dir = _index_root(table)
+    snap_files = {f.path for f in table.files(base)}
+    covered = _read_coverage(index_dir)
+    missing = snap_files - covered
+    if missing:
+        raise StaleTextIndexError(
+            f"text index at {index_dir} does not cover {len(missing)} data "
+            f"file(s) of snapshot {base} (e.g. {sorted(missing)[:3]}); run "
+            "extend_text_index() or build_text_index() first"
+        )
+    return base, index_dir, snap_files
+
+
+def _posting_paths(index_dir: str, token: str, snap_files: set[str]) -> set[str]:
+    """Files of the queried snapshot whose postings contain ``token`` —
+    one pruned bucket-directory read."""
+    import pyarrow.dataset as pads
+
+    bucket = int(_token_bucket(np.array([token], dtype=object))[0])
+    bucket_dir = os.path.join(index_dir, _POSTINGS, f"bucket={bucket}")
+    if not os.path.isdir(bucket_dir):
+        return set()
+    postings = pads.dataset(bucket_dir).to_table(
+        columns=["token", "path"], filter=pads.field("token") == token
+    )
+    return set(postings.column("path").to_pylist()) & snap_files
+
+
+def _token_patterns(tokens: list[str]) -> list[re.Pattern]:
+    """One compiled word-boundary pattern per token: the token appears in
+    the \\S+ tokenization iff it occurs delimited by whitespace/edges."""
+    return [re.compile(r"(?<!\S)" + re.escape(t) + r"(?!\S)") for t in tokens]
+
+
+def _keep_rows_fn(tokens: list[str], text_col: str, mode: str):
+    """Vectorized exact row verify: per-token word-boundary contains masks
+    AND/OR-combined — no per-row lambda, no findall materialization."""
+    pats = _token_patterns(tokens)
+
+    def keep_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[text_col].astype(str)
+        if mode == "all":
+            mask = np.ones(len(b), dtype=bool)
+            for p in pats:
+                mask &= s.str.contains(p).to_numpy(dtype=bool)
+        else:
+            mask = np.zeros(len(b), dtype=bool)
+            for p in pats:
+                mask |= s.str.contains(p).to_numpy(dtype=bool)
+        return b[mask]
+
+    return keep_rows
+
+
+def _scan_filtered(table, base, paths: set[str], tokens, text_col, columns, mode):
+    import ray.data as rd
+
+    if not paths:
+        return rd.from_arrow(table.schema_of(base).empty_table())
+    abs_paths = [p if os.path.isabs(p) else table._p(p) for p in sorted(paths)]
+    ds = rd.read_parquet(abs_paths, columns=columns)
+    return ds.map_batches(_keep_rows_fn(tokens, text_col, mode), batch_format="pandas")
 
 
 def search_tokens_all(
@@ -110,36 +248,16 @@ def search_tokens_all(
     token's posting set — each lookup reads one bucket directory, and the
     rarest token bounds the scan (classic conjunctive posting-list
     intersection); the exact all-tokens row filter runs over survivors."""
-    import pyarrow.dataset as pads
-    import ray.data as rd
-
     if not tokens:
         raise ValueError("tokens must be non-empty")
-    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
-    index_dir = table._p("index", f"s{base:06d}", "tokens")
-    paths: set | None = None
+    base, index_dir, snap_files = _candidate_state(table, snapshot_id)
+    paths: set[str] | None = None
     for token in tokens:
-        bucket = int(_token_bucket(np.array([token], dtype=object))[0])
-        bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
-        if not os.path.isdir(bucket_dir):
-            return rd.from_arrow(table.schema_of(base).empty_table())
-        postings = pads.dataset(bucket_dir).to_table(
-            columns=["token", "path"], filter=pads.field("token") == token
-        )
-        s = set(postings.column("path").to_pylist())
+        s = _posting_paths(index_dir, token, snap_files)
         paths = s if paths is None else (paths & s)
         if not paths:
-            return rd.from_arrow(table.schema_of(base).empty_table())
-    abs_paths = [p if os.path.isabs(p) else table._p(p) for p in sorted(paths)]
-    want = list(tokens)
-
-    def keep_rows(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b[text_col].astype(str).str.findall(r"\S+")
-        has = toks.map(lambda ts: all(t in ts for t in want))
-        return b[has.to_numpy()]
-
-    ds = rd.read_parquet(abs_paths, columns=columns)
-    return ds.map_batches(keep_rows, batch_format="pandas")
+            break
+    return _scan_filtered(table, base, paths or set(), tokens, text_col, columns, "all")
 
 
 def search_tokens_any(
@@ -152,35 +270,13 @@ def search_tokens_any(
     """Disjunctive (OR) token search: rows containing ANY query token.
     Candidate files are the UNION of the tokens' posting sets; the exact
     any-token row filter runs over the survivors."""
-    import pyarrow.dataset as pads
-    import ray.data as rd
-
     if not tokens:
         raise ValueError("tokens must be non-empty")
-    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
-    index_dir = table._p("index", f"s{base:06d}", "tokens")
-    paths: set = set()
+    base, index_dir, snap_files = _candidate_state(table, snapshot_id)
+    paths: set[str] = set()
     for token in tokens:
-        bucket = int(_token_bucket(np.array([token], dtype=object))[0])
-        bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
-        if not os.path.isdir(bucket_dir):
-            continue
-        postings = pads.dataset(bucket_dir).to_table(
-            columns=["token", "path"], filter=pads.field("token") == token
-        )
-        paths |= set(postings.column("path").to_pylist())
-    if not paths:
-        return rd.from_arrow(table.schema_of(base).empty_table())
-    abs_paths = [p if os.path.isabs(p) else table._p(p) for p in sorted(paths)]
-    want = set(tokens)
-
-    def keep_rows(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b[text_col].astype(str).str.findall(r"\S+")
-        has = toks.map(lambda ts: any(t in want for t in ts))
-        return b[has.to_numpy()]
-
-    ds = rd.read_parquet(abs_paths, columns=columns)
-    return ds.map_batches(keep_rows, batch_format="pandas")
+        paths |= _posting_paths(index_dir, token, snap_files)
+    return _scan_filtered(table, base, paths, tokens, text_col, columns, "any")
 
 
 def search_token(
@@ -192,28 +288,8 @@ def search_token(
 ):
     """Exact-token search: rows whose ``\\S+`` tokenization contains
     ``token``.  Reads one index bucket to find candidate files, scans only
-    those, then applies the exact row filter (same tokenization as the
-    index, so pruning is sound — never a missed row)."""
-    import pyarrow.dataset as pads
-    import ray.data as rd
-
-    base = table.current_snapshot_id() if snapshot_id is None else snapshot_id
-    index_dir = table._p("index", f"s{base:06d}", "tokens")
-    bucket = int(_token_bucket(np.array([token], dtype=object))[0])
-    bucket_dir = os.path.join(index_dir, f"bucket={bucket}")
-    if not os.path.isdir(bucket_dir):
-        return rd.from_arrow(table.schema_of(base).empty_table())
-    postings = pads.dataset(bucket_dir).to_table(
-        columns=["token", "path"], filter=pads.field("token") == token
-    )
-    paths = sorted(set(postings.column("path").to_pylist()))
-    if not paths:
-        return rd.from_arrow(table.schema_of(base).empty_table())
-    abs_paths = [p if os.path.isabs(p) else table._p(p) for p in paths]
-
-    def keep_rows(b: pd.DataFrame) -> pd.DataFrame:
-        has = b[text_col].astype(str).str.findall(r"\S+").map(lambda ts: token in ts)
-        return b[has.to_numpy()]
-
-    ds = rd.read_parquet(abs_paths, columns=columns)
-    return ds.map_batches(keep_rows, batch_format="pandas")
+    those, then applies the exact vectorized row filter (same tokenization
+    as the index, so pruning is sound — never a missed row)."""
+    base, index_dir, snap_files = _candidate_state(table, snapshot_id)
+    paths = _posting_paths(index_dir, token, snap_files)
+    return _scan_filtered(table, base, paths, [token], text_col, columns, "all")

@@ -608,3 +608,109 @@ def test_search_tokens_all_intersects_postings(tmp_path):
     got_or = search_tokens_any(table, ["pie", "sky"]).to_pandas()
     assert sorted(got_or["text"]) == ["blue sky high", "red apple pie"]
     assert search_tokens_any(table, ["absent"]).count() == 0
+
+
+def test_text_index_extend_lifecycle(tmp_path):
+    """build -> append -> extend -> search: extend indexes ONLY the new
+    files, results equal a from-scratch rebuild, and a search between the
+    append and the extend REFUSES (StaleTextIndexError)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from quanterra_pipeline_ray.stages.textindex import (
+        StaleTextIndexError,
+        build_text_index,
+        extend_text_index,
+        search_token,
+    )
+
+    def frame(texts, offset):
+        n = len(texts)
+        return pd.DataFrame(
+            {
+                "conv_id": [f"c{offset + i}" for i in range(n)],
+                "turn_idx": np.zeros(n, dtype=np.int32),
+                "role": ["user"] * n,
+                "text": texts,
+                "tool": [""] * n,
+                "ts": pd.to_datetime(np.arange(offset, offset + n), unit="s").astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+
+    table = TranscriptTable.create(str(tmp_path / "t"))
+    table.append_table(
+        pa.Table.from_pandas(frame(["alpha beta", "beta gamma"], 0), preserve_index=False)
+    )
+    idx_dir = build_text_index(table)
+    posting_files_before = set(glob.glob(f"{idx_dir}/postings/bucket=*/*.parquet"))
+
+    table.append_table(
+        pa.Table.from_pandas(frame(["gamma delta", "alpha omega"], 10), preserve_index=False)
+    )
+    # append without extend must refuse, not return incomplete results
+    with pytest.raises(StaleTextIndexError):
+        search_token(table, "alpha")
+
+    n_new = extend_text_index(table)
+    assert n_new == 1  # exactly the one new data file
+    posting_files_after = set(glob.glob(f"{idx_dir}/postings/bucket=*/*.parquet"))
+    # structural sharing: old posting files untouched, new ones appended
+    assert posting_files_before < posting_files_after
+
+    got = sorted(search_token(table, "alpha").to_pandas()["text"])
+    assert got == ["alpha beta", "alpha omega"]
+    assert sorted(search_token(table, "gamma").to_pandas()["text"]) == [
+        "beta gamma",
+        "gamma delta",
+    ]
+
+    # a rebuilt index gives identical results
+    build_text_index(table)
+    assert sorted(search_token(table, "alpha").to_pandas()["text"]) == got
+
+    # re-extending with nothing new is a no-op
+    assert extend_text_index(table) == 0
+
+
+def test_text_index_search_older_snapshot_after_extend(tmp_path):
+    """The shared posting store serves OLDER snapshots too: candidates are
+    intersected with the queried snapshot's file set."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from quanterra_pipeline_ray.stages.textindex import (
+        build_text_index,
+        extend_text_index,
+        search_token,
+    )
+
+    table = TranscriptTable.create(str(tmp_path / "t"))
+    df0 = pd.DataFrame(
+        {
+            "conv_id": ["c0"],
+            "turn_idx": np.zeros(1, dtype=np.int32),
+            "role": ["user"],
+            "text": ["needle early"],
+            "tool": [""],
+            "ts": pd.to_datetime([0], unit="s").astype("datetime64[us]"),
+        }
+    )
+    table.append_table(pa.Table.from_pandas(df0, preserve_index=False))
+    snap0 = table.current_snapshot_id()
+    build_text_index(table)
+
+    df1 = df0.assign(conv_id=["c1"], text=["needle late"])
+    table.append_table(pa.Table.from_pandas(df1, preserve_index=False))
+    extend_text_index(table)
+
+    # current snapshot sees both; the pinned older snapshot only its own row
+    assert search_token(table, "needle").count() == 2
+    old = search_token(table, "needle", snapshot_id=snap0).to_pandas()
+    assert list(old["text"]) == ["needle early"]
