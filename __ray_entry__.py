@@ -724,6 +724,25 @@ def _q_quota_sample(sf_dir: str):
     return out.map_batches(lambda b: b.astype({"source": str}), batch_format="pandas")
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Grouped weighted sampling without replacement (A-ExpJ /
+    Efraimidis–Spirakis): 40 docs per lang, selection probability
+    proportional to n_chars, keyed on an md5-seeded exponential draw
+    (`functions/sampling.py:weighted_sample`) — combiner-first, exchange
+    bytes O(groups x k) per block."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.sampling import weighted_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    out = weighted_sample(ds, "lang", k=40, weight_col="n_chars", id_col="doc_id", seed=42)
+    return out.map_batches(
+        lambda b: b.astype({"lang": str, "source": str}), batch_format="pandas"
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     """Fixed-budget sequence packing via the distributed prefix-sum scan
     (`functions/packing.py`): docs laid head-to-tail in doc_id order, cut
@@ -1236,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- new in r4 (never driver-checked) first ---
         "maint_text_search_extend": _q_maint_text_search_extend,
+        "weighted_sample_docs": _q_weighted_sample,
         # --- never driver-checked (r3 positions 51-70) ---
         "jaccard_pairs_docs": _q_jaccard_pairs,
         "jaccard_incremental_docs": _q_jaccard_incremental,
@@ -1759,6 +1779,19 @@ FROM quota
 SELECT doc_id, lang, source
 FROM documents
 WHERE md5(CAST(doc_id AS VARCHAR) || ':42') < '40000000'
+""".strip(),
+        # A-ExpJ weighted sampling: Exp(w) key from the md5 uniform; the k
+        # smallest keys per group are a weighted sample w/o replacement.
+        # (h + 0.5) / 2^52 is exact float64 on both sides (52-bit h).
+        "weighted_sample_docs": """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13) AS BIGINT)
+                + 0.5) / 4503599627370496.0) / n_chars,
+           doc_id
+) <= 40
 """.strip(),
         "quota_sample_docs": """
 SELECT doc_id, source

@@ -83,6 +83,68 @@ def mix_sources(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def weighted_sample(
+    ds,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_buckets: int = 64,
+):
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis–Spirakis / A-ExpJ scheme (Inf. Proc. Letters 97(5), 2006):
+    each row draws an exponential key ``e_i = -ln(u_i) / w_i`` (an Exp(w_i)
+    variate) and the k SMALLEST keys per group are exactly a weighted sample
+    without replacement.  ``u_i`` is the seeded md5 uniform
+    ``(int(md5(id || ':' || seed)[:13], 16) + 0.5) / 2^52`` — deterministic,
+    order-free, and bit-reproducible in SQL (13 hex digits = 52 bits, so
+    ``h + 0.5`` and the power-of-two division are exact in float64; only ln
+    rounding is implementation-defined, a ~1-ulp effect that cannot flip a
+    rank except on measure-zero near-ties).
+
+    Same combiner-first plan as :func:`quota_sample`: every block truncates
+    to its local per-group top-k BEFORE the shuffle (the global top-k is a
+    subset of each block's), so exchange bytes are O(groups x k) per block.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = np.array(
+            [
+                int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:13], 16)
+                for i in b[id_col].to_numpy()
+            ],
+            dtype=np.float64,
+        )
+        w = b[weight_col].to_numpy(dtype=np.float64)
+        if len(w) and (w <= 0).any():
+            raise ValueError(f"{weight_col} must be strictly positive")
+        b["__key"] = -np.log((h + 0.5) / float(1 << 52)) / w
+        return b
+
+    def local_top(b: pd.DataFrame) -> pd.DataFrame:
+        b = keyed(b)
+        b = b.sort_values(["__key", id_col], kind="mergesort")
+        b = b.groupby(group_col, sort=False).head(k)
+        hh = pd.util.hash_pandas_object(b[group_col], index=False).to_numpy(dtype=np.uint64)
+        b["__bkt"] = (hh % n_buckets).astype(np.int64)
+        return b
+
+    def final_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__key", id_col], kind="mergesort")
+        g = g.groupby(group_col, sort=False).head(k)
+        return g.drop(columns=["__key", "__bkt"])
+
+    return (
+        ds.map_batches(local_top, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(final_top, batch_format="pandas")
+    )
+
+
 def quota_sample(
     ds,
     group_col: str,

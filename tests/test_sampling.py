@@ -92,3 +92,58 @@ def test_mix_sources_fractions_and_default():
     frac_a = (got["grp"] == "a").sum() / (df["grp"] == "a").sum()
     frac_b = (got["grp"] == "b").sum() / (df["grp"] == "b").sum()
     assert 0.4 < frac_a < 0.6 and 0.06 < frac_b < 0.19
+
+
+def test_weighted_sample_matches_reference_ranking():
+    """A-ExpJ selection must equal the single-machine reference ranking
+    (k smallest -ln(u)/w per group) regardless of block layout."""
+    from quanterra_pipeline_ray.functions.sampling import weighted_sample
+
+    df = _df(2_000)
+    df["w"] = (df["payload"] % 97 + 1).astype(np.int64)
+    k = 25
+    got = weighted_sample(
+        rd.from_pandas(df).repartition(7), "grp", k, weight_col="w", id_col="doc_id", seed=42
+    ).to_pandas()
+
+    ref = df.copy()
+    h = np.array(
+        [int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:13], 16) for i in ref["doc_id"]],
+        dtype=np.float64,
+    )
+    ref["__key"] = -np.log((h + 0.5) / float(1 << 52)) / ref["w"].to_numpy(dtype=np.float64)
+    ref = ref.sort_values(["__key", "doc_id"]).groupby("grp", sort=False).head(k)
+    assert sorted(got["doc_id"]) == sorted(ref["doc_id"])
+    assert (got.groupby("grp").size() == k).all()
+    assert set(got.columns) == {"doc_id", "grp", "payload", "w"}
+
+
+def test_weighted_sample_biases_toward_heavy_rows():
+    """Heavier rows must be picked far more often than light ones (the
+    point of weighted sampling): give 10% of rows 50x weight and check
+    they dominate the sample."""
+    from quanterra_pipeline_ray.functions.sampling import weighted_sample
+
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "grp": ["g"] * n,
+            "w": np.where(np.arange(n) % 10 == 0, 500, 10).astype(np.int64),
+        }
+    )
+    got = weighted_sample(rd.from_pandas(df), "grp", 200, weight_col="w", id_col="doc_id").to_pandas()
+    heavy = (got["w"] == 500).sum()
+    # heavy rows are 10% of the population but ~85% of the total weight;
+    # expected heavy count ~ 168/200, test far outside uniform's ~20
+    assert heavy > 120
+
+
+def test_weighted_sample_rejects_nonpositive_weights():
+    import pytest
+
+    from quanterra_pipeline_ray.functions.sampling import weighted_sample
+
+    df = pd.DataFrame({"doc_id": [1, 2], "grp": ["a", "a"], "w": [3, 0]})
+    with pytest.raises(Exception):
+        weighted_sample(rd.from_pandas(df), "grp", 1, weight_col="w", id_col="doc_id").to_pandas()
