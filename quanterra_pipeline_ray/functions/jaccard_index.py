@@ -51,6 +51,17 @@ from .dedup import _attach_side_texts, _dedupe_pairs, _shingle_hashes, _verify_p
 _META = "meta.json"
 _POSTINGS = "postings"
 _DF = "df"
+_BLOOMS = "blooms"
+_PROBE_STATS = "_probe_stats.json"
+
+#: driver-side cap on the distinct probe-shingle set used for bloom pruning
+#: — probe batches are small by contract; a batch beyond this simply skips
+#: the extra pruning (reads stay correct, just less pruned).
+_PRUNE_SH_CAP = 200_000
+#: tighter cap for pushing the shingle set down as a parquet scan filter:
+#: evaluating a large isin per row group costs more than it saves, so only
+#: genuinely small probes get the row-level filter.
+_PUSHDOWN_SH_CAP = 10_000
 
 
 def _postings_fn(id_col: str, text_col: str, shingle_k: int, n_buckets: int):
@@ -90,16 +101,37 @@ def _df_rows(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _bloom_rows(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket bloom over the batch's distinct shingle hashes — the
+    partition-skip stat: a probe bucket whose shingles miss EVERY bloom of
+    a bucket cannot have a candidate there."""
+    from ..state.bloom import bloom_build
+
+    sh = np.unique(g["sh"].to_numpy(dtype=np.uint64))
+    return pd.DataFrame(
+        {
+            "bkt": np.array([int(g["bkt"].iloc[0])], dtype=np.int64),
+            "bloom": [bloom_build(sh)],
+            "n_sh": np.array([len(sh)], dtype=np.int64),
+        }
+    )
+
+
 def _append_postings(post_ds, index_dir: str) -> dict:
-    """Append a posting Dataset (and its df deltas) under ``index_dir``;
-    returns counters.  Both writes are hive-partitioned APPENDs — extending
-    the index never rewrites existing partition files."""
+    """Append a posting Dataset (with its df deltas and per-bucket shingle
+    blooms) under ``index_dir``; returns counters.  All writes are
+    hive-partitioned / directory APPENDs — extending the index never
+    rewrites existing files (blooms accumulate: a bucket may hold one blob
+    per extend, and a probe skips the bucket only if its shingles miss ALL
+    of them)."""
     post_ds = post_ds.materialize()
     if post_ds.count() == 0:  # empty build/extend (bootstrap store)
         return {"n_postings": 0, "n_docs": 0}
     post_ds.write_parquet(os.path.join(index_dir, _POSTINGS), partition_cols=["bkt"])
     df_ds = post_ds.groupby("bkt").map_groups(_df_rows, batch_format="pandas")
     df_ds.write_parquet(os.path.join(index_dir, _DF), partition_cols=["bkt"])
+    blooms = post_ds.groupby("bkt").map_groups(_bloom_rows, batch_format="pandas")
+    blooms.write_parquet(os.path.join(index_dir, _BLOOMS))
     docs = post_ds.map_batches(
         lambda b: pd.DataFrame({"doc": pd.unique(b["doc"])}), batch_format="pandas"
     ).to_pandas()
@@ -113,14 +145,23 @@ def build_jaccard_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
-    n_buckets: int = 256,
+    n_buckets: int = 1024,
 ) -> dict:
-    """Create a persisted Jaccard index over ``ds``; returns the meta dict."""
+    """Create a persisted Jaccard index over ``ds``; returns the meta dict.
+
+    ``n_buckets`` sizes the partition-pruning granularity: a probe reads
+    only the ``bkt=`` directories its shingles hash into, so small probes
+    touch ~(distinct probe shingles)/n_buckets of the index.  The 1024
+    default makes pruning real at bench scale; raise to 4096+ for
+    cluster-scale corpora (more, smaller partition files)."""
     os.makedirs(index_dir, exist_ok=True)
     post = ds.map_batches(_postings_fn(id_col, text_col, shingle_k, n_buckets), batch_format="pandas")
     counters = _append_postings(post, index_dir)
     meta = {
-        "version": 1,
+        # version 2: per-bucket shingle blooms exist for EVERY append, so
+        # the probe may skip bloom-missed buckets (v1 indexes get no bloom
+        # pruning — soundness over speed)
+        "version": 2,
         "shingle_k": shingle_k,
         "n_buckets": n_buckets,
         **counters,
@@ -166,6 +207,45 @@ def _distinct_buckets(post_ds) -> list[int]:
     return sorted(int(x) for x in b["bkt"].unique())
 
 
+def _distinct_sh(post_ds) -> np.ndarray | None:
+    """Driver-side distinct shingle hashes of a PROBE-sized posting Dataset
+    (per-block unique first), or None beyond the pruning cap — pruning is an
+    optimization, never a requirement."""
+    parts = post_ds.map_batches(
+        lambda b: pd.DataFrame({"sh": pd.unique(b["sh"])}), batch_format="pandas"
+    ).to_pandas()
+    sh = np.unique(parts["sh"].to_numpy(dtype=np.uint64))
+    return sh if sh.size <= _PRUNE_SH_CAP else None
+
+
+def _bloom_keep(
+    index_dir: str, buckets: list[int], sh: np.ndarray | None, n_buckets: int
+) -> list[int]:
+    """Subset of ``buckets`` whose per-bucket blooms may contain ANY of the
+    probe shingles ``sh``.  Sound only on version>=2 indexes (callers gate on
+    meta); a bucket with postings but zero bloom rows cannot exist there, so
+    a full miss really means no shared shingle."""
+    import pyarrow.dataset as pads
+
+    from ..state.bloom import bloom_any
+
+    bdir = os.path.join(index_dir, _BLOOMS)
+    if sh is None or not os.path.isdir(bdir):
+        return list(buckets)
+    tbl = pads.dataset(bdir).to_table(columns=["bkt", "bloom"]).to_pandas()
+    by_bkt = tbl.groupby("bkt")["bloom"].agg(list)
+    sh_bkt = (sh % np.uint64(n_buckets)).astype(np.int64)
+    keep = []
+    for b in buckets:
+        blobs = by_bkt.get(b)
+        if blobs is None:
+            continue  # nothing was ever indexed into this bucket
+        q = sh[sh_bkt == b]
+        if q.size and any(bloom_any(blob, q) for blob in blobs):
+            keep.append(b)
+    return keep
+
+
 def _partition_paths(index_dir: str, table: str, buckets) -> list[str]:
     """Existing hive-partition dirs for the requested buckets (the pruned
     read set — everything else in the index is never opened)."""
@@ -181,10 +261,14 @@ def _partition_paths(index_dir: str, table: str, buckets) -> list[str]:
     return paths
 
 
-def _read_partitions(index_dir: str, table: str, buckets, columns, n_buckets: int):
+def _read_partitions(
+    index_dir: str, table: str, buckets, columns, n_buckets: int, sh_values=None
+):
     """Pruned read of index partitions; re-derives ``bkt`` from ``sh`` (the
     hive dir name carries it, but recomputing avoids partitioning-inference
-    differences across readers)."""
+    differences across readers).  With ``sh_values``, the probe's distinct
+    shingle set is pushed down as a parquet scan filter — only rows whose
+    shingle the probe actually holds leave the scan."""
     import ray.data
 
     paths = _partition_paths(index_dir, table, buckets)
@@ -196,7 +280,37 @@ def _read_partitions(index_dir: str, table: str, buckets, columns, n_buckets: in
         out["bkt"] = (out["sh"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
         return out
 
-    return ray.data.read_parquet(paths, columns=columns).map_batches(clean, batch_format="pandas")
+    kwargs = {}
+    if sh_values is not None:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        kwargs["filter"] = pads.field("sh").isin(pa.array(sh_values, type=pa.uint64()))
+    return ray.data.read_parquet(paths, columns=columns, **kwargs).map_batches(
+        clean, batch_format="pandas"
+    )
+
+
+def _existing_buckets(index_dir: str, table: str) -> list[int]:
+    """All bucket partitions present on disk (the probe-stats denominator)."""
+    import glob
+
+    dirs = glob.glob(os.path.join(index_dir, table, "bkt=*"))
+    return sorted(int(os.path.basename(d).split("=", 1)[1]) for d in dirs)
+
+
+def _write_probe_stats(index_dir: str, stats: dict) -> None:
+    """Record the last probe's pruning effectiveness (partitions read vs
+    total) next to the index — the probe's lineage record."""
+    tmp = os.path.join(index_dir, _PROBE_STATS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(index_dir, _PROBE_STATS))
+
+
+def read_probe_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, _PROBE_STATS)) as f:
+        return json.load(f)
 
 
 def _empty_pairs():
@@ -243,6 +357,7 @@ def probe_jaccard_index(
     """
     meta = read_index_meta(index_dir)
     k, nb = int(meta["shingle_k"]), int(meta["n_buckets"])
+    blooms_ok = int(meta.get("version", 1)) >= 2
     new_post = (
         new_ds.map_batches(_postings_fn(id_col, text_col, k, nb), batch_format="pandas")
         .materialize()
@@ -250,9 +365,19 @@ def probe_jaccard_index(
     if new_post.count() == 0:
         return _empty_pairs()
     probe_bkts = _distinct_buckets(new_post)
+    probe_sh = _distinct_sh(new_post)
+    stats = {
+        "partitions_total": len(_existing_buckets(index_dir, _POSTINGS)),
+        "df_candidate": len(probe_bkts),
+    }
 
-    # --- 2. document-frequency attach (pruned df read, additive deltas)
-    df_ds = _read_partitions(index_dir, _DF, probe_bkts, ["sh", "df"], nb)
+    # --- 2. document-frequency attach (pruned df read, additive deltas;
+    # bloom-missed buckets hold NONE of the probe's shingles, and unseen
+    # shingles default to df=0 anyway, so skipping them is exact)
+    df_bkts = _bloom_keep(index_dir, probe_bkts, probe_sh, nb) if blooms_ok else probe_bkts
+    stats["df_read"] = len(df_bkts)
+    push_sh = probe_sh if probe_sh is not None and probe_sh.size <= _PUSHDOWN_SH_CAP else None
+    df_ds = _read_partitions(index_dir, _DF, df_bkts, ["sh", "df"], nb, sh_values=push_sh)
 
     def tag_post(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
@@ -296,9 +421,19 @@ def probe_jaccard_index(
 
     prefix = with_df.groupby("dbkt").map_groups(keep_prefix, batch_format="pandas").materialize()
     prefix_bkts = _distinct_buckets(prefix)
+    prefix_sh = _distinct_sh(prefix)
+    stats["postings_candidate"] = len(prefix_bkts)
 
-    # --- 4. candidates from pruned index partitions + the batch's own postings
-    idx_post = _read_partitions(index_dir, _POSTINGS, prefix_bkts, ["sh", "doc", "size"], nb)
+    # --- 4. candidates from pruned index partitions + the batch's own
+    # postings (bloom-missed buckets share no shingle with the prefix; the
+    # new batch's own postings are unioned below, so new-new pairs survive)
+    post_bkts = _bloom_keep(index_dir, prefix_bkts, prefix_sh, nb) if blooms_ok else prefix_bkts
+    stats["postings_read"] = len(post_bkts)
+    _write_probe_stats(index_dir, stats)
+    push_prefix = prefix_sh if prefix_sh is not None and prefix_sh.size <= _PUSHDOWN_SH_CAP else None
+    idx_post = _read_partitions(
+        index_dir, _POSTINGS, post_bkts, ["sh", "doc", "size"], nb, sh_values=push_prefix
+    )
 
     def tag_side(side: int):
         def tag(b: pd.DataFrame) -> pd.DataFrame:

@@ -151,3 +151,47 @@ def test_probe_empty_and_disjoint(ray_session, tmp_path):
     res = probe_jaccard_index(rd.from_pandas(new), idx, rd.from_pandas(pd.concat([df, new])))
     assert res.count() == 0
     assert set(res.schema().names) == {"a", "b"}
+
+
+def test_probe_prunes_partitions_on_planted_corpus(ray_session, tmp_path):
+    """A small probe must read a small fraction of the index partitions:
+    bucket pruning (probe shingles hash into few of the many buckets) plus
+    bloom skipping (buckets sharing NO shingle with the probe are never
+    opened).  The probe must still find the planted near-dup."""
+    rng = np.random.default_rng(5)
+    words = [f"w{i:04d}" for i in range(400)]
+    # doc 0 is deliberately SHORT so a small probe can match it; the rest
+    # are long docs that spread the index across the buckets
+    texts = ["w0000 w0017 w0342 w0005 w0123 w0250 w0009 w0399"]
+    texts += [" ".join(rng.choice(words, size=40)) for _ in range(299)]
+    corpus = pd.DataFrame(
+        {"doc_id": np.arange(300, dtype=np.int64), "text": texts}
+    )
+
+    idx = str(tmp_path / "jidx")
+    build_jaccard_index(rd.from_pandas(corpus), idx)  # default n_buckets
+
+    # probe: an exact copy of the short doc + a novel doc whose vocabulary
+    # never appears in the corpus (its shingles must miss every bloom)
+    probe = pd.DataFrame(
+        {
+            "doc_id": np.array([9_000, 9_001], dtype=np.int64),
+            "text": [corpus["text"].iloc[0], "zq!7 xj#9 vk%3 bn&1 mr*5 tl@8 gh^2 pd$6"],
+        }
+    )
+    union = pd.concat([corpus, probe], ignore_index=True)
+    got = _got_pairs(
+        probe_jaccard_index(rd.from_pandas(probe), idx, rd.from_pandas(union), threshold=0.8)
+    )
+    assert (0, 9_000) in got  # planted near-dup found
+
+    from quanterra_pipeline_ray.functions.jaccard_index import read_probe_stats
+
+    stats = read_probe_stats(idx)
+    assert stats["partitions_total"] > 700  # corpus spreads over the buckets
+    # the done-bar: a small probe reads <25% of the index partitions
+    assert stats["df_read"] < 0.25 * stats["partitions_total"]
+    assert stats["postings_read"] < 0.25 * stats["partitions_total"]
+    # bloom pruning tightened the candidate sets (novel shingles miss)
+    assert stats["df_read"] < stats["df_candidate"]
+    assert stats["postings_read"] <= stats["postings_candidate"]
