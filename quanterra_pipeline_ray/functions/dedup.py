@@ -77,6 +77,68 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(rolling_window_hashes(text, k))
 
 
+def _concat_ranges(counts: np.ndarray) -> np.ndarray:
+    """Vectorized ``concatenate([arange(c) for c in counts])``."""
+    total = int(counts.sum())
+    idx = np.arange(total, dtype=np.int64)
+    offs = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    return idx - offs
+
+
+def _batched_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct k-char shingle hashes for EVERY doc of a batch in one
+    vectorized pass: one buffer concat, ONE sliding-window hash sweep and
+    one global lexsort replace the per-doc Python dispatch loop.
+
+    Returns ``(sh, starts)`` — concatenated per-doc distinct hashes (sorted
+    within each doc) and int64 offsets of length ``len(texts)+1`` such that
+    doc ``i`` owns ``sh[starts[i]:starts[i+1]]``.  Bit-identical per doc to
+    ``np.unique(rolling_window_hashes(t, k))`` (same base/padding), asserted
+    by test."""
+    n = len(texts)
+    if n == 0:
+        return np.array([], dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    bufs = []
+    for t in texts:  # utf-8 encode is the only per-doc step left
+        d = str(t).encode("utf-8")
+        bufs.append(d if len(d) >= k else d + b"\x20" * (k - len(d)))
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    nwin = lens - k + 1
+    doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    base = np.uint64(1000003)
+    powers = np.power(base, np.arange(k, dtype=np.uint64), dtype=np.uint64)[::-1]
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    allh = (windows * powers).sum(axis=1, dtype=np.uint64)
+    # keep only windows that start AND end inside one doc
+    keep = np.repeat(doc_start, nwin) + _concat_ranges(nwin)
+    h = allh[keep]
+    doc = np.repeat(np.arange(n, dtype=np.int64), nwin)
+    order = np.lexsort((h, doc))
+    hs, ds_ = h[order], doc[order]
+    mask = np.ones(len(hs), dtype=bool)
+    mask[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+    hs, ds_ = hs[mask], ds_[mask]
+    counts = np.bincount(ds_, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return hs, starts
+
+
+def batched_postings(ids: np.ndarray, texts, k: int) -> pd.DataFrame:
+    """``(sh, doc, size)`` posting rows for a whole batch via the batched
+    shingle kernel — the shared map kernel of the AllPairs join and the
+    persisted Jaccard index."""
+    sh, starts = _batched_shingle_hashes(texts, k)
+    counts = np.diff(starts)
+    return pd.DataFrame(
+        {
+            "sh": sh,
+            "doc": np.repeat(np.asarray(ids, dtype=np.int64), counts),
+            "size": np.repeat(counts.astype(np.int64), counts),
+        }
+    )
+
+
 def exact_shingles(text: str, k: int) -> np.ndarray:
     """Distinct k-BYTE shingles of a document as a fixed-width byte array.
 
@@ -127,8 +189,26 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
-        batch["__sig"] = list(sigs.astype(np.uint64))
+        # batched kernel: one shingle sweep for the whole batch, then the
+        # permutation mins per doc via segmented reduce — bit-identical to
+        # the per-doc signature() (same shingle sets, same arithmetic)
+        sh, starts = _batched_shingle_hashes(list(batch[self.text_col]), self.k)
+        n = len(batch)
+        sigs = np.empty((n, self.num_hashes), dtype=np.uint64)
+        # chunk docs so the (num_hashes x shingles) matrix stays ~32 MB
+        max_sh = max(1, (1 << 22) // self.num_hashes)
+        lo = 0
+        while lo < n:
+            hi = lo
+            while hi < n and (starts[hi + 1] - starts[lo]) <= max_sh:
+                hi += 1
+            hi = max(hi, lo + 1)  # a single huge doc still goes through
+            h = sh[starts[lo] : starts[hi]] % _MERSENNE
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+            seg = (starts[lo : hi + 1] - starts[lo]).astype(np.int64)
+            sigs[lo:hi] = np.minimum.reduceat(vals, seg[:-1], axis=1).T
+            lo = hi
+        batch["__sig"] = list(sigs)
         return batch
 
 
@@ -165,6 +245,61 @@ def _dedupe_pairs(pairs_ds, n_buckets: int = 64):
 
     return pairs_ds.map_batches(add_bkt, batch_format="pandas").groupby("__bkt").map_groups(
         drop_dup, batch_format="pandas"
+    )
+
+
+#: pair-count bound for the driver-side verify fast path (same contract as
+#: the connected-components driver union-find below 200k pairs: PAIR LISTS
+#: and the texts of pair-involved docs are duplicate-bounded, never corpus-
+#: sized, so collecting them is O(candidates) regardless of corpus scale)
+_DRIVER_VERIFY_PAIR_CAP = 20_000
+
+
+def _verify_pairs_small(
+    pairs_df: pd.DataFrame, corpus_ds, id_col: str, text_col: str, threshold: float, shingle_k: int
+):
+    """Driver fast path for a SMALL candidate set: one broadcast-filtered map
+    pulls only the pair-involved docs' texts, then the exact verify predicate
+    (identical to :func:`_verify_pairs`'s bucket kernel) runs locally — skips
+    two sort exchanges whose fixed cost dwarfs 20k pairs of work."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    pairs_df = pairs_df.drop_duplicates(subset=["a", "b"])
+    cand_ids = np.unique(np.concatenate([pairs_df["a"].to_numpy(), pairs_df["b"].to_numpy()]))
+    ids_ref = ray.put(cand_ids)
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[np.isin(b[id_col].to_numpy(), ray.get(ids_ref))]
+        return pd.DataFrame(
+            {"jid": keep[id_col].to_numpy(), "text": keep[text_col].astype(str).to_numpy()}
+        )
+
+    texts = corpus_ds.map_batches(filt, batch_format="pandas").to_pandas().drop_duplicates("jid")
+    tmap = dict(zip(texts["jid"], texts["text"]))
+    cache: dict = {}
+
+    def sh(j):
+        s = cache.get(j)
+        if s is None:
+            s = exact_shingles(tmap[j], shingle_k)
+            cache[j] = s
+        return s
+
+    rows_a, rows_b = [], []
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        a, b = int(a), int(b)
+        if a not in tmap or b not in tmap:
+            continue  # a side's text was missing from the corpus
+        s0, s1 = sh(a), sh(b)
+        inter = np.intersect1d(s0, s1, assume_unique=True).size
+        union = s0.size + s1.size - inter
+        if inter >= threshold * union:
+            rows_a.append(a)
+            rows_b.append(b)
+    return ray.data.from_arrow(
+        pa.table({"a": pa.array(rows_a, pa.int64()), "b": pa.array(rows_b, pa.int64())})
     )
 
 
@@ -581,20 +716,7 @@ def ngram_jaccard_join(
     """
 
     def postings(b: pd.DataFrame) -> pd.DataFrame:
-        shs, docs, sizes = [], [], []
-        for i, t in zip(b[id_col].to_numpy(), b[text_col]):
-            sh = _shingle_hashes(t, shingle_k)
-            shs.append(sh)
-            docs.append(np.full(sh.size, i, dtype=np.int64))
-            sizes.append(np.full(sh.size, sh.size, dtype=np.int64))
-        sh = np.concatenate(shs) if shs else np.array([], dtype=np.uint64)
-        out = pd.DataFrame(
-            {
-                "sh": sh,
-                "doc": np.concatenate(docs) if docs else np.array([], dtype=np.int64),
-                "size": np.concatenate(sizes) if sizes else np.array([], dtype=np.int64),
-            }
-        )
+        out = batched_postings(b[id_col].to_numpy(), b[text_col], shingle_k)
         out["__bkt"] = (out["sh"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
         return out
 

@@ -46,7 +46,14 @@ import os
 import numpy as np
 import pandas as pd
 
-from .dedup import _attach_side_texts, _dedupe_pairs, _shingle_hashes, _verify_pairs
+from .dedup import (
+    _DRIVER_VERIFY_PAIR_CAP,
+    _attach_side_texts,
+    _dedupe_pairs,
+    _verify_pairs,
+    _verify_pairs_small,
+    batched_postings,
+)
 
 _META = "meta.json"
 _POSTINGS = "postings"
@@ -66,23 +73,11 @@ _PUSHDOWN_SH_CAP = 10_000
 
 def _postings_fn(id_col: str, text_col: str, shingle_k: int, n_buckets: int):
     """Batch kernel: explode docs into distinct-shingle posting rows
-    ``(sh, doc, size, bkt)`` via the shared vectorized rolling-hash kernel."""
+    ``(sh, doc, size, bkt)`` via the BATCHED rolling-hash kernel (one
+    sweep per batch, no per-doc Python dispatch)."""
 
     def postings(b: pd.DataFrame) -> pd.DataFrame:
-        shs, docs, sizes = [], [], []
-        for i, t in zip(b[id_col].to_numpy(), b[text_col]):
-            sh = _shingle_hashes(t, shingle_k)
-            shs.append(sh)
-            docs.append(np.full(sh.size, i, dtype=np.int64))
-            sizes.append(np.full(sh.size, sh.size, dtype=np.int64))
-        sh = np.concatenate(shs) if shs else np.array([], dtype=np.uint64)
-        out = pd.DataFrame(
-            {
-                "sh": sh,
-                "doc": np.concatenate(docs) if docs else np.array([], dtype=np.int64),
-                "size": np.concatenate(sizes) if sizes else np.array([], dtype=np.int64),
-            }
-        )
+        out = batched_postings(b[id_col].to_numpy(), b[text_col], shingle_k)
         out["bkt"] = (out["sh"].to_numpy(dtype=np.uint64) % n_buckets).astype(np.int64)
         return out
 
@@ -198,24 +193,18 @@ def extend_jaccard_index(
     return meta
 
 
-def _distinct_buckets(post_ds) -> list[int]:
-    """Driver-side distinct partition ids of a posting Dataset — bounded by
-    ``n_buckets`` ints per block, never row data."""
-    b = post_ds.map_batches(
-        lambda b: pd.DataFrame({"bkt": pd.unique(b["bkt"])}), batch_format="pandas"
-    ).to_pandas()
-    return sorted(int(x) for x in b["bkt"].unique())
-
-
-def _distinct_sh(post_ds) -> np.ndarray | None:
-    """Driver-side distinct shingle hashes of a PROBE-sized posting Dataset
-    (per-block unique first), or None beyond the pruning cap — pruning is an
+def _distinct_bkt_sh(post_ds) -> tuple[list[int], np.ndarray | None]:
+    """Driver-side distinct partition ids AND distinct shingle hashes of a
+    PROBE-sized posting Dataset in ONE execution (per-block dedup first —
+    the pull is bounded by distinct shingles, never row data).  The shingle
+    set comes back ``None`` beyond the pruning cap: pruning is an
     optimization, never a requirement."""
     parts = post_ds.map_batches(
-        lambda b: pd.DataFrame({"sh": pd.unique(b["sh"])}), batch_format="pandas"
+        lambda b: b[["bkt", "sh"]].drop_duplicates(), batch_format="pandas"
     ).to_pandas()
+    buckets = sorted(int(x) for x in parts["bkt"].unique())
     sh = np.unique(parts["sh"].to_numpy(dtype=np.uint64))
-    return sh if sh.size <= _PRUNE_SH_CAP else None
+    return buckets, (sh if sh.size <= _PRUNE_SH_CAP else None)
 
 
 def _bloom_keep(
@@ -324,6 +313,110 @@ def _empty_pairs():
     )
 
 
+#: posting-row bound for the exchange-free small-probe plan: a probe batch
+#: whose postings fit comfortably on the driver (the contract case — small
+#: ingest batches against a big index) skips every sort exchange.  2M rows
+#: of (sh, doc, size, bkt) is ~64 MB.
+_SMALL_PROBE_POSTINGS = 2_000_000
+
+
+def _emit_candidates(prefix: pd.DataFrame, full: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Candidate pairs from prefix rows vs full posting rows: equal shingle,
+    distinct docs, two-sided size filter — the shared join kernel of both
+    probe plans."""
+    f = full[["sh", "doc", "size"]].drop_duplicates(["sh", "doc"])
+    m = prefix.merge(f, on="sh", suffixes=("_p", "_f"))
+    m = m[m["doc_p"] != m["doc_f"]]
+    if len(m):
+        sp = m["size_p"].to_numpy(dtype=np.float64)
+        sf = m["size_f"].to_numpy(dtype=np.float64)
+        m = m[(sf >= threshold * sp) & (sp >= threshold * sf)]
+    if not len(m):
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    a = np.minimum(m["doc_p"].to_numpy(), m["doc_f"].to_numpy()).astype(np.int64)
+    b = np.maximum(m["doc_p"].to_numpy(), m["doc_f"].to_numpy()).astype(np.int64)
+    return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+
+def _probe_small(
+    new_post,
+    index_dir: str,
+    corpus_ds,
+    *,
+    threshold: float,
+    k: int,
+    nb: int,
+    id_col: str,
+    text_col: str,
+    probe_sh: np.ndarray,
+    df_bkts: list[int],
+    blooms_ok: bool,
+    stats: dict,
+    n_buckets_pairs: int,
+):
+    """Exchange-free probe plan for a SMALL batch (the continuous-ingest
+    common case): batch postings live on the driver (O(batch), bounded by
+    the caller's gate), df comes from one pushdown-filtered pruned read,
+    the prefix is broadcast over the pruned posting read, and candidates
+    verify through the driver fast path.  Selection logic (df-rare prefix,
+    size filter, exact verify) is IDENTICAL to the distributed plan —
+    only the placement changes, so results are bit-equal by construction."""
+    import ray
+    import ray.data
+
+    np_df = new_post.to_pandas()
+    push_sh = probe_sh if probe_sh.size <= _PUSHDOWN_SH_CAP else None
+    df_ds = _read_partitions(index_dir, _DF, df_bkts, ["sh", "df"], nb, sh_values=push_sh)
+    if df_ds is not None:
+        df_df = df_ds.to_pandas()
+        if push_sh is None:  # not filtered at the scan: filter on arrival
+            df_df = df_df[np.isin(df_df["sh"].to_numpy(dtype=np.uint64), probe_sh)]
+        dfm = df_df.groupby("sh", sort=False)["df"].sum()
+        np_df = np_df.assign(
+            df=np_df["sh"].map(dfm).fillna(0).to_numpy(dtype=np.int64)
+        )
+    else:
+        np_df = np_df.assign(df=np.int64(0))
+
+    # per-doc df-rare prefix — same sort keys / length as keep_prefix
+    g = np_df.sort_values(["doc", "df", "sh"], kind="stable")
+    rank = g.groupby("doc", sort=False).cumcount().to_numpy()
+    size = g["size"].to_numpy()
+    prefix_len = size - np.ceil(threshold * size).astype(np.int64) + 1
+    prefix = g[rank < prefix_len][["sh", "doc", "size"]]
+    prefix_sh = np.unique(prefix["sh"].to_numpy(dtype=np.uint64))
+    prefix_bkts = sorted(int(x) for x in np.unique(prefix_sh % np.uint64(nb)))
+    stats["postings_candidate"] = len(prefix_bkts)
+    post_bkts = _bloom_keep(index_dir, prefix_bkts, prefix_sh, nb) if blooms_ok else prefix_bkts
+    stats["postings_read"] = len(post_bkts)
+    _write_probe_stats(index_dir, stats)
+
+    push_prefix = prefix_sh if prefix_sh.size <= _PUSHDOWN_SH_CAP else None
+    idx_post = _read_partitions(
+        index_dir, _POSTINGS, post_bkts, ["sh", "doc", "size"], nb, sh_values=push_prefix
+    )
+    frames = [_emit_candidates(prefix, np_df, threshold)]  # new-vs-new
+    if idx_post is not None:
+        pref_ref = ray.put(prefix)
+
+        def emit(b: pd.DataFrame) -> pd.DataFrame:  # broadcast-merge, no exchange
+            return _emit_candidates(ray.get(pref_ref), b, threshold)
+
+        frames.append(
+            idx_post.map_batches(emit, batch_format="pandas").to_pandas()
+        )
+    pairs = pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
+    if not len(pairs):
+        return _empty_pairs()
+    if len(pairs) <= _DRIVER_VERIFY_PAIR_CAP:
+        return _verify_pairs_small(pairs, corpus_ds, id_col, text_col, threshold, k)
+    import pyarrow as pa
+
+    pairs_ds = ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+    sided = _attach_side_texts(pairs_ds, corpus_ds, id_col, text_col, n_buckets_pairs)
+    return _verify_pairs(sided, threshold, k, n_buckets_pairs)
+
+
 def probe_jaccard_index(
     new_ds,
     index_dir: str,
@@ -364,8 +457,7 @@ def probe_jaccard_index(
     )
     if new_post.count() == 0:
         return _empty_pairs()
-    probe_bkts = _distinct_buckets(new_post)
-    probe_sh = _distinct_sh(new_post)
+    probe_bkts, probe_sh = _distinct_bkt_sh(new_post)
     stats = {
         "partitions_total": len(_existing_buckets(index_dir, _POSTINGS)),
         "df_candidate": len(probe_bkts),
@@ -376,6 +468,24 @@ def probe_jaccard_index(
     # shingles default to df=0 anyway, so skipping them is exact)
     df_bkts = _bloom_keep(index_dir, probe_bkts, probe_sh, nb) if blooms_ok else probe_bkts
     stats["df_read"] = len(df_bkts)
+    if probe_sh is not None and new_post.count() <= _SMALL_PROBE_POSTINGS:
+        # small batch (the continuous-ingest contract case): run the
+        # exchange-free plan — identical selection logic, driver placement
+        return _probe_small(
+            new_post,
+            index_dir,
+            corpus_ds,
+            threshold=threshold,
+            k=k,
+            nb=nb,
+            id_col=id_col,
+            text_col=text_col,
+            probe_sh=probe_sh,
+            df_bkts=df_bkts,
+            blooms_ok=blooms_ok,
+            stats=stats,
+            n_buckets_pairs=n_buckets_pairs,
+        )
     push_sh = probe_sh if probe_sh is not None and probe_sh.size <= _PUSHDOWN_SH_CAP else None
     df_ds = _read_partitions(index_dir, _DF, df_bkts, ["sh", "df"], nb, sh_values=push_sh)
 
@@ -420,8 +530,7 @@ def probe_jaccard_index(
         return out
 
     prefix = with_df.groupby("dbkt").map_groups(keep_prefix, batch_format="pandas").materialize()
-    prefix_bkts = _distinct_buckets(prefix)
-    prefix_sh = _distinct_sh(prefix)
+    prefix_bkts, prefix_sh = _distinct_bkt_sh(prefix)
     stats["postings_candidate"] = len(prefix_bkts)
 
     # --- 4. candidates from pruned index partitions + the batch's own
@@ -466,7 +575,17 @@ def probe_jaccard_index(
 
     cand = both.groupby("bkt").map_groups(emit_pairs, batch_format="pandas")
     pairs = _dedupe_pairs(cand, n_buckets_pairs).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return _empty_pairs()
+    if n_pairs <= _DRIVER_VERIFY_PAIR_CAP:
+        # candidate-bounded fast path: exact-verify on the driver (pair
+        # lists only; texts fetched for pair-involved docs by one broadcast-
+        # filtered map) — the probe's common case is a small batch against a
+        # big index, where the attach+verify sort exchanges' fixed cost
+        # dwarfs the candidates' actual work
+        return _verify_pairs_small(
+            pairs.to_pandas(), corpus_ds, id_col, text_col, threshold, k
+        )
     sided = _attach_side_texts(pairs, corpus_ds, id_col, text_col, n_buckets_pairs)
     return _verify_pairs(sided, threshold, k, n_buckets_pairs)

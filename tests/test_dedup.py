@@ -209,3 +209,39 @@ def test_ngram_jaccard_join_empty_and_disjoint():
     )
     got = ngram_jaccard_join(rd.from_pandas(df), threshold=0.8, n_buckets=4)
     assert got.count() == 0
+
+
+def test_batched_shingle_hashes_bit_identical_to_per_doc():
+    """The batched rolling-hash kernel must return EXACTLY what the per-doc
+    kernel returns (same base, padding, distinct + per-doc sort) — including
+    short docs (padded to one window), empty strings, and unicode."""
+    from quanterra_pipeline_ray.functions.dedup import (
+        _batched_shingle_hashes,
+        _shingle_hashes,
+    )
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "bravo", "charlie", "δδδ", "中文中文", "e"]
+    texts = [" ".join(rng.choice(words, size=n)) for n in (1, 2, 5, 30, 80)]
+    texts += ["", "ab", "aaaaa", "exactly5char"]
+    for k in (3, 5, 9):
+        sh, starts = _batched_shingle_hashes(texts, k)
+        assert len(starts) == len(texts) + 1
+        for i, t in enumerate(texts):
+            got = sh[starts[i] : starts[i + 1]]
+            want = _shingle_hashes(t, k)
+            assert np.array_equal(got, want), (i, k)
+
+
+def test_minhasher_batched_signatures_bit_identical():
+    """MinHasher's batched segmented-reduce path == the per-doc signature()."""
+    from quanterra_pipeline_ray.functions.dedup import MinHasher
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "bravo", "charlie", "delta", "echo"]
+    texts = [" ".join(rng.choice(words, size=n)) for n in (2, 3, 10, 40, 200)]
+    m = MinHasher(num_hashes=32, shingle_k=5, seed=99)
+    batch = pd.DataFrame({"text": texts})
+    out = m(batch.copy())
+    for sig, t in zip(out["__sig"], texts):
+        assert np.array_equal(np.asarray(sig), m.signature(t))

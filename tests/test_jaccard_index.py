@@ -195,3 +195,24 @@ def test_probe_prunes_partitions_on_planted_corpus(ray_session, tmp_path):
     # bloom pruning tightened the candidate sets (novel shingles miss)
     assert stats["df_read"] < stats["df_candidate"]
     assert stats["postings_read"] <= stats["postings_candidate"]
+
+
+def test_probe_small_and_distributed_plans_agree(ray_session, tmp_path, monkeypatch):
+    """The exchange-free small-probe plan and the distributed plan must
+    return the same pair set (placement differs; selection logic is shared)."""
+    import quanterra_pipeline_ray.functions.jaccard_index as J
+
+    df = _corpus(13, 25)
+    new_mask = df["doc_id"] % 4 == 0
+    old, new = df[~new_mask], df[new_mask]
+    idx = str(tmp_path / "jidx")
+    build_jaccard_index(rd.from_pandas(old), idx, n_buckets=32)
+
+    small = _got_pairs(
+        probe_jaccard_index(rd.from_pandas(new), idx, rd.from_pandas(df), threshold=0.8)
+    )
+    monkeypatch.setattr(J, "_SMALL_PROBE_POSTINGS", -1)  # force distributed
+    big = _got_pairs(
+        probe_jaccard_index(rd.from_pandas(new), idx, rd.from_pandas(df), threshold=0.8)
+    )
+    assert small == big == _true_pairs(df, set(new["doc_id"].astype(int)))
