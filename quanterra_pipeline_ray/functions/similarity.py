@@ -31,7 +31,15 @@ from ..util import pool_size as _pool_size
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+    """(n, d) float64 matrix from a list<float> column: ONE concatenate over
+    the cell arrays (a single C call) instead of a per-row np.asarray loop —
+    embedding cells arrive from Arrow as equal-length numpy arrays."""
+    vals = col.to_numpy() if hasattr(col, "to_numpy") else np.asarray(col, dtype=object)
+    n = len(vals)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = np.concatenate(vals)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -217,10 +225,21 @@ def ivf_topk(
         lambda b: b[b["__list"].isin(probed)], batch_format="pandas"
     )
 
+    def _empty_scores(id_col: str) -> pd.DataFrame:
+        # typed empty: an empty pandas block with object dtypes would make
+        # Ray warn about schema drift across blocks
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=np.int64),
+                id_col: pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.float64),
+            }
+        )
+
     class _ProbeScorer(CosineScorer):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             if not len(batch):
-                return pd.DataFrame({"query_id": [], self.id_col: [], "score": []})
+                return _empty_scores(self.id_col)
             v = _normalize(_stack(batch[self.vec_col]))
             ids = batch[self.id_col].to_numpy()
             lists = batch["__list"].to_numpy()
@@ -238,7 +257,7 @@ def ivf_topk(
                     )
                 )
             if not rows:
-                return pd.DataFrame({"query_id": [], self.id_col: [], "score": []})
+                return _empty_scores(self.id_col)
             return pd.concat(rows, ignore_index=True)
 
     local = pruned.map_batches(
@@ -280,7 +299,13 @@ def embedding_near_dup_pairs(
     def pairs_in_list(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col])
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=np.int64),
+                    "b": pd.Series(dtype=np.int64),
+                    "cosine": pd.Series(dtype=np.float64),
+                }
+            )
         ids = g[id_col].to_numpy()
         m = _normalize(_stack(g[vec_col]))
         s = m @ m.T
