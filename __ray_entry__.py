@@ -724,6 +724,38 @@ def _q_quota_sample(sf_dir: str):
     return out.map_batches(lambda b: b.astype({"source": str}), batch_format="pandas")
 
 
+def _q_ingest_dedup_views_flow(sf_dir: str):
+    """The COMPOSED continuous pipeline (`pipelines/continuous.py`): three
+    ingest batches (doc_id % 3 == 0, 1, 2 in order), each probed against the
+    persisted Jaccard index of accepted history, survivors appended as ONE
+    snapshot commit, the index extended, and the per-lang count view
+    refreshed from the changelog delta.  Result: the maintained view after
+    batch 3 — equal to GROUP BY lang over the greedy survivor set (history
+    wins; within a batch ascending doc_id)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.continuous import ingest_with_views, read_view
+
+    store = os.path.join(_SCRATCH, f"contflow-{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(store, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    for b in range(3):
+        batch = ds.map_batches(
+            lambda t, b=b: t[t["doc_id"] % 3 == b], batch_format="pandas"
+        )
+        # n_buckets sized to the corpus: at 500 docs the default 1024 hive
+        # buckets mean ~1000 tiny files per extend and the probe's wall is
+        # ALL read_parquet metadata (measured 70 s -> the pruning math needs
+        # buckets ~ corpus_bytes / file_target, not a fixed large count)
+        ingest_with_views(store, batch, view_key="lang", n_buckets=32)
+    out = read_view(store, "lang")
+    return out.map_batches(lambda t: b_astype_lang(t), batch_format="pandas")
+
+
+def b_astype_lang(b: pd.DataFrame) -> pd.DataFrame:
+    return b.astype({"lang": str})
+
+
 def _q_weighted_sample(sf_dir: str):
     """Grouped weighted sampling without replacement (A-ExpJ /
     Efraimidis–Spirakis): 40 docs per lang, selection probability
@@ -1256,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in r4 (never driver-checked) first ---
         "maint_text_search_extend": _q_maint_text_search_extend,
         "weighted_sample_docs": _q_weighted_sample,
+        "ingest_dedup_views_flow": _q_ingest_dedup_views_flow,
         # --- never driver-checked (r3 positions 51-70) ---
         "jaccard_pairs_docs": _q_jaccard_pairs,
         "jaccard_incremental_docs": _q_jaccard_incremental,
@@ -1779,6 +1812,53 @@ FROM quota
 SELECT doc_id, lang, source
 FROM documents
 WHERE md5(CAST(doc_id AS VARCHAR) || ':42') < '40000000'
+""".strip(),
+        # The composed continuous-ingest flow: exact-J pairs (same gram
+        # predicate as jaccard_pairs_docs) -> the GREEDY survivor set in
+        # processing order (batch = doc_id % 3, then doc_id) via a
+        # single-row recursive CTE carrying the accepted set as a list
+        # (greedy is inherently sequential: each decision depends on all
+        # previous ones) -> GROUP BY lang over the survivors.
+        "ingest_dedup_views_flow": """
+WITH RECURSIVE
+gs AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams
+  FROM documents
+),
+p0 AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         LEN(list_intersect(x.grams, y.grams)) AS inter,
+         LEN(x.grams) AS na, LEN(y.grams) AS nb
+  FROM gs x JOIN gs y
+    ON x.doc_id < y.doc_id
+   AND LEN(x.grams) >= 0.8 * LEN(y.grams)
+   AND LEN(y.grams) >= 0.8 * LEN(x.grams)
+),
+pairs AS MATERIALIZED (SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)),
+nodes AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id % 3, doc_id) AS rnk
+  FROM (SELECT a AS doc_id FROM pairs UNION SELECT b FROM pairs)
+),
+rp AS MATERIALIZED (
+  SELECT LEAST(na.rnk, nb.rnk) AS rlo, GREATEST(na.rnk, nb.rnk) AS rhi
+  FROM pairs p JOIN nodes na ON na.doc_id = p.a JOIN nodes nb ON nb.doc_id = p.b
+),
+g(i, acc) AS (
+  SELECT 0, CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT i + 1,
+         CASE WHEN EXISTS (SELECT 1 FROM rp WHERE rp.rhi = i + 1 AND list_contains(acc, rp.rlo))
+              THEN acc ELSE list_append(acc, i + 1) END
+  FROM g WHERE i < (SELECT MAX(rnk) FROM nodes)
+),
+acc_final AS (SELECT acc FROM g ORDER BY i DESC LIMIT 1),
+dropped AS (
+  SELECT n.doc_id FROM nodes n, acc_final f WHERE NOT list_contains(f.acc, n.rnk)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang
 """.strip(),
         # A-ExpJ weighted sampling: Exp(w) key from the md5 uniform; the k
         # smallest keys per group are a weighted sample w/o replacement.

@@ -39,6 +39,11 @@ def changelog(
     _defaults = table.defaults_of(to_snapshot)
     _aliases = table.aliases_of(to_snapshot)
     _COLS = list(_schema.names)
+    # bucket key: transcript key columns when present, else the first
+    # column — ANY deterministic row-value function partitions correctly
+    # (identical rows land together and cancel), this just picks a
+    # low-skew one for the common schemas
+    _KEY_COLS = [c for c in ("conv_id", "turn_idx") if c in _COLS] or _COLS[:1]
 
     # file identity includes the positional-delete sidecar: a delete-vector
     # commit keeps the data path but changes delete_path, so the file must be
@@ -71,8 +76,9 @@ def changelog(
                     b[c] = _defaults.get(c)
             out = b[_COLS].copy()
             out["__side"] = np.int8(side)
-            h = pd.util.hash_pandas_object(out["conv_id"], index=False).to_numpy(dtype=np.uint64)
-            h ^= out["turn_idx"].to_numpy().astype(np.uint64)
+            h = np.zeros(len(out), dtype=np.uint64)
+            for c in _KEY_COLS:
+                h ^= pd.util.hash_pandas_object(out[c], index=False).to_numpy(dtype=np.uint64)
             out["__bkt"] = (h % n_buckets).astype(np.int64)
             return out
 

@@ -34,21 +34,38 @@ def conv_counts(ds, n_buckets: int = 64):
     return bucketed_groupby(ds.map_batches(partial, batch_format="pandas"), ["conv_id"], combine, n_buckets)
 
 
-def incremental_conv_counts(
+def key_counts(ds, key_col: str, count_col: str = "n_rows", n_buckets: int = 64):
+    """Per-key row counts of a Dataset (bucketed, partial pre-agg per batch
+    before the shuffle) — the generic form of :func:`conv_counts`."""
+    from ..pipelines.relational import bucketed_groupby
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key_col, as_index=False).size()
+        return g.rename(columns={"size": count_col})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False)[count_col].sum()
+
+    return bucketed_groupby(ds.map_batches(partial, batch_format="pandas"), [key_col], combine, n_buckets)
+
+
+def incremental_key_counts(
     table: TranscriptTable,
     from_snapshot: int,
     to_snapshot: int,
     base_counts,
+    key_col: str = "conv_id",
+    count_col: str = "n_turns",
     n_buckets: int = 64,
 ):
-    """Update per-conversation counts from ``from_snapshot``'s view to
+    """Update per-key counts from ``from_snapshot``'s view to
     ``to_snapshot``'s by applying only the row-level changelog.
 
-    ``base_counts``: Dataset of ``(conv_id, n_turns)`` valid at
+    ``base_counts``: Dataset of ``(key_col, count_col)`` valid at
     ``from_snapshot``.  Cost is O(changed rows), not O(table): the
     changelog scans only the snapshots' file-set difference, and the
     combine is one bucketed shuffle over base-counts + delta rows.
-    Conversations whose count reaches zero drop out of the view.
+    Keys whose count reaches zero drop out of the view.
     """
     from ..pipelines.relational import bucketed_groupby
 
@@ -56,14 +73,29 @@ def incremental_conv_counts(
 
     def delta_counts(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):  # typed empty: never poison the union's dtypes
-            return pd.DataFrame({"conv_id": pd.Series([], dtype=object), "n_turns": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame({key_col: pd.Series([], dtype=object), count_col: pd.Series([], dtype=np.int64)})
         sign = np.where(b["op"].to_numpy() == "insert", 1, -1)
-        g = pd.DataFrame({"conv_id": b["conv_id"].to_numpy(), "n_turns": sign})
-        return g.groupby("conv_id", as_index=False)["n_turns"].sum()
+        g = pd.DataFrame({key_col: b[key_col].to_numpy(), count_col: sign})
+        return g.groupby(key_col, as_index=False)[count_col].sum()
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("conv_id", as_index=False)["n_turns"].sum()
-        return out[out["n_turns"] != 0]
+        out = g.groupby(key_col, as_index=False)[count_col].sum()
+        return out[out[count_col] != 0]
 
     merged = base_counts.union(delta.map_batches(delta_counts, batch_format="pandas"))
-    return bucketed_groupby(merged, ["conv_id"], combine, n_buckets)
+    return bucketed_groupby(merged, [key_col], combine, n_buckets)
+
+
+def incremental_conv_counts(
+    table: TranscriptTable,
+    from_snapshot: int,
+    to_snapshot: int,
+    base_counts,
+    n_buckets: int = 64,
+):
+    """Per-conversation turn counts maintained incrementally (the
+    transcript-schema instance of :func:`incremental_key_counts`)."""
+    return incremental_key_counts(
+        table, from_snapshot, to_snapshot, base_counts,
+        key_col="conv_id", count_col="n_turns", n_buckets=n_buckets,
+    )
