@@ -192,6 +192,37 @@ def _queries() -> dict:
     return out
 
 
+def _mute_empty_block_schema_noise() -> None:
+    """Drop ONLY the schema-divergence warnings caused by EMPTY blocks.
+
+    Ray 2.49's sort/groupby exchange emits column-less blocks for empty
+    output partitions (the group UDF is never called, so they cannot be
+    typed from user code), and the streaming executor then warns that the
+    operator "produced a RefBundle with a different schema".  A block with
+    zero rows and zero columns carries nothing to drift, so this is pure
+    noise — but a divergence between two NON-empty schemas is a real bug
+    signal and stays visible."""
+    import logging
+    import re
+
+    empty_new = re.compile(
+        r"new schema: (PandasBlockSchema\(names=\[\], types=\[\]\)|)\. This may lead"
+    )
+
+    class _EmptyBlockNoise(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                record.levelno == logging.WARNING
+                and "different schema" in msg
+                and empty_new.search(msg)
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyBlockNoise())
+
+
 def run_once(include_queries: bool = True) -> dict:
     import ray
 
@@ -206,6 +237,7 @@ def run_once(include_queries: bool = True) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _mute_empty_block_schema_noise()
 
     head = _headline()
     queries = _queries() if include_queries else {}

@@ -212,7 +212,13 @@ def ingest_with_views(
 
     # ---- probe the batch against accepted history + itself
     cols = [id_col, text_col]
-    corpus = table.scan().select_columns(cols).union(batch_ds.select_columns(cols))
+    # normalize the scan side to pandas blocks: the scan yields Arrow blocks,
+    # the materialized batch pandas ones, and a mixed-format union trips the
+    # executor's schema-divergence warning on every bundle boundary
+    scan_pd = table.scan().select_columns(cols).map_batches(
+        lambda b: b, batch_format="pandas"
+    )
+    corpus = scan_pd.union(batch_ds.select_columns(cols))
     pairs = probe_jaccard_index(
         batch_ds, index_dir, corpus, threshold=threshold, id_col=id_col, text_col=text_col
     ).to_pandas()

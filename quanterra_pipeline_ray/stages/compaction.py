@@ -152,9 +152,17 @@ class CompactionOp:
         self,
         target_bytes: int = DEFAULT_TARGET_BYTES,
         carry_forward_ratio: float = 0.75,
+        sub_bin: bool | None = None,
     ):
         self.target_bytes = target_bytes
         self.carry_forward_ratio = carry_forward_ratio
+        #: sub-bin parallel writes when cpus >> bins: None = auto (split when
+        #: bins < cpus/2), False = layout-stable one file per bin, True =
+        #: always split multi-fragment bins.  Splitting writes k files of
+        #: ~target/k bytes per bin — identical scan content, different file
+        #: layout — so callers that pin layout (e.g. cross-round bench
+        #: comparisons of file counts) pass False.
+        self.sub_bin = sub_bin
         self._base: int | None = None
         self._ckpt: Checkpoint | None = None
         self._n_bins = 0
@@ -175,6 +183,7 @@ class CompactionOp:
                 "bin_id": i,
                 "root": table.root,
                 "paths": [f.path if f.path.startswith("/") else table._p(f.path) for f in b],
+                "bytes": [f.bytes for f in b],
                 "rel_paths": [f.path for f in b],
                 "checksums": [f.checksum for f in b],
                 "deletes": [
@@ -204,39 +213,74 @@ class CompactionOp:
             return results
         fsa = table.fsa
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        if len(todo) < cpus // 2 and any(len(s["paths"]) > 1 for s in todo):
+        auto_split = len(todo) < cpus // 2 if self.sub_bin is None else self.sub_bin
+        if auto_split and any(len(s["paths"]) > 1 for s in todo):
             # Under-decomposed plan (bins < half the cluster — e.g. a small
             # table with large target files): one-task-per-bin would idle
-            # most CPUs for the whole stage.  Split each bin into parallel
-            # fragment-read subtasks feeding one write task.  Only taken when
-            # CPUs would otherwise sit idle — the split ships each bin's
-            # decoded rows through the object store once, which a saturated
-            # cluster (the 100-TB case: bins >> CPUs) should not pay.
-            sub = max(2, (2 * cpus) // max(1, len(todo)))
+            # most CPUs through the read AND the sort+encode of the write
+            # wave (the measured writer-quantization floor: 14 bins = 14
+            # writers no matter the cpu count).  Split each bin into k
+            # byte-balanced fragment sub-groups; every sub-group is a full
+            # read->sort->encode->write task producing its OWN
+            # content-addressed file of ~target/k bytes.  Scan content is
+            # identical (every file stays internally sorted; the table's
+            # ordering invariant is per-file); only the file layout changes.
+            # A saturated cluster (the 100-TB case: bins >> CPUs) never
+            # takes this branch — there the one-file-per-bin definition IS
+            # the right quantization.
+            sub = max(2, -(-2 * cpus // max(1, len(todo))))  # ceil
 
-            def read_part(spec_json: str, lo: int, hi: int) -> pa.Table:
-                return _read_bin_fragments(json.loads(spec_json), fsa, lo, hi)
-
-            def write_task(spec_json: str, t0: float, *tables: pa.Table) -> str:
+            def write_part(spec_json: str, lo_hi: tuple, t0: float) -> str:
                 spec = json.loads(spec_json)
-                return json.dumps(_write_bin(spec, pa.concat_tables(tables), fsa, t0))
+                idxs = list(lo_hi)
+                part = {**spec, "paths": [spec["paths"][i] for i in idxs],
+                        "checksums": [spec["checksums"][i] for i in idxs],
+                        "deletes": [(spec.get("deletes") or [None] * len(spec["paths"]))[i] for i in idxs]}
+                merged = _read_bin_fragments(part, fsa)
+                schema = (
+                    schema_from_json(spec["schema"]) if spec.get("schema") else TRANSCRIPTS_SCHEMA
+                )
+                out = write_data_file(merged, spec["root"], schema=schema, fs=fsa)
+                return json.dumps({"datafile": out.to_json(), "rows_in": merged.num_rows})
 
-            read_fn = ray.remote(read_part)
-            write_fn = ray.remote(write_task)
-            pending = []
+            write_fn = ray.remote(write_part)
+            pending: list[tuple[dict, float, list]] = []
             for spec in todo:
                 t0 = time.monotonic()
                 sj = json.dumps(spec)
-                n = len(spec["paths"])
-                k = min(sub, n)
-                edges = [round(i * n / k) for i in range(k + 1)]
-                refs = [
-                    read_fn.remote(sj, lo, hi)
-                    for lo, hi in zip(edges, edges[1:])
-                    if hi > lo
-                ]
-                pending.append(write_fn.remote(sj, t0, *refs))
-            results.extend(json.loads(r) for r in ray.get(pending))
+                sizes = spec.get("bytes") or [1] * len(spec["paths"])
+                k = min(sub, len(spec["paths"]))
+                # byte-balanced grouping: biggest fragment to lightest group
+                groups: list[list[int]] = [[] for _ in range(k)]
+                loads = [0] * k
+                for i in sorted(range(len(sizes)), key=lambda i: -sizes[i]):
+                    j = loads.index(min(loads))
+                    groups[j].append(i)
+                    loads[j] += sizes[i]
+                refs = [write_fn.remote(sj, tuple(g), t0) for g in groups if g]
+                pending.append((spec, t0, refs))
+            for spec, t0, refs in pending:
+                parts = [json.loads(r) for r in ray.get(refs)]
+                outs = [DataFile.from_json(p["datafile"]) for p in parts]
+                lin = lineage_record(
+                    op="compact",
+                    partition_id=spec["bin_id"],
+                    inputs=[
+                        {"path": p, "checksum": c}
+                        for p, c in zip(spec["paths"], spec["checksums"])
+                    ],
+                    outputs=[{"path": o.path, "checksum": o.checksum} for o in outs],
+                    rows_in=sum(p["rows_in"] for p in parts),
+                    rows_out=sum(o.rows for o in outs),
+                    duration_s=time.monotonic() - t0,
+                )
+                record = {
+                    "datafiles": [o.to_json() for o in outs],
+                    "lineage": lin,
+                    "removed": spec["rel_paths"],
+                }
+                Checkpoint.write_record(spec["ckpt_dir"], spec["bin_id"], record, fs=fsa)
+                results.append(record)
             return results
 
         items = [{"spec": json.dumps(spec)} for spec in todo]
@@ -252,7 +296,11 @@ class CompactionOp:
         return results
 
     def commit(self, table: TranscriptTable, results: list[dict[str, Any]]) -> Snapshot:
-        added = [DataFile.from_json(r["datafile"]) for r in results]
+        added = [
+            DataFile.from_json(d)
+            for r in results
+            for d in (r["datafiles"] if "datafiles" in r else [r["datafile"]])
+        ]
         removed = [p for r in results for p in r["removed"]]
         # dedup: two bins can never share inputs, but a resumed run may double-list
         removed = list(dict.fromkeys(removed))
@@ -277,6 +325,7 @@ def compact(
     target_bytes: int = DEFAULT_TARGET_BYTES,
     carry_forward_ratio: float = 0.75,
     snapshot_id: int | None = None,
+    sub_bin: bool | None = None,
 ) -> Snapshot:
     """Compact the current (or given) snapshot; returns the new snapshot.
 
@@ -288,4 +337,6 @@ def compact(
     """
     from .protocol import run_op
 
-    return run_op(CompactionOp(target_bytes, carry_forward_ratio), table, snapshot_id)
+    return run_op(
+        CompactionOp(target_bytes, carry_forward_ratio, sub_bin=sub_bin), table, snapshot_id
+    )

@@ -82,7 +82,12 @@ def incremental_key_counts(
         out = g.groupby(key_col, as_index=False)[count_col].sum()
         return out[out[count_col] != 0]
 
-    merged = base_counts.union(delta.map_batches(delta_counts, batch_format="pandas"))
+    # normalize the base side to pandas blocks before the union: the base is
+    # typically a parquet read (Arrow blocks) while the delta side is pandas —
+    # a mixed-format union makes the executor flag schema divergence on every
+    # bundle boundary
+    base_pd = base_counts.map_batches(lambda b: b, batch_format="pandas")
+    merged = base_pd.union(delta.map_batches(delta_counts, batch_format="pandas"))
     return bucketed_groupby(merged, [key_col], combine, n_buckets)
 
 

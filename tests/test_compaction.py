@@ -97,10 +97,12 @@ def test_compact_resume_skips_completed(tmp_path, monkeypatch):
     assert ckpt.completed() == {}  # cleared after commit
 
 
-def test_compaction_split_path_matches_unsplit(tmp_path):
-    """When bins < cpus/2 the op splits each bin into parallel fragment-read
-    subtasks + one write task; output must be byte-identical to the
-    one-task-per-bin plan (content-addressed checksums equal)."""
+def test_compaction_sub_bin_split_matches_layout_stable(tmp_path):
+    """When bins < cpus/2 the op splits each bin into byte-balanced sub-groups,
+    each writing its OWN file (~target/k bytes): scan content must equal the
+    layout-stable one-file-per-bin plan, the split must actually produce more
+    files (the writer-quantization fix), and the split plan must be
+    deterministic (content-addressed checksums equal across reruns)."""
     import os
 
     from quanterra_pipeline_ray.stages.compaction import CompactionOp, compact
@@ -109,31 +111,52 @@ def test_compaction_split_path_matches_unsplit(tmp_path):
 
     data = generate_transcripts(n_convs=50, seed=13, hot_convs=0)
     sums = {}
-    for variant in ("split", "unsplit"):
+    for variant in ("split", "stable", "split2"):
         root = str(tmp_path / variant)
         t = TranscriptTable.create(root)
-        # split triggers at bins < cpus//2: one big bin always qualifies at
-        # the 4-cpu test fixture; the unsplit variant uses small targets so
-        # bins >= cpus//2 and the Ray Data per-bin path runs
         n_frags = 12
         t.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), n_frags))
-        target = (1 << 30) if variant == "split" else 1  # 1 byte -> many bins? no: bytes per file > 1 -> singleton bins carry forward
-        if variant == "split":
-            op = CompactionOp(1 << 30)
-            assert len(op.plan(t, t.current_snapshot_id())) == 1  # precondition
-            compact(t, target_bytes=1 << 30)
-            assert len(t.files()) == 1
-            sums[variant] = sorted(f.checksum for f in t.files())
+        op = CompactionOp(1 << 30)
+        assert len(op.plan(t, t.current_snapshot_id())) == 1  # one bin < cpus//2
+        compact(t, target_bytes=1 << 30, sub_bin=(None if variant != "stable" else False))
+        if variant == "stable":
+            assert len(t.files()) == 1  # layout-stable callers keep 1 file/bin
         else:
-            # force the per-bin Ray Data path by raising bin count >= cpus//2:
-            # group 12 frags into 6 bins of ~2 via a small target
-            frag_bytes = max(f.bytes for f in t.files())
-            compact(t, target_bytes=2 * frag_bytes + 16)
-            assert len(t.files()) > 1
+            assert len(t.files()) >= 2  # quantization actually broken
+        sums[variant] = sorted(f.checksum for f in t.files())
         assert content_fingerprint(t.read_all()) == content_fingerprint(data)
-    # the split plan's single output equals a full unsplit single-bin rewrite
-    # (re-compact the unsplit table to one file and compare checksums)
-    root2 = str(tmp_path / "unsplit")
-    t2 = TranscriptTable(root2)
-    compact(t2, target_bytes=1 << 30)  # 1 bin again -> split path; idempotent content
-    assert sorted(f.checksum for f in t2.files()) == sums["split"]
+    assert sums["split"] == sums["split2"]  # deterministic grouping
+    assert sums["split"] != sums["stable"]
+
+
+def test_compact_resume_skips_completed_sub_bin(tmp_path):
+    """A sub-bin checkpoint record (datafiles plural) written before a crash
+    is honored on resume: the bin is not rewritten and commit() registers
+    every sub-file."""
+    import os
+
+    from quanterra_pipeline_ray.stages.compaction import CompactionOp
+    from quanterra_pipeline_ray.stages.protocol import run_op
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import content_fingerprint, fragment_table, generate_transcripts
+
+    data = generate_transcripts(n_convs=40, seed=21, hot_convs=0)
+    root = str(tmp_path / "t")
+    t = TranscriptTable.create(root)
+    t.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), 10))
+
+    # first run: plan + run ONLY (simulated crash before commit)
+    op = CompactionOp(1 << 30)
+    parts = op.plan(t, t.current_snapshot_id())
+    first = op.run(t, parts)
+    assert any("datafiles" in r for r in first)
+    done_files = {d["path"] for r in first for d in r["datafiles"]}
+
+    # resume: a fresh op must reuse the checkpointed records verbatim
+    op2 = CompactionOp(1 << 30)
+    parts2 = op2.plan(t, t.current_snapshot_id())
+    second = op2.run(t, parts2)
+    assert {d["path"] for r in second for d in r["datafiles"]} == done_files
+    snap = op2.commit(t, second)
+    assert {f.path for f in t.files(snap.snapshot_id)} == done_files
+    assert content_fingerprint(t.read_all()) == content_fingerprint(data)
