@@ -77,12 +77,13 @@ class CosineScorer:
 
 
 def _global_topk(local, k: int, id_col: str) -> pd.DataFrame:
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        # deterministic ordering: score desc, id asc as tiebreak
-        g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
-        return g.head(k)
-
-    out = local.groupby("query_id").map_groups(reduce_group, batch_format="pandas").to_pandas()
+    """Driver-side final reduce: the local top-k stream is BOUNDED at
+    ``n_queries * k`` rows per corpus block (never corpus data), so one
+    pandas pass beats a sort exchange whose fixed cost dwarfs the reduce.
+    Deterministic ordering: score desc, id asc as tiebreak."""
+    out = local.to_pandas()
+    out = out.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+    out = out.groupby("query_id", sort=False).head(k)
     return out.sort_values(["query_id", "score", id_col], ascending=[True, False, True]).reset_index(
         drop=True
     )
