@@ -940,7 +940,10 @@ def _q_simhash_pairs(sf_dir: str):
     shifted = base.map_batches(
         lambda b: b.assign(doc_id=b["doc_id"] + 100_000), batch_format="pandas"
     )
-    return simhash_exact_pairs(base.union(shifted), "doc_id", "text")
+    # identity map keeps the union's block format homogeneous (Arrow read +
+    # pandas map would flag schema divergence on every bundle)
+    base_pd = base.map_batches(lambda b: b, batch_format="pandas")
+    return simhash_exact_pairs(base_pd.union(shifted), "doc_id", "text")
 
 
 def _q_similarity_topk(sf_dir: str) -> pd.DataFrame:
@@ -1007,6 +1010,41 @@ def _q_ivf_index_topk(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id"]].astype(np.int64)
 
 
+def _q_ivf_rebalance_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF list REBALANCE (`functions/ivf_index.py:rebalance_ivf_index`):
+    build small (8 lists), extend, split every above-average list
+    (max_ratio=1.0 splits every above-mean list, guaranteed non-empty on any non-uniform distribution), then search with
+    ``nprobe == n_lists`` — still provably exact after the split, so the
+    same brute-force SQL oracle must hash-match."""
+    import tempfile
+
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.ivf_index import (
+        build_ivf_index,
+        extend_ivf_index,
+        read_ivf_meta,
+        rebalance_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    tail = emb.tail(3)
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in tail["embedding"]])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    old = ds.map_batches(lambda b: b[b["vec_id"] % 5 != 0], batch_format="pandas")
+    new = ds.map_batches(lambda b: b[b["vec_id"] % 5 == 0], batch_format="pandas")
+    idx = tempfile.mkdtemp(prefix="qpr_ivfreb_", dir="/tmp")
+    build_ivf_index(old, idx, n_lists=8)
+    extend_ivf_index(new, idx)
+    meta = rebalance_ivf_index(idx, max_ratio=1.0)  # any above-mean list splits
+    assert meta["n_lists"] > 8  # splits actually happened
+    out = search_ivf_index(q, idx, k=10, nprobe=meta["n_lists"])
+    qids = tail["vec_id"].to_numpy()
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out[["query_id", "vec_id"]].astype(np.int64)
+
+
 def _q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1016,7 +1054,8 @@ def _q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     shifted = base.map_batches(
         lambda b: b.assign(vec_id=b["vec_id"] + 10_000), batch_format="pandas"
     )
-    pairs = embedding_near_dup_pairs(base.union(shifted), threshold=0.999)
+    base_pd = base.map_batches(lambda b: b, batch_format="pandas")
+    pairs = embedding_near_dup_pairs(base_pd.union(shifted), threshold=0.999)
     return pairs[["a", "b"]].astype(np.int64)
 
 
@@ -1289,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_text_search_extend": _q_maint_text_search_extend,
         "weighted_sample_docs": _q_weighted_sample,
         "ingest_dedup_views_flow": _q_ingest_dedup_views_flow,
+        "ivf_rebalance_topk_embeddings": _q_ivf_rebalance_topk,
         # --- never driver-checked (r3 positions 51-70) ---
         "jaccard_pairs_docs": _q_jaccard_pairs,
         "jaccard_incremental_docs": _q_jaccard_incremental,
@@ -2040,6 +2080,25 @@ SELECT query_id, vec_id FROM r WHERE rn <= 10
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings
   ORDER BY vec_id LIMIT 3
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM s
+)
+SELECT query_id, vec_id FROM r WHERE rn <= 10
+""".strip(),
+        # rebalance keeps nprobe==n_lists search exact, so the oracle is the
+        # same brute-force cosine top-k, anchored at the LAST 3 vec_ids
+        "ivf_rebalance_topk_embeddings": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id DESC LIMIT 3
 ),
 s AS (
   SELECT q.query_id, e.vec_id,

@@ -52,14 +52,22 @@ _VECTORS = "vectors"
 _CENTROIDS = "centroids.parquet"
 
 
-def _load_centroids(index_dir: str) -> np.ndarray:
+def _load_centroids(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(normalized centroid matrix, list_id per ROW).  List ids are
+    contiguous at build time but grow GAPS after a rebalance (hot ids are
+    replaced by fresh child ids), so every argmax/argsort over the matrix
+    must be mapped through the id vector — a raw row position is NOT a
+    list id."""
     c = pd.read_parquet(os.path.join(index_dir, _CENTROIDS)).sort_values("list_id")
-    return _normalize(_stack(c["centroid"]))
+    return _normalize(_stack(c["centroid"])), c["list_id"].to_numpy(dtype=np.int64)
 
 
-def _assign_and_write(ds, index_dir: str, centroids: np.ndarray, id_col: str, vec_col: str) -> int:
+def _assign_and_write(
+    ds, index_dir: str, centroids: np.ndarray, list_ids: np.ndarray, id_col: str, vec_col: str
+) -> int:
     """Route each vector to its nearest centroid's hive partition (append)."""
     c_norm = _normalize(centroids)
+    ids = np.asarray(list_ids, dtype=np.int64)
 
     # plain function, not an actor class: routing holds no per-actor state
     # (the small centroid matrix rides the closure), and a task pool skips
@@ -67,7 +75,7 @@ def _assign_and_write(ds, index_dir: str, centroids: np.ndarray, id_col: str, ve
     def route(b: pd.DataFrame) -> pd.DataFrame:
         v = _normalize(_stack(b[vec_col]))
         out = b[[id_col, vec_col]].copy()
-        out["lst"] = np.argmax(v @ c_norm.T, axis=1).astype(np.int64)
+        out["lst"] = ids[np.argmax(v @ c_norm.T, axis=1)]
         return out
 
     routed = ds.map_batches(route, batch_format="pandas").materialize()
@@ -94,7 +102,9 @@ def build_ivf_index(
             "centroid": [row.tolist() for row in centroids],
         }
     ).to_parquet(os.path.join(index_dir, _CENTROIDS))
-    n = _assign_and_write(ds, index_dir, centroids, id_col, vec_col)
+    n = _assign_and_write(
+        ds, index_dir, centroids, np.arange(len(centroids), dtype=np.int64), id_col, vec_col
+    )
     meta = {
         "version": 1,
         "n_lists": int(len(centroids)),
@@ -117,11 +127,135 @@ def extend_ivf_index(ds, index_dir: str) -> dict:
     """Append a new vector batch under the FROZEN centroids — O(batch)
     routing + new partition files; existing files are never touched."""
     meta = read_ivf_meta(index_dir)
-    centroids = _load_centroids(index_dir)
-    n = _assign_and_write(ds, index_dir, centroids, meta["id_col"], meta["vec_col"])
+    centroids, list_ids = _load_centroids(index_dir)
+    n = _assign_and_write(ds, index_dir, centroids, list_ids, meta["id_col"], meta["vec_col"])
     meta["n_vectors"] += n
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
+    return meta
+
+
+def list_sizes(index_dir: str) -> pd.Series:
+    """Rows per list from parquet FOOTERS of the hive dirs — O(files) driver
+    metadata, never vector data.  The skew diagnostic for rebalance."""
+    import pyarrow.parquet as pq
+
+    sizes: dict[int, int] = {}
+    for d in glob.glob(os.path.join(index_dir, _VECTORS, "lst=*")):
+        lst = int(os.path.basename(d).split("=", 1)[1])
+        n = 0
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            n += pq.read_metadata(f).num_rows
+        sizes[lst] = n
+    return pd.Series(sizes, dtype=np.int64).sort_index()
+
+
+def rebalance_ivf_index(
+    index_dir: str,
+    *,
+    max_ratio: float = 4.0,
+    seed: int = 7,
+) -> dict:
+    """Split HOT lists (> ``max_ratio`` x the mean list size) so a drifting
+    embedding distribution cannot degrade the index to a few giant lists.
+
+    Each hot list's centroid is REPLACED by ``ceil(size/mean)`` child
+    centroids (a seeded sample of that list's own vectors); only the hot
+    lists' partitions are rewritten — the split re-routes their vectors
+    under the FULL new centroid set, so split vectors land exactly in their
+    argmax partition.  O(hot lists) data touched, never the corpus.
+
+    Crash ordering (the centroid table is the commit point):
+
+    1. child partition files are written (new list ids — invisible until
+       the table names them);
+    2. ``centroids.parquet`` + meta are swapped in (atomic rename);
+    3. the replaced hot dirs are deleted (cleanup; a crash before this
+       leaves dirs whose ids are absent from the table — never probed,
+       swept at the start of the next rebalance).
+
+    Recall contract after a split: vectors in UNSPLIT lists stay in their
+    write-time partition; a boundary vector whose argmax moved to a new
+    child is still found whenever its stored list is probed, and
+    ``nprobe == n_lists`` remains provably exact (every partition read).
+    This is the standard IVF split trade; a full re-route is a rebuild.
+    """
+    import shutil as _shutil
+
+    import ray.data
+
+    meta = read_ivf_meta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    # sweep orphans from a previous crash-between-steps (ids not in table)
+    known = set(
+        int(x)
+        for x in pd.read_parquet(os.path.join(index_dir, _CENTROIDS))["list_id"]
+    )
+    for d in glob.glob(os.path.join(index_dir, _VECTORS, "lst=*")):
+        if int(os.path.basename(d).split("=", 1)[1]) not in known:
+            _shutil.rmtree(d)
+
+    sizes = list_sizes(index_dir)
+    total = int(sizes.sum())
+    if not len(sizes) or total == 0:
+        return meta
+    mean = total / len(sizes)
+    hot = [int(l) for l, n in sizes.items() if n > max_ratio * mean]
+    if not hot:
+        meta["last_rebalance"] = {"hot": [], "split": 0}
+        with open(os.path.join(index_dir, _META), "w") as f:
+            json.dump(meta, f)
+        return meta
+
+    cent = pd.read_parquet(os.path.join(index_dir, _CENTROIDS))
+    next_id = int(cent["list_id"].max()) + 1
+    new_rows = [cent[~cent["list_id"].isin(hot)]]
+    child_ids: dict[int, list[int]] = {}
+    for lst in hot:
+        k = max(2, int(np.ceil(sizes[lst] / mean)))
+        part = ray.data.read_parquet(_partition_files(index_dir, [lst]), columns=[id_col, vec_col])
+        kids = _normalize(seeded_sample_vectors(part, k, id_col, vec_col, seed + lst))
+        ids = list(range(next_id, next_id + len(kids)))
+        next_id += len(kids)
+        child_ids[lst] = ids
+        new_rows.append(
+            pd.DataFrame(
+                {"list_id": np.array(ids, dtype=np.int64), "centroid": [r.tolist() for r in kids]}
+            )
+        )
+    new_cent = pd.concat(new_rows, ignore_index=True).sort_values("list_id")
+    full = _normalize(_stack(new_cent["centroid"]))
+    id_of_row = new_cent["list_id"].to_numpy(dtype=np.int64)
+
+    # 1. re-route ONLY the hot lists' vectors under the FULL new set
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        v = _normalize(_stack(b[vec_col]))
+        out = b[[id_col, vec_col]].copy()
+        out["lst"] = id_of_row[np.argmax(v @ full.T, axis=1)]
+        return out
+
+    for lst in hot:
+        part = ray.data.read_parquet(_partition_files(index_dir, [lst]), columns=[id_col, vec_col])
+        part.map_batches(route, batch_format="pandas").write_parquet(
+            os.path.join(index_dir, _VECTORS), partition_cols=["lst"]
+        )
+
+    # 2. commit point: the centroid table names the children, drops the hot ids
+    tmp = os.path.join(index_dir, _CENTROIDS + ".tmp")
+    new_cent.reset_index(drop=True).to_parquet(tmp)
+    os.replace(tmp, os.path.join(index_dir, _CENTROIDS))
+    meta["n_lists"] = int(len(new_cent))
+    meta["centroid_version"] = int(meta.get("centroid_version", 1)) + 1
+    meta["last_rebalance"] = {"hot": hot, "split": {str(h): child_ids[h] for h in hot}}
+    with open(os.path.join(index_dir, _META), "w") as f:
+        json.dump(meta, f)
+
+    # 3. cleanup the replaced dirs
+    for lst in hot:
+        d = os.path.join(index_dir, _VECTORS, f"lst={lst}")
+        if os.path.isdir(d):
+            _shutil.rmtree(d)
     return meta
 
 
@@ -151,10 +285,13 @@ def search_ivf_index(
 
     meta = read_ivf_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    centroids = _load_centroids(index_dir)
+    centroids, list_ids = _load_centroids(index_dir)
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    probe_lists = np.argsort(-(q @ centroids.T), kind="stable", axis=1)[
-        :, : min(nprobe, len(centroids))
+    # rows -> list ids: positions and ids diverge after a rebalance
+    probe_lists = list_ids[
+        np.argsort(-(q @ centroids.T), kind="stable", axis=1)[
+            :, : min(nprobe, len(centroids))
+        ]
     ]
     files = _partition_files(index_dir, np.unique(probe_lists))
     if not files:
@@ -166,7 +303,7 @@ def search_ivf_index(
                 return pd.DataFrame({"query_id": [], self.id_col: [], "score": []})
             v = _normalize(_stack(batch[self.vec_col]))
             ids = batch[self.id_col].to_numpy()
-            lists = np.argmax(v @ centroids.T, axis=1)
+            lists = list_ids[np.argmax(v @ centroids.T, axis=1)]
             rows = []
             for qi in range(self.q.shape[0]):
                 mask = np.isin(lists, probe_lists[qi])
@@ -210,11 +347,13 @@ def probe_ivf_near_dups(
 
     meta = read_ivf_meta(index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    centroids = _load_centroids(index_dir)
+    centroids, list_ids = _load_centroids(index_dir)
 
     def route_new(b: pd.DataFrame) -> pd.DataFrame:
         v = _normalize(_stack(b[vec_col]))
-        top = np.argsort(-(v @ centroids.T), kind="stable", axis=1)[:, : min(probes, len(centroids))]
+        top = list_ids[
+            np.argsort(-(v @ centroids.T), kind="stable", axis=1)[:, : min(probes, len(centroids))]
+        ]
         reps = []
         for j in range(top.shape[1]):
             r = b[[id_col, vec_col]].copy()
@@ -242,7 +381,7 @@ def probe_ivf_near_dups(
     def tag_indexed(b: pd.DataFrame) -> pd.DataFrame:
         v = _normalize(_stack(b[vec_col]))
         out = b[[id_col, vec_col]].copy()
-        out["lst"] = np.argmax(v @ centroids.T, axis=1).astype(np.int64)
+        out["lst"] = list_ids[np.argmax(v @ centroids.T, axis=1)]
         out["side"] = np.int8(1)
         return out[out["lst"].isin(probed)]
 
