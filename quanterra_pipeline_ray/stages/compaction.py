@@ -249,7 +249,11 @@ class CompactionOp:
                 t0 = time.monotonic()
                 sj = json.dumps(spec)
                 sizes = spec.get("bytes") or [1] * len(spec["paths"])
-                k = min(sub, len(spec["paths"]))
+                # every sub-group must MERGE (>= 2 fragments): a singleton
+                # group re-encodes one sorted file into itself (same content
+                # hash -> the "rewrite" is a no-op and the small file
+                # survives), defeating the compaction
+                k = max(1, min(sub, len(spec["paths"]) // 2))
                 # byte-balanced grouping: biggest fragment to lightest group
                 groups: list[list[int]] = [[] for _ in range(k)]
                 loads = [0] * k

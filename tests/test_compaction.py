@@ -118,11 +118,17 @@ def test_compaction_sub_bin_split_matches_layout_stable(tmp_path):
         t.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), n_frags))
         op = CompactionOp(1 << 30)
         assert len(op.plan(t, t.current_snapshot_id())) == 1  # one bin < cpus//2
+        frag_sums = {f.checksum for f in t.files()}
         compact(t, target_bytes=1 << 30, sub_bin=(None if variant != "stable" else False))
         if variant == "stable":
             assert len(t.files()) == 1  # layout-stable callers keep 1 file/bin
         else:
             assert len(t.files()) >= 2  # quantization actually broken
+            # every sub-group must MERGE >= 2 fragments — a singleton group
+            # rewrites one sorted file into itself (same content hash) and
+            # the small file survives, defeating the compaction
+            assert len(t.files()) <= n_frags // 2
+            assert not frag_sums & {f.checksum for f in t.files()}
         sums[variant] = sorted(f.checksum for f in t.files())
         assert content_fingerprint(t.read_all()) == content_fingerprint(data)
     assert sums["split"] == sums["split2"]  # deterministic grouping
