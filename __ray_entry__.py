@@ -775,6 +775,56 @@ def _q_weighted_sample(sf_dir: str):
     )
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment (90/5/5) keyed on
+    ``md5(doc_id || ':42')`` (`functions/sampling.py:split_assign`) — a pure
+    per-row predicate: no exchange, no driver state, append-stable (a doc
+    keeps its split forever as the corpus grows)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.sampling import split_assign
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = split_assign(ds, {"train": 0.90, "val": 0.05, "test": 0.05}, seed=42)
+    return out.map_batches(
+        lambda b: b.astype({"source": str, "split": str}), batch_format="pandas"
+    )
+
+
+def _q_shuffle_order(sf_dir: str):
+    """Deterministic global shuffle rank for training order
+    (`functions/ordering.py:shuffle_order`): pos = ROW_NUMBER under
+    ascending ``(md5(doc_id || ':42'), doc_id)`` — computed WITHOUT a sort
+    exchange via hex-prefix buckets + an O(256) driver prefix sum; one
+    groupby exchange moves each row exactly once."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.ordering import shuffle_order
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = shuffle_order(ds, id_col="doc_id", seed=42)
+    return out.map_batches(lambda b: b.astype({"lang": str}), batch_format="pandas")
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark-contamination flags (`functions/contamination.py`): the
+    benchmark set is a seeded 2% md5 sample's chars [20, 60) lower-cased
+    (the small side, collected on the driver by design); every doc is then
+    flagged by ONE compiled alternation regex per actor, one vectorized
+    ``str.contains`` pass per batch — broadcast the phrases, stream the
+    corpus (the only 100-TB-shaped plan for decontamination)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.contamination import (
+        benchmark_phrases,
+        flag_contaminated,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    phrases = benchmark_phrases(ds, fraction=0.02, seed=7, start=20, length=40)
+    return flag_contaminated(ds, phrases)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Fixed-budget sequence packing via the distributed prefix-sum scan
     (`functions/packing.py`): docs laid head-to-tail in doc_id order, cut
@@ -1325,6 +1375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green in r2 AND r3 — ride in the tail.
     return {
         # --- new in r4 (never driver-checked) first ---
+        "split_assign_docs": _q_split_assign,
+        "shuffle_order_docs": _q_shuffle_order,
+        "contamination_docs": _q_contamination,
         "maint_text_search_extend": _q_maint_text_search_extend,
         "weighted_sample_docs": _q_weighted_sample,
         "ingest_dedup_views_flow": _q_ingest_dedup_views_flow,
@@ -1845,6 +1898,37 @@ quota AS (
 SELECT doc_id, source, n_tokens,
        CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS seq_id
 FROM quota
+""".strip(),
+        # cumulative-band split: 0.90 -> 'e6666666', 0.95 -> 'f3333333'
+        # (int(f * 16^8) zero-padded hex, same constants split_assign uses)
+        "split_assign_docs": """
+SELECT doc_id, source,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < 'e6666666' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""".strip(),
+        # deterministic global shuffle rank: ROW_NUMBER under the seeded
+        # md5 key (doc_id tiebreak), 0-based
+        "shuffle_order_docs": """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+""".strip(),
+        # benchmark set = chars [21, 60] (1-indexed substr) of the seeded 2%
+        # sample (0.02 -> '051eb851'); a doc is contaminated iff its
+        # lower-cased text contains ANY phrase as a plain substring
+        "contamination_docs": """
+WITH bench AS (
+  SELECT DISTINCT lower(substr(text, 21, 40)) AS phrase
+  FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR) || ':7') < '051eb851'
+    AND LENGTH(text) >= 60
+)
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM bench b WHERE contains(lower(d.text), b.phrase)) AS contaminated
+FROM documents d
 """.strip(),
         # deterministic md5-keyed sampling: VARCHAR '<' on zero-padded hex
         # is numeric compare, identical in Python and SQL

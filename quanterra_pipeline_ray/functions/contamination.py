@@ -1,0 +1,101 @@
+"""Benchmark-contamination flagging for training corpora.
+
+Before training, every doc is checked against a (small) set of benchmark
+phrases — eval-set excerpts whose verbatim presence in training data
+invalidates the eval (the GPT-3 appendix-C n-gram decontamination, here in
+its exact-substring form).  The benchmark side is tiny (thousands of
+phrases); the corpus side is the 100-TB table, so the only scalable shape is
+*broadcast the phrases, stream the corpus*:
+
+* :func:`benchmark_phrases` derives a deterministic phrase set from a seeded
+  md5 sample of a corpus (a fixed character window per sampled doc,
+  lower-cased) — a stand-in for reading a real eval set, keeping everything
+  synthesisable and SQL-checkable.
+* :func:`flag_contaminated` compiles the phrases ONCE per actor into a
+  single alternation regex (escaped literals → plain substring semantics)
+  and runs one vectorized ``str.contains`` pass per batch.  The phrase list
+  rides in the actor constructor — shipped once per actor, never per batch.
+
+Scale note: a few thousand phrases fit one compiled regex; for millions of
+phrases the right kernel is hashed n-gram membership (hash every n-gram of
+the doc, probe a broadcast frozenset) or Aho–Corasick — same broadcast
+shape, different inner kernel.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..util import pool_size as _pool_size
+from .sampling import _md5_keys, fraction_threshold_hex
+
+
+def benchmark_phrases(
+    ds,
+    fraction: float = 0.02,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+    start: int = 20,
+    length: int = 40,
+) -> list[str]:
+    """Deterministic benchmark set: from the ~``fraction`` of docs whose
+    ``md5(id || ':' || seed)`` is below the threshold (and long enough),
+    take ``text[start : start+length]`` lower-cased.  Returns the sorted
+    distinct phrase list — driver-side by design: the benchmark set is the
+    SMALL side of the broadcast."""
+    thr = fraction_threshold_hex(fraction)
+
+    def pick(b: pd.DataFrame):
+        import pyarrow as pa
+
+        keys = _md5_keys(b[id_col].to_numpy(), seed)
+        s = b[text_col].astype(str)
+        keep = (keys < thr) & (s.str.len() >= start + length).to_numpy()
+        ph = s[keep].str.slice(start, start + length).str.lower()
+        # typed Arrow output: an empty pandas object column loses its schema
+        return pa.table({"phrase": pa.array(list(ph), type=pa.string())})
+
+    rows = ds.map_batches(pick, batch_format="pandas").take_all()
+    return sorted({r["phrase"] for r in rows})
+
+
+class ContaminationFlagger:
+    """Actor stage: one compiled alternation regex, one vectorized
+    ``str.contains`` pass per batch."""
+
+    def __init__(self, phrases: list[str], id_col: str, text_col: str, out_col: str):
+        self.rx = (
+            re.compile("|".join(re.escape(p) for p in phrases)) if phrases else None
+        )
+        self.id_col, self.text_col, self.out_col = id_col, text_col, out_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[self.id_col]].copy()
+        if self.rx is None:
+            out[self.out_col] = np.zeros(len(b), dtype=bool)
+        else:
+            s = b[self.text_col].astype(str).str.lower()
+            out[self.out_col] = s.str.contains(self.rx, regex=True).to_numpy()
+        return out
+
+
+def flag_contaminated(
+    ds,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "contaminated",
+    concurrency: int = 8,
+):
+    """``(id, contaminated)`` per row: True iff the lower-cased text contains
+    ANY benchmark phrase as a substring."""
+    return ds.map_batches(
+        ContaminationFlagger,
+        fn_constructor_args=(list(phrases), id_col, text_col, out_col),
+        batch_format="pandas",
+        concurrency=_pool_size(concurrency),
+    )

@@ -178,3 +178,54 @@ def quota_sample(
         .groupby("__bkt")
         .map_groups(final_cap, batch_format="pandas")
     )
+
+
+def split_assign(
+    ds,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+):
+    """Deterministic train/val/test split assignment: each row gets the
+    split whose cumulative-fraction band contains ``md5(id || ':' || seed)``.
+
+    The assignment is a pure per-row predicate — no exchange, no driver
+    state, stable under repartitioning and appends (a doc keeps its split
+    forever, the property a training pipeline needs to avoid eval
+    contamination when the corpus grows).  The LAST split takes the
+    remainder mass, so fractions need not sum to exactly 1.0.
+    """
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    cum = 0.0
+    thrs: list[str] = []
+    for nm in names[:-1]:
+        if fractions[nm] <= 0:
+            raise ValueError(f"fraction for {nm!r} must be > 0")
+        cum += fractions[nm]
+        thrs.append(fraction_threshold_hex(cum))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _md5_keys(b[id_col].to_numpy(), seed)
+        out = np.full(len(b), names[-1], dtype=object)
+        # descending bands: the tightest threshold is applied last and wins
+        for nm, t in zip(reversed(names[:-1]), reversed(thrs)):
+            out[keys < t] = nm
+        b = b.copy()
+        b[out_col] = out
+        return b
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def split_thresholds_hex(fractions: dict[str, float]) -> list[str]:
+    """The cumulative hex thresholds :func:`split_assign` uses, exposed so a
+    SQL oracle can interpolate the IDENTICAL constants."""
+    names = list(fractions)
+    cum, thrs = 0.0, []
+    for nm in names[:-1]:
+        cum += fractions[nm]
+        thrs.append(fraction_threshold_hex(cum))
+    return thrs

@@ -147,3 +147,35 @@ def test_weighted_sample_rejects_nonpositive_weights():
     df = pd.DataFrame({"doc_id": [1, 2], "grp": ["a", "a"], "w": [3, 0]})
     with pytest.raises(Exception):
         weighted_sample(rd.from_pandas(df), "grp", 1, weight_col="w", id_col="doc_id").to_pandas()
+
+
+def test_split_assign_bands_and_stability():
+    from quanterra_pipeline_ray.functions.sampling import _md5_keys, split_assign
+
+    df = _df()
+    fr = {"train": 0.90, "val": 0.05, "test": 0.05}
+    got = split_assign(rd.from_pandas(df), fr, id_col="doc_id", seed=42).to_pandas()
+    # reference predicate: cumulative hex bands on the md5 key
+    keys = _md5_keys(df["doc_id"].to_numpy(), 42)
+    want = np.where(keys < "e6666666", "train", np.where(keys < "f3333333", "val", "test"))
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert (got["split"].to_numpy() == want).all()
+    # fractions approximately honored
+    frac = got["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.03
+    # append-stable: re-running over a corpus SUBSET assigns identical splits
+    sub = df.iloc[::3]
+    got2 = split_assign(rd.from_pandas(sub), fr, id_col="doc_id", seed=42).to_pandas()
+    merged = got2.merge(got, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def test_split_assign_rejects_degenerate():
+    import pytest
+
+    from quanterra_pipeline_ray.functions.sampling import split_assign
+
+    with pytest.raises(ValueError):
+        split_assign(rd.from_pandas(_df(50)), {"train": 1.0})
+    with pytest.raises(ValueError):
+        split_assign(rd.from_pandas(_df(50)), {"a": 0.5, "b": 0.0, "c": 0.5})
