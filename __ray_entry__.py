@@ -825,6 +825,41 @@ def _q_contamination(sf_dir: str):
     return flag_contaminated(ds, phrases)
 
 
+def _q_contamination_ngram(sf_dir: str):
+    """The n-gram form of the decontamination filter
+    (`functions/contamination.py:flag_contaminated_ngrams`): benchmark =
+    ALL distinct word 3-grams of a seeded 2% sample; a doc is flagged iff
+    ANY of its 3-grams is a member.  The membership set ships once per
+    actor — the structure that scales to millions of benchmark grams where
+    the alternation regex of `contamination_docs` cannot."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.contamination import (
+        benchmark_ngrams,
+        flag_contaminated_ngrams,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = benchmark_ngrams(ds, fraction=0.02, n=3, seed=13)
+    return flag_contaminated_ngrams(ds, grams, n=3)
+
+
+def _q_repeat_mix(sf_dir: str):
+    """Epoch-weighted upsampling (`functions/sampling.py:repeat_mix`):
+    even-numbered sources repeated 2.5× (2 copies + a seeded-md5 coin for
+    the third), odd 0.25× (one copy kept for a quarter of docs) — pure
+    per-row np.repeat expansion, no exchange, per-document deterministic
+    so every epoch reproduces bit-identically on any cluster shape."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.sampling import repeat_mix
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    factors = {f"src{i}": (2.5 if i % 2 == 0 else 0.25) for i in range(20)}
+    out = repeat_mix(ds, factors, group_col="source", id_col="doc_id", seed=11)
+    return out.map_batches(lambda b: b.astype({"source": str}), batch_format="pandas")
+
+
 def _q_pack_sequences(sf_dir: str):
     """Fixed-budget sequence packing via the distributed prefix-sum scan
     (`functions/packing.py`): docs laid head-to-tail in doc_id order, cut
@@ -1375,6 +1410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green in r2 AND r3 — ride in the tail.
     return {
         # --- new in r4 (never driver-checked) first ---
+        "repeat_mix_docs": _q_repeat_mix,
+        "contamination_ngram_docs": _q_contamination_ngram,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
         "contamination_docs": _q_contamination,
@@ -1898,6 +1935,44 @@ quota AS (
 SELECT doc_id, source, n_tokens,
        CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS seq_id
 FROM quota
+""".strip(),
+        # n-gram decontamination: word 3-grams via 1-indexed list slots;
+        # range upper bound GREATEST(LEN-1, 1) yields LEN-2 grams (empty
+        # when < 3 words), matching the Python rolling window exactly
+        "contamination_ngram_docs": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, list_transform(range(1, GREATEST(LEN(ws) - 1, 1)),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+  FROM w
+),
+bench AS (
+  SELECT LIST(DISTINCT gg) AS bg
+  FROM (
+    SELECT unnest(g.gs) AS gg
+    FROM g
+    WHERE md5(CAST(g.doc_id AS VARCHAR) || ':13') < '051eb851'
+  )
+)
+SELECT g.doc_id, LEN(list_intersect(g.gs, b.bg)) > 0 AS contaminated
+FROM g CROSS JOIN bench b
+""".strip(),
+        # epoch-weighted upsampling: k = floor(f) + (md5key < hex(frac(f)));
+        # 2.5 -> 2 + coin('80000000'), 0.25 -> 0 + coin('40000000')
+        "repeat_mix_docs": """
+WITH c AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+              THEN 2 + CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':11') < '80000000' THEN 1 ELSE 0 END
+              ELSE 0 + CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':11') < '40000000' THEN 1 ELSE 0 END
+         END AS k
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(k)) AS BIGINT) AS rep_idx
+FROM c
+WHERE k > 0
 """.strip(),
         # cumulative-band split: 0.90 -> 'e6666666', 0.95 -> 'f3333333'
         # (int(f * 16^8) zero-padded hex, same constants split_assign uses)

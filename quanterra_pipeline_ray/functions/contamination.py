@@ -99,3 +99,76 @@ def flag_contaminated(
         batch_format="pandas",
         concurrency=_pool_size(concurrency),
     )
+
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    ws = text.lower().split()
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def benchmark_ngrams(
+    ds,
+    fraction: float = 0.02,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 13,
+) -> frozenset:
+    """N-gram benchmark set: ALL distinct lower-cased word ``n``-grams of the
+    seeded md5 sample — the membership structure for the n-gram form of the
+    decontamination filter (GPT-3 appendix C uses 13-gram collisions; the
+    principle is identical at any n).  Small side by construction."""
+    thr = fraction_threshold_hex(fraction)
+
+    def pick(b: pd.DataFrame):
+        import pyarrow as pa
+
+        keys = _md5_keys(b[id_col].to_numpy(), seed)
+        grams: set[str] = set()
+        for t in b.loc[keys < thr, text_col].astype(str):
+            grams.update(_word_ngrams(t, n))
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    rows = ds.map_batches(pick, batch_format="pandas").take_all()
+    return frozenset(r["gram"] for r in rows)
+
+
+class NgramContaminationFlagger:
+    """Actor stage: the benchmark n-gram set ships once per actor; each doc
+    is flagged iff ANY of its word n-grams is a member.  Per-doc dispatch
+    loop with O(1) set probes per gram — the membership structure (not a
+    regex) is what scales to millions of benchmark grams."""
+
+    def __init__(self, grams: frozenset, n: int, id_col: str, text_col: str, out_col: str):
+        self.grams, self.n = grams, n
+        self.id_col, self.text_col, self.out_col = id_col, text_col, out_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        g, n = self.grams, self.n
+        out = b[[self.id_col]].copy()
+        out[self.out_col] = np.fromiter(
+            (any(x in g for x in _word_ngrams(t, n)) for t in b[self.text_col].astype(str)),
+            dtype=bool,
+            count=len(b),
+        )
+        return out
+
+
+def flag_contaminated_ngrams(
+    ds,
+    grams: frozenset,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "contaminated",
+    concurrency: int = 8,
+):
+    """``(id, contaminated)``: True iff ANY word n-gram of the doc is in the
+    benchmark set — the scale path when the benchmark side outgrows a
+    compiled regex (set membership is O(1) per gram at any set size)."""
+    return ds.map_batches(
+        NgramContaminationFlagger,
+        fn_constructor_args=(frozenset(grams), n, id_col, text_col, out_col),
+        batch_format="pandas",
+        concurrency=_pool_size(concurrency),
+    )

@@ -229,3 +229,55 @@ def split_thresholds_hex(fractions: dict[str, float]) -> list[str]:
         cum += fractions[nm]
         thrs.append(fraction_threshold_hex(cum))
     return thrs
+
+
+def repeat_mix(
+    ds,
+    factors: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 11,
+    out_col: str = "rep_idx",
+    default: float = 1.0,
+):
+    """Epoch-weighted UPSAMPLING: each row is emitted ``k`` times, where
+    ``k = floor(f) + Bernoulli(frac(f))`` and ``f`` is its group's repeat
+    factor — the standard pretraining-mix primitive for repeating
+    high-quality sources fractionally many times per epoch (e.g. 2.5×
+    wiki, 0.5× crawl).  The Bernoulli draw is the seeded md5 uniform
+    (``md5(id || ':' || seed) < hex(frac(f))``), so the decision is
+    per-DOCUMENT deterministic: a doc either gains its extra copy in every
+    run on every cluster shape, or never — reproducible epochs.
+
+    Emitted copies carry ``out_col`` = 0..k-1.  Pure per-row expansion
+    (``np.repeat`` on the batch), no exchange, no driver state; a factor of
+    0.0 drops the group entirely (subsampling degenerates to
+    :func:`mix_sources`).
+    """
+    import math
+
+    thr = {
+        g: fraction_threshold_hex(f - math.floor(f)) for g, f in factors.items()
+    }
+    floors = {g: int(math.floor(f)) for g, f in factors.items()}
+    d_floor = int(math.floor(default))
+    d_thr = fraction_threshold_hex(default - math.floor(default))
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _md5_keys(b[id_col].to_numpy(), seed)
+        grp = b[group_col].to_numpy()
+        base = np.array([floors.get(g, d_floor) for g in grp], dtype=np.int64)
+        bern = np.array(
+            [k < thr.get(g, d_thr) for g, k in zip(grp, keys)], dtype=np.int64
+        )
+        counts = base + bern
+        idx = np.repeat(np.arange(len(b)), counts)
+        out = b.iloc[idx].copy()
+        # rep_idx 0..k-1 within each source row
+        ends = np.cumsum(counts)
+        out[out_col] = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            ends - counts, counts
+        )
+        return out
+
+    return ds.map_batches(expand, batch_format="pandas")

@@ -60,3 +60,35 @@ def test_flag_contaminated_empty_benchmark():
     df = _corpus()
     got = flag_contaminated(rd.from_pandas(df), []).to_pandas()
     assert not got["contaminated"].any()
+
+
+def test_flag_contaminated_ngrams_membership_semantics():
+    from quanterra_pipeline_ray.functions.contamination import (
+        _word_ngrams,
+        benchmark_ngrams,
+        flag_contaminated_ngrams,
+    )
+
+    df = _corpus()
+    grams = frozenset(_word_ngrams(df["text"][0], 3))
+    got = (
+        flag_contaminated_ngrams(rd.from_pandas(df), grams, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = [
+        any(x in grams for x in _word_ngrams(t, 3)) for t in df["text"]
+    ]
+    assert got["contaminated"].to_list() == want
+    assert want[0] and want[2] and not want[1]  # doc 2 shares doc 0's grams case-folded
+
+    # benchmark set is deterministic and layout-invariant
+    b1 = benchmark_ngrams(rd.from_pandas(df), fraction=0.5, n=3, seed=13)
+    b2 = benchmark_ngrams(rd.from_pandas(df).repartition(5), fraction=0.5, n=3, seed=13)
+    assert b1 == b2 and len(b1) > 0
+
+    # short docs (< n words) are never flagged
+    short = pd.DataFrame({"doc_id": [99], "text": ["two words"]})
+    out = flag_contaminated_ngrams(rd.from_pandas(short), b1, n=3).to_pandas()
+    assert not out["contaminated"].any()

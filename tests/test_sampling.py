@@ -179,3 +179,41 @@ def test_split_assign_rejects_degenerate():
         split_assign(rd.from_pandas(_df(50)), {"train": 1.0})
     with pytest.raises(ValueError):
         split_assign(rd.from_pandas(_df(50)), {"a": 0.5, "b": 0.0, "c": 0.5})
+
+
+def test_repeat_mix_counts_and_rep_idx():
+    from quanterra_pipeline_ray.functions.sampling import _md5_keys, repeat_mix
+
+    df = _df()
+    got = repeat_mix(
+        rd.from_pandas(df), {"a": 2.5, "b": 0.25, "c": 0.0}, group_col="grp",
+        id_col="doc_id", seed=11,
+    ).to_pandas()
+    keys = _md5_keys(df["doc_id"].to_numpy(), 11)
+    base = df["grp"].map({"a": 2, "b": 0, "c": 0}).to_numpy()
+    frac_thr = df["grp"].map({"a": "80000000", "b": "40000000", "c": "00000000"}).to_numpy()
+    want_k = base + (keys < frac_thr)
+    # per-doc copy counts match the reference predicate
+    counts = got.groupby("doc_id").size()
+    for doc, k in zip(df["doc_id"], want_k):
+        assert counts.get(doc, 0) == k
+    # rep_idx is 0..k-1 per doc
+    mx = got.groupby("doc_id")["rep_idx"].agg(["min", "max", "count"])
+    assert (mx["min"] == 0).all()
+    assert (mx["max"] == mx["count"] - 1).all()
+    # factor 0.0 drops the group; unknown groups default to 1 copy
+    assert not (got["grp"] == "c").any()
+    got_d = repeat_mix(rd.from_pandas(df), {}, group_col="grp", id_col="doc_id").to_pandas()
+    assert len(got_d) == len(df)
+
+
+def test_repeat_mix_block_layout_invariant():
+    from quanterra_pipeline_ray.functions.sampling import repeat_mix
+
+    df = _df(600)
+    a = repeat_mix(rd.from_pandas(df), {"a": 1.5}, group_col="grp").to_pandas()
+    b = repeat_mix(rd.from_pandas(df).repartition(11), {"a": 1.5}, group_col="grp").to_pandas()
+    key = ["doc_id", "rep_idx"]
+    assert a.sort_values(key).reset_index(drop=True)[["doc_id", "rep_idx"]].equals(
+        b.sort_values(key).reset_index(drop=True)[["doc_id", "rep_idx"]]
+    )
