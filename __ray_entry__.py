@@ -1136,11 +1136,17 @@ def _q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     from quanterra_pipeline_ray.functions.similarity import embedding_near_dup_pairs
 
     base = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    shifted = base.map_batches(
-        lambda b: b.assign(vec_id=b["vec_id"] + 10_000), batch_format="pandas"
+
+    def doubled(b: pd.DataFrame) -> pd.DataFrame:
+        # emit the original AND the +10k-shifted copy in ONE pass (one block
+        # format, no union) — the planted exact-duplicate workload
+        return pd.concat(
+            [b, b.assign(vec_id=b["vec_id"] + 10_000)], ignore_index=True
+        )
+
+    pairs = embedding_near_dup_pairs(
+        base.map_batches(doubled, batch_format="pandas"), threshold=0.999
     )
-    base_pd = base.map_batches(lambda b: b, batch_format="pandas")
-    pairs = embedding_near_dup_pairs(base_pd.union(shifted), threshold=0.999)
     return pairs[["a", "b"]].astype(np.int64)
 
 

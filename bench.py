@@ -173,6 +173,13 @@ def _queries() -> dict:
         "rolling_max_value_events",
         "event_type_pivot",
         "quantiles_docs",
+        # new in r4
+        "weighted_sample_docs",
+        "split_assign_docs",
+        "shuffle_order_docs",
+        "repeat_mix_docs",
+        "contamination_docs",
+        "contamination_ngram_docs",
     ]
     import ray.data
 
