@@ -252,7 +252,74 @@ def _dedupe_pairs(pairs_ds, n_buckets: int = 64):
 #: the connected-components driver union-find below 200k pairs: PAIR LISTS
 #: and the texts of pair-involved docs are duplicate-bounded, never corpus-
 #: sized, so collecting them is O(candidates) regardless of corpus scale)
-_DRIVER_VERIFY_PAIR_CAP = 20_000
+#: (raised 20k -> 200k once the verify kernel vectorized: the driver path's
+#: per-pair cost is now one AND+popcount row, so the crossover vs the two
+#: sort exchanges of the distributed verify moved up an order of magnitude)
+_DRIVER_VERIFY_PAIR_CAP = 200_000
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+#: dense-bitset budget for the vectorized verify: n_docs × words must fit
+#: (16M uint64 words = 128 MB).  Beyond it — huge vocabulary or doc count in
+#: one verify group — the kernel falls back to per-pair sorted intersects.
+_BITSET_WORD_BUDGET = 1 << 24
+
+
+def _exact_jaccard_mask(
+    a: np.ndarray, b: np.ndarray, shingles: dict, threshold: float
+) -> np.ndarray:
+    """Vectorized exact-Jaccard keep mask for a candidate pair list.
+
+    ``shingles`` maps doc id -> its distinct shingle array
+    (:func:`exact_shingles`).  The predicate is the bit-exact SQL form
+    ``inter >= threshold * (|A| + |B| - inter)``.  Plan: factorize the
+    involved docs' shingle union to dense codes, pack each doc into a
+    bitset row, then every pair is one AND + popcount — all numpy, no
+    per-pair Python in the common case.  Candidate explosions (low-entropy
+    corpora where prefix filtering is weak) hit exactly this kernel, so its
+    constant factor is what bounds the probe's wall clock.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    ids = np.unique(np.concatenate([a, b]))
+    ids = np.array([j for j in ids if j in shingles], dtype=np.int64)
+    row_of = {int(j): i for i, j in enumerate(ids)}
+    ra = np.array([row_of.get(int(x), -1) for x in a], dtype=np.int64)
+    rb = np.array([row_of.get(int(x), -1) for x in b], dtype=np.int64)
+    ok = (ra >= 0) & (rb >= 0)  # pairs whose side text was missing drop out
+    mask = np.zeros(n, dtype=bool)
+    if not ok.any():
+        return mask
+    arrs = [shingles[int(j)] for j in ids]
+    sizes = np.array([s.size for s in arrs], dtype=np.int64)
+    counts = sizes
+    codes = np.unique(np.concatenate(arrs), return_inverse=True)[1]
+    v = int(codes.max()) + 1 if codes.size else 0
+    words = (v + 63) >> 6
+    if words and len(ids) * words <= _BITSET_WORD_BUDGET:
+        rows = np.repeat(np.arange(len(ids)), counts)
+        bits = np.ones(1, dtype=np.uint64) << (codes.astype(np.uint64) & np.uint64(63))
+        bmat = np.zeros((len(ids), words), dtype=np.uint64)
+        np.bitwise_or.at(bmat, (rows, codes >> 6), bits)
+        ia, ib = ra[ok], rb[ok]
+        inter = np.empty(ia.size, dtype=np.int64)
+        step = max(1, _BITSET_WORD_BUDGET // max(words, 1) // 8)
+        for lo in range(0, ia.size, step):
+            x = bmat[ia[lo : lo + step]] & bmat[ib[lo : lo + step]]
+            inter[lo : lo + step] = (
+                _POPCNT8[x.view(np.uint8)].reshape(x.shape[0], -1).sum(axis=1)
+            )
+        union = sizes[ia] + sizes[ib] - inter
+        mask[ok] = inter >= threshold * union
+        return mask
+    # fallback: per-pair sorted intersects (unbounded vocabulary)
+    where = np.nonzero(ok)[0]
+    for i in where:
+        s0, s1 = arrs[ra[i]], arrs[rb[i]]
+        inter = np.intersect1d(s0, s1, assume_unique=True).size
+        mask[i] = inter >= threshold * (s0.size + s1.size - inter)
+    return mask
 
 
 def _verify_pairs_small(
@@ -277,29 +344,14 @@ def _verify_pairs_small(
         )
 
     texts = corpus_ds.map_batches(filt, batch_format="pandas").to_pandas().drop_duplicates("jid")
-    tmap = dict(zip(texts["jid"], texts["text"]))
-    cache: dict = {}
-
-    def sh(j):
-        s = cache.get(j)
-        if s is None:
-            s = exact_shingles(tmap[j], shingle_k)
-            cache[j] = s
-        return s
-
-    rows_a, rows_b = [], []
-    for a, b in zip(pairs_df["a"], pairs_df["b"]):
-        a, b = int(a), int(b)
-        if a not in tmap or b not in tmap:
-            continue  # a side's text was missing from the corpus
-        s0, s1 = sh(a), sh(b)
-        inter = np.intersect1d(s0, s1, assume_unique=True).size
-        union = s0.size + s1.size - inter
-        if inter >= threshold * union:
-            rows_a.append(a)
-            rows_b.append(b)
+    shingles = {
+        int(j): exact_shingles(t, shingle_k) for j, t in zip(texts["jid"], texts["text"])
+    }
+    a = pairs_df["a"].to_numpy(dtype=np.int64)
+    b = pairs_df["b"].to_numpy(dtype=np.int64)
+    keep = _exact_jaccard_mask(a, b, shingles, threshold)
     return ray.data.from_arrow(
-        pa.table({"a": pa.array(rows_a, pa.int64()), "b": pa.array(rows_b, pa.int64())})
+        pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())})
     )
 
 
@@ -379,28 +431,18 @@ def _verify_pairs(sided_ds, threshold: float, shingle_k: int, n_buckets: int = 6
         return b
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        cache: dict = {}
-
-        def sh(jid, text):
-            s = cache.get(jid)
-            if s is None:
-                s = exact_shingles(text, shingle_k)
-                cache[jid] = s
-            return s
-
-        rows_a, rows_b = [], []
-        for (a, b), grp in g.groupby(["a", "b"], sort=False):
-            grp = grp.drop_duplicates("jid")
-            if len(grp) < 2:
-                continue  # a side's text was missing from the corpus
-            s0 = sh(grp["jid"].iloc[0], grp["text"].iloc[0])
-            s1 = sh(grp["jid"].iloc[1], grp["text"].iloc[1])
-            inter = np.intersect1d(s0, s1, assume_unique=True).size
-            union = s0.size + s1.size - inter
-            if inter >= threshold * union:
-                rows_a.append(a)
-                rows_b.append(b)
-        return pd.DataFrame({"a": np.array(rows_a, dtype=np.int64), "b": np.array(rows_b, dtype=np.int64)})
+        # a pair is verifiable only when BOTH sides' texts arrived
+        tx = g.drop_duplicates("jid")
+        shingles = {
+            int(j): exact_shingles(t, shingle_k) for j, t in zip(tx["jid"], tx["text"])
+        }
+        pairs = g[["a", "b"]].drop_duplicates()
+        a = pairs["a"].to_numpy(dtype=np.int64)
+        b = pairs["b"].to_numpy(dtype=np.int64)
+        # sides that never shipped a text row must not verify: restrict the
+        # shingle map to jids present in THIS bucket's text rows (already is)
+        keep = _exact_jaccard_mask(a, b, shingles, threshold)
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     return sided_ds.map_batches(add_pair_bkt, batch_format="pandas").groupby("__bkt").map_groups(
         verify_bucket, batch_format="pandas"
