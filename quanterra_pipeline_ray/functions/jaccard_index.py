@@ -395,17 +395,26 @@ def _probe_small(
     idx_post = _read_partitions(
         index_dir, _POSTINGS, post_bkts, ["sh", "doc", "size"], nb, sh_values=push_prefix
     )
-    frames = [_emit_candidates(prefix, np_df, threshold)]  # new-vs-new
+    pref_ref = ray.put(prefix)
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:  # broadcast-merge, no exchange
+        return _emit_candidates(ray.get(pref_ref), b, threshold)
+
+    # full side = the batch's OWN postings (new-vs-new) + pruned index
+    # partitions (new-vs-indexed), both through the SAME distributed
+    # broadcast-emit: the merge fans out ~df× per prefix row, so on
+    # low-entropy corpora a driver-side new-new merge is the probe's
+    # single-core bottleneck — repartition the (small) posting set and
+    # let every emit task carry its own slice of the explosion
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    full = new_post.select_columns(["sh", "doc", "size"]).repartition(min(64, 2 * cpus))
     if idx_post is not None:
-        pref_ref = ray.put(prefix)
-
-        def emit(b: pd.DataFrame) -> pd.DataFrame:  # broadcast-merge, no exchange
-            return _emit_candidates(ray.get(pref_ref), b, threshold)
-
-        frames.append(
-            idx_post.map_batches(emit, batch_format="pandas").to_pandas()
-        )
-    pairs = pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
+        full = full.union(idx_post.select_columns(["sh", "doc", "size"]))
+    pairs = (
+        full.map_batches(emit, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
     if not len(pairs):
         return _empty_pairs()
     if len(pairs) <= _DRIVER_VERIFY_PAIR_CAP:
