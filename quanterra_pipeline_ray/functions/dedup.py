@@ -355,6 +355,125 @@ def _verify_pairs_small(
     )
 
 
+#: byte budget for broadcasting the involved docs' shingle arrays in the
+#: distributed verify: under it, the exchange carries ONLY (a, b) pairs
+#: (16 B each) and every bucket task reads the one shared shingle blob from
+#: the object store; over it, fall back to the text-attach exchange.
+_BCAST_SHINGLE_BYTE_CAP = 512 << 20
+
+
+def _verify_pairs_broadcast(
+    pairs_ds, corpus_ds, id_col: str, text_col: str, threshold: float, shingle_k: int,
+    n_buckets: int = 64,
+):
+    """Distributed exact-Jaccard verify that ships pairs, not texts.
+
+    ``_attach_side_texts`` + ``_verify_pairs`` moves every pair's TWO texts
+    through a bucketed exchange — O(pairs × doc_bytes).  But the involved-
+    doc set is far smaller than the pair list (pairs ≥ docs/2), so when the
+    involved docs' shingle arrays fit the broadcast budget it is strictly
+    cheaper to shingle them ONCE (driver-side, bounded by involved docs,
+    never the corpus), ``ray.put`` the dict, and let each pair bucket verify
+    against the shared blob: exchange bytes collapse to 16 B/pair.  Returns
+    None when over budget — caller falls back to the attach plan."""
+    import ray
+
+    ids = (
+        pairs_ds.map_batches(
+            lambda b: pd.DataFrame({"jid": np.unique(np.concatenate([b["a"], b["b"]]))}),
+            batch_format="pandas",
+        )
+        .to_pandas()["jid"]
+        .unique()
+    )
+    ids_ref = ray.put(np.asarray(ids, dtype=np.int64))
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[np.isin(b[id_col].to_numpy(), ray.get(ids_ref))]
+        return pd.DataFrame(
+            {"jid": keep[id_col].to_numpy(), "text": keep[text_col].astype(str).to_numpy()}
+        )
+
+    texts = corpus_ds.map_batches(filt, batch_format="pandas").to_pandas().drop_duplicates("jid")
+    if sum(len(t) for t in texts["text"]) > _BCAST_SHINGLE_BYTE_CAP:
+        return None
+    # factorize + pack ONCE on the driver (bounded by involved docs, never
+    # pairs or corpus): every bucket task then verifies its pairs as pure
+    # AND+popcount rows against the one shared bitset blob — re-factorizing
+    # per bucket was measured SLOWER than the text-attach exchange
+    arrs = [exact_shingles(t, shingle_k) for t in texts["text"]]
+    doc_ids = texts["jid"].to_numpy(dtype=np.int64)
+    order = np.argsort(doc_ids)
+    doc_ids = doc_ids[order]
+    arrs = [arrs[i] for i in order]
+    sizes = np.array([s.size for s in arrs], dtype=np.int64)
+    if len(arrs) == 0:
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+    codes = np.unique(np.concatenate(arrs), return_inverse=True)[1]
+    words = ((int(codes.max()) + 64) >> 6) if codes.size else 1
+    if len(doc_ids) * words > _BITSET_WORD_BUDGET:
+        return None
+    bmat = np.zeros((len(doc_ids), words), dtype=np.uint64)
+    rows = np.repeat(np.arange(len(doc_ids)), sizes)
+    np.bitwise_or.at(
+        bmat,
+        (rows, codes >> 6),
+        np.ones(1, dtype=np.uint64) << (codes.astype(np.uint64) & np.uint64(63)),
+    )
+    blob_ref = ray.put((doc_ids, sizes, bmat))
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["a"], index=False).to_numpy(dtype=np.uint64)
+        h ^= pd.util.hash_pandas_object(b["b"], index=False).to_numpy(dtype=np.uint64)
+        b = b.copy()
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids, sz, bm = ray.get(blob_ref)
+        g = g.drop_duplicates(subset=["a", "b"])
+        a = g["a"].to_numpy(dtype=np.int64)
+        b = g["b"].to_numpy(dtype=np.int64)
+        ra = np.searchsorted(ids, a)
+        rb = np.searchsorted(ids, b)
+        ra = np.where((ra < len(ids)) & (ids[np.minimum(ra, len(ids) - 1)] == a), ra, -1)
+        rb = np.where((rb < len(ids)) & (ids[np.minimum(rb, len(ids) - 1)] == b), rb, -1)
+        ok = (ra >= 0) & (rb >= 0)
+        keep = np.zeros(len(a), dtype=bool)
+        if ok.any():
+            ia, ib = ra[ok], rb[ok]
+            x = bm[ia] & bm[ib]
+            inter = _POPCNT8[x.view(np.uint8)].reshape(x.shape[0], -1).sum(axis=1)
+            keep[ok] = inter >= threshold * (sz[ia] + sz[ib] - inter)
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    return (
+        pairs_ds.map_batches(add_bkt, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+
+
+def _verify_pairs_dispatch(
+    pairs_ds, corpus_ds, id_col: str, text_col: str, threshold: float, shingle_k: int,
+    n_buckets: int = 64,
+):
+    """Verify router: broadcast plan when the involved shingles fit the
+    budget, text-attach exchange otherwise."""
+    out = _verify_pairs_broadcast(
+        pairs_ds, corpus_ds, id_col, text_col, threshold, shingle_k, n_buckets
+    )
+    if out is not None:
+        return out
+    sided = _attach_side_texts(pairs_ds, corpus_ds, id_col, text_col, n_buckets)
+    return _verify_pairs(sided, threshold, shingle_k, n_buckets)
+
+
 def _attach_side_texts(pairs_ds, corpus_ds, id_col: str, text_col: str, n_buckets: int = 64):
     """Bucketed shuffle join: each pair side gets its document's text.
 

@@ -51,6 +51,7 @@ from .dedup import (
     _attach_side_texts,
     _dedupe_pairs,
     _verify_pairs,
+    _verify_pairs_dispatch,
     _verify_pairs_small,
     batched_postings,
 )
@@ -120,8 +121,15 @@ def _append_postings(post_ds, index_dir: str) -> dict:
     per extend, and a probe skips the bucket only if its shingles miss ALL
     of them)."""
     post_ds = post_ds.materialize()
-    if post_ds.count() == 0:  # empty build/extend (bootstrap store)
+    n_post = post_ds.count()
+    if n_post == 0:  # empty build/extend (bootstrap store)
         return {"n_postings": 0, "n_docs": 0}
+    # coalesce before the partitioned write: Ray writes one file per
+    # (block x partition value), so an un-coalesced posting set fans out
+    # into thousands of tiny per-bucket files and every later probe pays
+    # a metadata-bound read (measured: 16k files / 19 s to read 64k rows).
+    # 2M rows/block (~60 MB) keeps file count = ceil(n/2M) per bucket.
+    post_ds = post_ds.repartition(max(1, -(-n_post // 2_000_000)))
     post_ds.write_parquet(os.path.join(index_dir, _POSTINGS), partition_cols=["bkt"])
     df_ds = post_ds.groupby("bkt").map_groups(_df_rows, batch_format="pandas")
     df_ds.write_parquet(os.path.join(index_dir, _DF), partition_cols=["bkt"])
@@ -422,8 +430,9 @@ def _probe_small(
     import pyarrow as pa
 
     pairs_ds = ray.data.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
-    sided = _attach_side_texts(pairs_ds, corpus_ds, id_col, text_col, n_buckets_pairs)
-    return _verify_pairs(sided, threshold, k, n_buckets_pairs)
+    return _verify_pairs_dispatch(
+        pairs_ds, corpus_ds, id_col, text_col, threshold, k, n_buckets_pairs
+    )
 
 
 def probe_jaccard_index(
@@ -596,5 +605,6 @@ def probe_jaccard_index(
         return _verify_pairs_small(
             pairs.to_pandas(), corpus_ds, id_col, text_col, threshold, k
         )
-    sided = _attach_side_texts(pairs, corpus_ds, id_col, text_col, n_buckets_pairs)
-    return _verify_pairs(sided, threshold, k, n_buckets_pairs)
+    return _verify_pairs_dispatch(
+        pairs, corpus_ds, id_col, text_col, threshold, k, n_buckets_pairs
+    )

@@ -33,7 +33,12 @@ import os
 import numpy as np
 import pandas as pd
 
-from .dedup import MinHasher, _attach_side_texts, _band_rows, _dedupe_pairs, _verify_pairs
+from .dedup import (
+    MinHasher,
+    _band_rows,
+    _dedupe_pairs,
+    _verify_pairs_dispatch,
+)
 
 _META = "meta.json"
 _BANDS = "bands"
@@ -84,6 +89,9 @@ def _append_bands(ds, index_dir: str, meta: dict, id_col: str, text_col: str) ->
     rows = ds.map_batches(_band_rows_fn(meta, id_col, text_col), batch_format="pandas").materialize()
     n = rows.count()
     if n:
+        # one file per (block x bucket): coalesce so a probe's pruned read
+        # opens O(extends) files per bucket, not O(blocks x extends)
+        rows = rows.repartition(max(1, -(-n // 4_000_000)))
         rows.write_parquet(os.path.join(index_dir, _BANDS), partition_cols=["bkt"])
     return n // int(meta["bands"]) if meta["bands"] else 0
 
@@ -216,5 +224,6 @@ def probe_minhash_index(
         from .jaccard_index import _empty_pairs
 
         return _empty_pairs()
-    sided = _attach_side_texts(pairs, corpus_ds, id_col, text_col, n_buckets_pairs)
-    return _verify_pairs(sided, threshold, int(meta["shingle_k"]), n_buckets_pairs)
+    return _verify_pairs_dispatch(
+        pairs, corpus_ds, id_col, text_col, threshold, int(meta["shingle_k"]), n_buckets_pairs
+    )
