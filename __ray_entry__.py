@@ -532,6 +532,33 @@ def _q_maint_incremental_counts(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_maint_incremental_sums(sf_dir: str):
+    """Incremental count+sum+mean view (`stages/incremental.py:
+    incremental_key_sums`): per-conversation (n_rows, sum of text length)
+    computed at the base snapshot, maintained across compaction + MERGE
+    from the changelog delta only — updates net their value difference
+    exactly (delete -v_old, insert +v_new), and the mean is derived at
+    read time (means are not abelian).  Must equal a full GROUP BY over
+    the merged table."""
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.incremental import incremental_key_sums, key_sums
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    table, data = _maint_table(sf_dir, "incsum")
+    base = table.current_snapshot_id()
+    base_view = key_sums(table.scan(base), "conv_id").materialize()
+    compact(table, target_bytes=4 << 20)
+    merge_into(table, _merge_source(data), target_rows=100_000)
+    out = incremental_key_sums(table, base, table.current_snapshot_id(), base_view)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.astype({"n_rows": np.int64, "val_sum": np.int64, "conv_id": str})
+        b["val_mean"] = b["val_sum"].to_numpy(dtype=np.float64) / b["n_rows"].to_numpy()
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
 # ---------------------------------------------------------- training-data ops
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
@@ -1418,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
+        "maint_incremental_sums": _q_maint_incremental_sums,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
         "contamination_docs": _q_contamination,
@@ -1607,6 +1635,19 @@ m AS (
   UNION ALL SELECT 'cNEW' UNION ALL SELECT 'cNEW'
 )
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM m GROUP BY conv_id
+""".strip(),
+        # count+sum view across compact+merge: updates net the text-length
+        # difference; mean derived as exact-int sum / count in double
+        "maint_incremental_sums": f"""
+WITH t AS ({t}),
+upd AS (SELECT conv_id, 'UPDATED ' || text AS text FROM t WHERE turn_idx % 7 = 3),
+kept AS (SELECT conv_id, text FROM t WHERE turn_idx % 7 <> 3 AND turn_idx % 13 <> 5),
+ins AS (SELECT 'cNEW' AS conv_id, 'hello' AS text UNION ALL SELECT 'cNEW', 'hi'),
+m AS (SELECT * FROM kept UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS val_sum,
+       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS val_mean
+FROM m GROUP BY conv_id
 """.strip(),
         "maint_compact": scan_sql,
         "maint_zorder": scan_sql,

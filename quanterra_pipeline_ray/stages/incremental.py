@@ -104,3 +104,82 @@ def incremental_conv_counts(
         table, from_snapshot, to_snapshot, base_counts,
         key_col="conv_id", count_col="n_turns", n_buckets=n_buckets,
     )
+
+
+def _default_val_fn(b: pd.DataFrame) -> np.ndarray:
+    return b["text"].astype(str).str.len().to_numpy(dtype=np.int64)
+
+
+def key_sums(
+    ds,
+    key_col: str,
+    val_fn=_default_val_fn,
+    count_col: str = "n_rows",
+    sum_col: str = "val_sum",
+    n_buckets: int = 64,
+):
+    """Per-key ``(count, integer sum)`` of a derived value (default: text
+    length) — the abelian pair every count/sum/mean view reduces to.
+    Partial pre-agg per batch before the one bucketed shuffle."""
+    from ..pipelines.relational import bucketed_groupby
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({key_col: b[key_col].to_numpy(), sum_col: val_fn(b)})
+        out = g.groupby(key_col, as_index=False).agg(
+            **{count_col: (sum_col, "size"), sum_col: (sum_col, "sum")}
+        )
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"), [key_col], combine, n_buckets
+    )
+
+
+def incremental_key_sums(
+    table: TranscriptTable,
+    from_snapshot: int,
+    to_snapshot: int,
+    base_view,
+    key_col: str = "conv_id",
+    val_fn=_default_val_fn,
+    count_col: str = "n_rows",
+    sum_col: str = "val_sum",
+    n_buckets: int = 64,
+):
+    """Maintain a per-key ``(count, sum)`` view across snapshots from the
+    changelog delta only: inserts add ``(+1, +v)``, deletes add
+    ``(-1, -v)`` — the abelian decomposition
+    ``agg(new) = agg(old) ⊕ agg(delta)``.  An update (delete+insert of a
+    changed row) nets the value difference exactly.  Keys whose count
+    reaches zero leave the view.  Cost is O(changed rows); a mean view is
+    ``sum / count`` at read time, never stored (means are not abelian).
+    """
+    from ..pipelines.relational import bucketed_groupby
+
+    delta = changelog(table, from_snapshot, to_snapshot, n_buckets)
+
+    def delta_sums(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=object),
+                    count_col: pd.Series([], dtype=np.int64),
+                    sum_col: pd.Series([], dtype=np.int64),
+                }
+            )
+        sign = np.where(b["op"].to_numpy() == "insert", 1, -1).astype(np.int64)
+        g = pd.DataFrame(
+            {key_col: b[key_col].to_numpy(), count_col: sign, sum_col: sign * val_fn(b)}
+        )
+        return g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
+        return out[out[count_col] != 0]
+
+    base_pd = base_view.map_batches(lambda b: b, batch_format="pandas")
+    merged = base_pd.union(delta.map_batches(delta_sums, batch_format="pandas"))
+    return bucketed_groupby(merged, [key_col], combine, n_buckets)

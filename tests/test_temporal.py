@@ -306,3 +306,47 @@ def test_incremental_counts_match_full_recompute(tmp_path):
     assert inc["n_turns"].tolist() == full["n_turns"].tolist()
     assert victim not in set(inc["conv_id"])  # zero-count drops out
     assert "conv-fresh" in set(inc["conv_id"])
+
+
+def test_incremental_sums_match_full_recompute(tmp_path):
+    import os
+
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.incremental import incremental_key_sums, key_sums
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    root = str(tmp_path / "ts")
+    table = TranscriptTable.create(root)
+    data = generate_transcripts(n_convs=12, seed=17, hot_convs=0)
+    table.register_fragments(fragment_table(data, os.path.join(root, "data", "frags"), 4))
+    base = table.current_snapshot_id()
+    base_view = key_sums(table.scan(base), "conv_id").materialize()
+
+    df = data.to_pandas()
+    victim = df["conv_id"].iloc[0]
+    dele = df[df["conv_id"] == victim].copy()
+    dele["__op"] = "delete"
+    upd = df[df["conv_id"] == df["conv_id"].iloc[-1]].copy()
+    upd["text"] = "LONGER UPDATED " + upd["text"]  # value diff must net exactly
+    upd["__op"] = "upsert"
+    src = pa.Table.from_pandas(pd.concat([dele, upd], ignore_index=True), preserve_index=False)
+    compact(table, target_bytes=1 << 20)
+    merge_into(table, src)
+
+    inc = (
+        incremental_key_sums(table, base, table.current_snapshot_id(), base_view)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    full = (
+        key_sums(table.scan(), "conv_id")
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        inc.astype({"n_rows": "int64", "val_sum": "int64"}),
+        full.astype({"n_rows": "int64", "val_sum": "int64"}),
+    )
+    assert victim not in set(inc["conv_id"])  # zero-count key left the view
