@@ -174,6 +174,88 @@ def build_jaccard_index(
     return meta
 
 
+def compact_jaccard_index(index_dir: str, min_files_per_bucket: int = 2) -> dict:
+    """Merge each bucket's accumulated posting/df fragment files into ONE
+    file per table — INDEX compaction, riding the same maintenance idea as
+    table compaction (hive writes mint one file per (block x bucket) per
+    append, so a continuously-extended index goes metadata-bound: measured
+    8.3k files / 50k docs, and the probe's pruned read pays per-file
+    metadata).  Distinct ``(sh, doc)`` postings are kept; df deltas are
+    SUMMED into one delta row per shingle (probe semantics unchanged — it
+    sums deltas).  Blooms are left to accumulate (tiny, and OR-sound).
+
+    Crash contract: the compacted file is written BEFORE the fragments are
+    deleted, so a crash can only leave BOTH.  That is still correct: the
+    candidate join consumes postings DISTINCT by ``(sh, doc)``, and df is
+    advisory only (any prefix is complete by the pigeonhole argument;
+    doubled df can only reorder the rare-first choice).  Returns counters.
+    """
+    import glob
+
+    import ray
+    import ray.data as rd
+
+    buckets = sorted(
+        set(_existing_buckets(index_dir, _POSTINGS))
+        | set(_existing_buckets(index_dir, _DF))
+    )
+    items = [
+        {"bkt": b}
+        for b in buckets
+        if len(glob.glob(os.path.join(index_dir, _POSTINGS, f"bkt={b}", "*.parquet")))
+        >= min_files_per_bucket
+        or len(glob.glob(os.path.join(index_dir, _DF, f"bkt={b}", "*.parquet")))
+        >= min_files_per_bucket
+    ]
+    if not items:
+        return {"buckets_compacted": 0}
+
+    def compact_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        done = []
+        for bkt in batch["bkt"]:
+            bkt = int(bkt)
+            for table, reduce in ((_POSTINGS, "distinct"), (_DF, "sum")):
+                d = os.path.join(index_dir, table, f"bkt={bkt}")
+                files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+                if len(files) < min_files_per_bucket:
+                    continue
+                t = pq.read_table(files)
+                df = t.to_pandas()
+                if reduce == "distinct":
+                    df = df.drop_duplicates(["sh", "doc"])
+                else:
+                    df = df.groupby("sh", as_index=False)["df"].sum()
+                    df["sh"] = df["sh"].astype(np.uint64)
+                out = os.path.join(d, f"compact-{uuid.uuid4().hex}.parquet")
+                pq.write_table(
+                    pa.Table.from_pandas(df, preserve_index=False), out
+                )
+                for f in files:  # only after the merged file is durable
+                    os.remove(f)
+            done.append(bkt)
+        return pd.DataFrame({"bkt": np.array(done, dtype=np.int64)})
+
+    out = (
+        rd.from_items(items, override_num_blocks=max(1, min(len(items), 64)))
+        .map_batches(compact_bucket, batch_format="pandas", batch_size=None)
+        .count()
+    )
+    return {"buckets_compacted": int(out)}
+
+
+def index_file_count(index_dir: str) -> int:
+    """Total parquet files under the index (the metadata-cost metric
+    compaction exists to bound)."""
+    import glob
+
+    return len(glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True))
+
+
 def read_index_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, _META)) as f:
         return json.load(f)

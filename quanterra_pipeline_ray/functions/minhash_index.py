@@ -227,3 +227,47 @@ def probe_minhash_index(
     return _verify_pairs_dispatch(
         pairs, corpus_ds, id_col, text_col, threshold, int(meta["shingle_k"]), n_buckets_pairs
     )
+
+
+def compact_minhash_index(index_dir: str, min_files_per_bucket: int = 2) -> dict:
+    """Merge each bucket's band-row fragment files into one (distinct
+    ``(band, bh, doc)``) — same index-compaction contract as
+    :func:`..jaccard_index.compact_jaccard_index`: the merged file lands
+    before fragments are deleted, and a crash leaving both is correct
+    because the candidate join consumes band rows distinct."""
+    import glob
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    bdir = os.path.join(index_dir, _BANDS)
+    items = []
+    for d in sorted(glob.glob(os.path.join(bdir, "bkt=*"))):
+        if len(glob.glob(os.path.join(d, "*.parquet"))) >= min_files_per_bucket:
+            items.append({"dir": d})
+    if not items:
+        return {"buckets_compacted": 0}
+
+    def compact_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        n = 0
+        for d in batch["dir"]:
+            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if len(files) < min_files_per_bucket:
+                continue
+            df = pq.read_table(files).to_pandas().drop_duplicates(["band", "bh", "doc"])
+            out = os.path.join(d, f"compact-{uuid.uuid4().hex}.parquet")
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out)
+            for f in files:
+                os.remove(f)
+            n += 1
+        return pd.DataFrame({"n": np.array([n], dtype=np.int64)})
+
+    total = (
+        rd.from_items(items, override_num_blocks=max(1, min(len(items), 64)))
+        .map_batches(compact_bucket, batch_format="pandas", batch_size=None)
+        .to_pandas()["n"]
+        .sum()
+    )
+    return {"buckets_compacted": int(total)}

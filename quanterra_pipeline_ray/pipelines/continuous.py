@@ -245,6 +245,12 @@ def ingest_with_views(
         )
         state["indexed_snapshot"] = snap.snapshot_id
         _write_state(store_root, state)
+        # index maintenance rides the ingest cadence: merge a bucket's
+        # accumulated extend fragments once it holds >= 8 files (no-op
+        # scan otherwise; crash-safe — see compact_jaccard_index)
+        from ..functions.jaccard_index import compact_jaccard_index
+
+        compact_jaccard_index(index_dir, min_files_per_bucket=8)
     _refresh_view(table, store_root, state, view_key, count_col)
 
     return {

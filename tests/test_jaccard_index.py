@@ -216,3 +216,41 @@ def test_probe_small_and_distributed_plans_agree(ray_session, tmp_path, monkeypa
         probe_jaccard_index(rd.from_pandas(new), idx, rd.from_pandas(df), threshold=0.8)
     )
     assert small == big == _true_pairs(df, set(new["doc_id"].astype(int)))
+
+
+def test_index_compaction_layout_only(ray_session, tmp_path):
+    """compact_jaccard_index merges every bucket's fragment files into one
+    per table: probe results are bit-identical before/after, file count
+    drops, and a crash leaving BOTH the merged file and a fragment is
+    still correct (postings consumed distinct; df advisory)."""
+    import glob
+    import shutil
+
+    from quanterra_pipeline_ray.functions.jaccard_index import (
+        compact_jaccard_index,
+        index_file_count,
+    )
+
+    old = _corpus(31, 24)
+    idx = str(tmp_path / "jidx")
+    build_jaccard_index(rd.from_pandas(old.iloc[:20]), idx, n_buckets=16)
+    extend_jaccard_index(rd.from_pandas(old.iloc[20:30]), idx)
+    extend_jaccard_index(rd.from_pandas(old.iloc[30:]), idx)
+    new = _corpus(32, 6, start_id=10_000)
+    union = pd.concat([old, new], ignore_index=True)
+    corpus = rd.from_pandas(union)
+
+    before = _got_pairs(probe_jaccard_index(rd.from_pandas(new), idx, corpus))
+    files_before = index_file_count(idx)
+    stats = compact_jaccard_index(idx)
+    assert stats["buckets_compacted"] > 0
+    files_after = index_file_count(idx)
+    assert files_after < files_before
+    after = _got_pairs(probe_jaccard_index(rd.from_pandas(new), idx, corpus))
+    assert after == before
+
+    # crash sim: duplicate one compacted postings file under a fragment name
+    # (both present) -> probe unchanged
+    some = glob.glob(f"{idx}/postings/bkt=*/compact-*.parquet")[0]
+    shutil.copy(some, some.replace("compact-", "leftover-"))
+    assert _got_pairs(probe_jaccard_index(rd.from_pandas(new), idx, corpus)) == before

@@ -89,3 +89,34 @@ def test_probe_empty_and_disjoint(ray_session, tmp_path):
     new = pd.DataFrame({"doc_id": [9], "text": ["jjjjj kkkkk lllll"]})
     res = probe_minhash_index(rd.from_pandas(new), idx, rd.from_pandas(pd.concat([df, new])))
     assert res.count() == 0
+
+
+def test_minhash_index_compaction_layout_only(ray_session, tmp_path):
+    import glob
+
+    from quanterra_pipeline_ray.functions.minhash_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        extend_minhash_index,
+        probe_minhash_index,
+    )
+
+    old = _corpus(41, 24)
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(rd.from_pandas(old.iloc[:20]), idx, n_buckets=16)
+    extend_minhash_index(rd.from_pandas(old.iloc[20:30]), idx)
+    extend_minhash_index(rd.from_pandas(old.iloc[30:]), idx)
+    new = _corpus(42, 6, start_id=10_000)
+    corpus = rd.from_pandas(pd.concat([old, new], ignore_index=True))
+
+    def got(res):
+        p = res.to_pandas()
+        return sorted(zip(p["a"].astype(int), p["b"].astype(int)))
+
+    before = got(probe_minhash_index(rd.from_pandas(new), idx, corpus))
+    files_before = len(glob.glob(f"{idx}/bands/bkt=*/*.parquet"))
+    stats = compact_minhash_index(idx)
+    assert stats["buckets_compacted"] > 0
+    files_after = len(glob.glob(f"{idx}/bands/bkt=*/*.parquet"))
+    assert files_after < files_before
+    assert got(probe_minhash_index(rd.from_pandas(new), idx, corpus)) == before
