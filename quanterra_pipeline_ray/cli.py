@@ -115,6 +115,10 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--batch", nargs="+", required=True)
     c.add_argument("--threshold", type=float, default=0.8)
 
+    c = table_cmd("index-compact", "merge a dedup index's per-bucket fragment files")
+    c.add_argument("--kind", choices=["jaccard", "minhash"], default="jaccard")
+    c.add_argument("--min-files", type=int, default=2)
+
     c = table_cmd("text-search", "token search via the secondary posting index")
     c.add_argument("--tokens", nargs="+", required=True)
     c.add_argument("--mode", choices=["and", "or"], default="and")
@@ -173,6 +177,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "create":
             TranscriptTable.create(args.root)
             print(json.dumps({"created": args.root}))
+            return 0
+        if args.cmd == "index-compact":
+            from .functions.jaccard_index import index_file_count
+
+            before = index_file_count(args.root)
+            if args.kind == "jaccard":
+                from .functions.jaccard_index import compact_jaccard_index as compact_idx
+            else:
+                from .functions.minhash_index import compact_minhash_index as compact_idx
+            stats = compact_idx(args.root, min_files_per_bucket=args.min_files)
+            print(
+                json.dumps(
+                    {**stats, "files_before": before, "files_after": index_file_count(args.root)},
+                    sort_keys=True,
+                )
+            )
             return 0
         if args.cmd in ("index-build", "index-probe", "ingest-dedup"):
             # corpus-store commands: args.root is an index/store directory,

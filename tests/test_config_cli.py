@@ -214,6 +214,14 @@ def test_cli_index_and_ingest_commands(tmp_path, capsys):
     rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep1["n_kept"] == 0 and rep1["drops"] == [[5, 0]]
 
+    # index compaction: layout-only (probe result identical), fewer files
+    assert main(["index-compact", idx, "--min-files", "1"]) == 0
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["files_after"] <= comp["files_before"]
+    assert main(["index-probe", idx, "--batch", batch_path, "--corpus", allp]) == 0
+    probe2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert probe2 == probe
+
 
 def test_cli_text_search(tmp_path, capsys):
     import json
