@@ -293,3 +293,50 @@ def search_token(
     base, index_dir, snap_files = _candidate_state(table, snapshot_id)
     paths = _posting_paths(index_dir, token, snap_files)
     return _scan_filtered(table, base, paths, [token], text_col, columns, "all")
+
+
+def compact_text_index(table: TranscriptTable, min_files_per_bucket: int = 2) -> dict:
+    """Merge each posting bucket's fragment files into one (distinct
+    ``(token, path)``) — the text-index instance of index compaction
+    (`functions/jaccard_index.py:compact_jaccard_index`): every extend
+    appends per-file posting fragments, so a long-lived index goes
+    metadata-bound.  Crash-safe with the same argument: the merged file
+    lands before fragments are deleted, and duplicates are harmless
+    because lookups take the SET union of posting paths."""
+    import glob
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    pdir = os.path.join(_index_root(table), _POSTINGS)
+    items = [
+        {"dir": d}
+        for d in sorted(glob.glob(os.path.join(pdir, "bucket=*")))
+        if len(glob.glob(os.path.join(d, "*.parquet"))) >= min_files_per_bucket
+    ]
+    if not items:
+        return {"buckets_compacted": 0}
+
+    def compact_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        n = 0
+        for d in batch["dir"]:
+            files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if len(files) < min_files_per_bucket:
+                continue
+            df = pq.read_table(files).to_pandas().drop_duplicates(["token", "path"])
+            out = os.path.join(d, f"compact-{uuid.uuid4().hex}.parquet")
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out)
+            for f in files:
+                os.remove(f)
+            n += 1
+        return pd.DataFrame({"n": np.array([n], dtype=np.int64)})
+
+    total = (
+        rd.from_items(items, override_num_blocks=max(1, min(len(items), 64)))
+        .map_batches(compact_bucket, batch_format="pandas", batch_size=None)
+        .to_pandas()["n"]
+        .sum()
+    )
+    return {"buckets_compacted": int(total)}

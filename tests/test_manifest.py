@@ -677,6 +677,16 @@ def test_text_index_extend_lifecycle(tmp_path):
     # re-extending with nothing new is a no-op
     assert extend_text_index(table) == 0
 
+    # index compaction: layout-only — identical results, fewer files
+    from quanterra_pipeline_ray.stages.textindex import compact_text_index
+
+    extend_text_index(table)
+    before_n = len(glob.glob(f"{idx_dir}/postings/bucket=*/*.parquet"))
+    stats = compact_text_index(table, min_files_per_bucket=1)
+    assert stats["buckets_compacted"] > 0
+    assert len(glob.glob(f"{idx_dir}/postings/bucket=*/*.parquet")) <= before_n
+    assert sorted(search_token(table, "alpha").to_pandas()["text"]) == got
+
 
 def test_text_index_search_older_snapshot_after_extend(tmp_path):
     """The shared posting store serves OLDER snapshots too: candidates are
