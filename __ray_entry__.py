@@ -559,6 +559,49 @@ def _q_maint_incremental_sums(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """NOT EXISTS anti-join (`pipelines/relational.py:anti_join_keys`):
+    customers with no order above 400k (every customer has SOME order in
+    the synthetic data, so the filtered right side makes the anti set
+    non-degenerate).  Keys-only exchange (both sides map-side dedup to
+    distinct keys); the final filter broadcasts the RESULT key set — the
+    honest bound, since a row-wise result that can't broadcast its own
+    key set can't be returned anyway."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import anti_join_keys
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(lambda b: b[b["o_totalprice"] > 400_000.0], batch_format="pandas")
+    out = anti_join_keys(cust, orders, "c_custkey", "o_custkey")
+    return out.map_batches(
+        lambda b: b.astype({"c_name": str, "c_nationkey": np.int32}), batch_format="pandas"
+    )
+
+
+def _q_running_sum_events(sf_dir: str):
+    """Per-user running sum of event value (`relational.py:running_sum_by`):
+    SUM OVER (PARTITION BY user ORDER BY ts, event_id) — one keyed
+    exchange + in-bucket vectorized cumsum in exact int64 cents, so the
+    result bit-matches the SQL window over DECIMAL(18,2) regardless of
+    the engine's accumulation tree."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import running_sum_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = running_sum_by(ev, "user_id", "value", ["ts", "event_id"])
+    return out.map_batches(
+        lambda b: b[["event_id", "user_id", "run_sum"]], batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------- training-data ops
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
@@ -1446,6 +1489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
         "maint_incremental_sums": _q_maint_incremental_sums,
+        "customers_without_orders": _q_customers_without_orders,
+        "running_sum_events": _q_running_sum_events,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
         "contamination_docs": _q_contamination,
@@ -1982,6 +2027,23 @@ quota AS (
 SELECT doc_id, source, n_tokens,
        CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) AS seq_id
 FROM quota
+""".strip(),
+        "customers_without_orders": """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+)
+""".strip(),
+        # exact-decimal running sum: int64 cents on the Ray side matches
+        # the DECIMAL(18,2) window regardless of accumulation order
+        "running_sum_events": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
+FROM events
 """.strip(),
         # n-gram decontamination: word 3-grams via 1-indexed list slots;
         # range upper bound GREATEST(LEN-1, 1) yields LEN-2 grams (empty

@@ -617,3 +617,120 @@ def docs_stats_by_lang(sf_dir: str):
     for c in ["n_docs", "sum_chars", "max_chars", "min_chars"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def anti_join_keys(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 64,
+):
+    """NOT EXISTS anti-join: rows of ``left_ds`` whose key has no match in
+    ``right_ds``.
+
+    Only KEYS ever cross an exchange: both sides map-side-dedup to distinct
+    keys, one bucketed groupby computes the unmatched-left key set per
+    bucket, and the final filter broadcasts that set back over the left
+    rows.  The broadcast is bounded by the RESULT's distinct keys — if that
+    set doesn't fit one node, the row-wise result doesn't either, so this
+    is the honest scaling contract (the alternative, shipping full left
+    rows through the exchange, moves strictly more bytes)."""
+    import ray
+
+    rd = _rd()
+
+    def keys_of(col, side):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            k = pd.unique(b[col])
+            return pd.DataFrame({"k": k, "side": np.full(len(k), side, dtype=np.int8)})
+
+        return f
+
+    both = left_ds.map_batches(keys_of(left_key, 0), batch_format="pandas").union(
+        right_ds.map_batches(keys_of(right_key, 1), batch_format="pandas")
+    )
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        if "k" not in b.columns:  # Ray 2.49 empty blocks are column-less
+            return pd.DataFrame(
+                {
+                    "k": pd.Series(dtype=np.int64),
+                    "side": pd.Series(dtype=np.int8),
+                    "__bkt": pd.Series(dtype=np.int64),
+                }
+            )
+        h = pd.util.hash_pandas_object(b["k"], index=False).to_numpy(dtype=np.uint64)
+        b = b.copy()
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def unmatched(g: pd.DataFrame) -> pd.DataFrame:
+        if "k" not in g.columns:  # Ray 2.49 empty exchange partitions are column-less
+            return pd.DataFrame({"k": pd.Series(dtype=np.int64)})
+        right = set(g.loc[g["side"] == 1, "k"])
+        lk = g.loc[g["side"] == 0, "k"].drop_duplicates()
+        return pd.DataFrame({"k": lk[~lk.isin(right)]})
+
+    adf = (
+        both.map_batches(add_bkt, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(unmatched, batch_format="pandas")
+        .to_pandas()
+    )
+    # an all-empty result loses its schema on the pandas round trip
+    anti = adf["k"].to_numpy() if "k" in adf.columns else np.array([], dtype=np.int64)
+    ref = ray.put(np.sort(anti))
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        if not len(keys):
+            return b.iloc[0:0]
+        arr = b[left_key].to_numpy()
+        pos = np.searchsorted(keys, arr)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = (keys[pos_c] == arr) & (pos < len(keys))
+        return b[hit]
+
+    return left_ds.map_batches(filt, batch_format="pandas")
+
+
+def running_sum_by(
+    ds,
+    key_col: str,
+    val_col: str,
+    order_cols: list[str],
+    out_col: str = "run_sum",
+    n_buckets: int = 64,
+):
+    """Per-key running sum (``SUM(val) OVER (PARTITION BY key ORDER BY
+    ...)``): one keyed exchange, then a vectorized in-bucket sort + cumsum.
+
+    Arithmetic is exact int64 cents (the q1 pattern): scaled integer
+    cumsum is associative and order-stable, so the result bit-matches a
+    SQL window over ``CAST(val AS DECIMAL(18,2))`` regardless of the
+    engine's accumulation tree."""
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[key_col], index=False).to_numpy(dtype=np.uint64)
+        b = b.copy()
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def bucket_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort").copy()
+        cents = np.round(g[val_col].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        run = (
+            pd.Series(cents)
+            .groupby(g[key_col].to_numpy(), sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        g[out_col] = run / 100.0
+        return g.drop(columns="__bkt")
+
+    return (
+        ds.map_batches(add_bkt, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(bucket_cumsum, batch_format="pandas")
+    )

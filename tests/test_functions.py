@@ -315,3 +315,57 @@ def test_unpivot_inverts_pivot():
     )
     ref["n"] = ref["n"].astype(np.int64)
     pd.testing.assert_frame_equal(long[["k", "t", "n"]], ref)
+
+
+def test_anti_join_keys_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import anti_join_keys
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": np.arange(500, dtype=np.int64), "v": rng.integers(0, 9, 500)})
+    right = pd.DataFrame({"rk": rng.choice(np.arange(700, dtype=np.int64), 400)})
+    got = (
+        anti_join_keys(rd.from_pandas(left), rd.from_pandas(right), "k", "rk")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = left[~left["k"].isin(set(right["rk"]))].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # empty anti set: typed empty result, no crash
+    all_right = pd.DataFrame({"rk": left["k"]})
+    empty = anti_join_keys(rd.from_pandas(left), rd.from_pandas(all_right), "k", "rk").to_pandas()
+    assert len(empty) == 0
+
+
+def test_running_sum_by_matches_pandas_window():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import running_sum_by
+
+    rng = np.random.default_rng(6)
+    n = 3_000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 40, n),
+            "t": rng.integers(0, 10_000, n),
+            "val": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    got = (
+        running_sum_by(rd.from_pandas(df).repartition(7), "key", "val", ["t", "id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    cents = np.round(df["val"].to_numpy() * 100).astype(np.int64)
+    ref = df.assign(c=cents).sort_values(["key", "t", "id"])
+    ref["run_sum"] = ref.groupby("key")["c"].cumsum() / 100.0
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert np.array_equal(got["run_sum"].to_numpy(), ref["run_sum"].to_numpy())
