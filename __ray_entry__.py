@@ -583,6 +583,19 @@ def _q_customers_without_orders(sf_dir: str):
     )
 
 
+def _q_quantiles_cont(sf_dir: str):
+    """Exact interpolated quantiles (`relational.py:quantiles_cont`,
+    quantile_cont semantics: lo*(1-frac) + hi*frac at position q*(n-1) —
+    DuckDB's exact float form) over the distributed value-count histogram:
+    counts, never samples, cross the exchange."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import quantiles_cont
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantiles_cont(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_running_sum_events(sf_dir: str):
     """Per-user running sum of event value (`relational.py:running_sum_by`):
     SUM OVER (PARTITION BY user ORDER BY ts, event_id) — one keyed
@@ -1491,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maint_incremental_sums": _q_maint_incremental_sums,
         "customers_without_orders": _q_customers_without_orders,
         "running_sum_events": _q_running_sum_events,
+        "quantiles_cont_events": _q_quantiles_cont,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
         "contamination_docs": _q_contamination,
@@ -2035,6 +2049,14 @@ WHERE NOT EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
 )
+""".strip(),
+        "quantiles_cont_events": """
+SELECT CAST(0.1 AS DOUBLE) AS q, quantile_cont(value, 0.1) AS v FROM events
+UNION ALL SELECT 0.25, quantile_cont(value, 0.25) FROM events
+UNION ALL SELECT 0.5, quantile_cont(value, 0.5) FROM events
+UNION ALL SELECT 0.75, quantile_cont(value, 0.75) FROM events
+UNION ALL SELECT 0.9, quantile_cont(value, 0.9) FROM events
+UNION ALL SELECT 0.99, quantile_cont(value, 0.99) FROM events
 """.strip(),
         # exact-decimal running sum: int64 cents on the Ray side matches
         # the DECIMAL(18,2) window regardless of accumulation order

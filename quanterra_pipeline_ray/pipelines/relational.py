@@ -526,6 +526,50 @@ def quantiles_disc(ds, col: str, qs: list[float], n_buckets: int = 64) -> pd.Dat
     return pd.DataFrame({"q": np.array(out_q, dtype=np.float64), "v": out_v})
 
 
+def quantiles_cont(ds, col: str, qs: list[float], n_buckets: int = 64) -> pd.DataFrame:
+    """EXACT interpolated quantiles (SQL ``quantile_cont``: position
+    ``q*(n-1)``, result ``lo*(1-frac) + hi*frac`` — the exact float form
+    DuckDB computes, verified term-for-term) over the same distributed
+    value-count histogram as :func:`quantiles_disc`: counts, not samples,
+    cross the exchange, and the driver reduces the distinct-value domain."""
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.groupby(col, sort=False).size()
+        return pd.DataFrame({col: c.index.to_numpy(), "n": c.to_numpy(dtype=np.int64)})
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(col, sort=False)["n"].sum()
+        return pd.DataFrame({col: c.index.to_numpy(), "n": c.to_numpy(dtype=np.int64)})
+
+    hist = (
+        bucketed_groupby(
+            ds.map_batches(partial_counts, batch_format="pandas"),
+            [col],
+            merge_counts,
+            n_buckets,
+        )
+        .to_pandas()
+        .sort_values(col)
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    values = hist[col].to_numpy(dtype=np.float64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        pos = q * (n - 1)
+        lo_rank, hi_rank = int(np.floor(pos)), int(np.ceil(pos))
+        frac = pos - lo_rank
+        # sorted-index -> distinct-value lookup via the cumulative counts
+        lo_v = values[int(np.searchsorted(cum, lo_rank + 1, side="left"))]
+        hi_v = values[int(np.searchsorted(cum, hi_rank + 1, side="left"))]
+        out_q.append(float(q))
+        out_v.append(lo_v * (1.0 - frac) + hi_v * frac)
+    return pd.DataFrame(
+        {"q": np.array(out_q, dtype=np.float64), "v": np.array(out_v, dtype=np.float64)}
+    )
+
+
 # ------------------------------------------------------------------- windows
 def events_hourly(sf_dir: str):
     """Tumbling 1h window: events per (user_id, hour). Int outputs only."""

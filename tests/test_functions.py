@@ -369,3 +369,23 @@ def test_running_sum_by_matches_pandas_window():
     ref["run_sum"] = ref.groupby("key")["c"].cumsum() / 100.0
     ref = ref.sort_values("id").reset_index(drop=True)
     assert np.array_equal(got["run_sum"].to_numpy(), ref["run_sum"].to_numpy())
+
+
+def test_quantiles_cont_matches_numpy_linear():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import quantiles_cont
+
+    rng = np.random.default_rng(11)
+    v = np.round(rng.uniform(0, 50, 1_234), 2)
+    got = quantiles_cont(
+        rd.from_pandas(pd.DataFrame({"x": v})).repartition(9), "x", [0.1, 0.5, 0.77, 0.9]
+    )
+    for q, gv in zip(got["q"], got["v"]):
+        s = np.sort(v)
+        pos = q * (len(s) - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        frac = pos - lo
+        assert gv == s[lo] * (1 - frac) + s[hi] * frac
