@@ -596,6 +596,27 @@ def _q_quantiles_cont(sf_dir: str):
     return quantiles_cont(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def _q_pca_project(sf_dir: str):
+    """Distributed PCA (`functions/embed_stats.py`): one covariance pass
+    (per-block (count, sum, X^T X) partials — associative, O(blocks x d^2)
+    driver bytes), driver-side eigh on the 64x64 covariance, stateless
+    projection map.  NO SQL oracle by design: eigendecomposition is not
+    SQL-expressible and float covariance is accumulation-order sensitive —
+    the exact-math contract is asserted by unit tests
+    (`tests/test_embed_stats.py`: numpy equality, layout invariance,
+    orthonormality, projected variance == eigenvalues)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.embed_stats import (
+        pca_components,
+        project_embeddings,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    comps, mean, _ = pca_components(ds, k=8)
+    return project_embeddings(ds, comps, mean)
+
+
 def _q_running_sum_events(sf_dir: str):
     """Per-user running sum of event value (`relational.py:running_sum_by`):
     SUM OVER (PARTITION BY user ORDER BY ts, event_id) — one keyed
@@ -1505,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "running_sum_events": _q_running_sum_events,
         "quantiles_cont_events": _q_quantiles_cont,
+        "pca_project_embeddings": _q_pca_project,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
         "contamination_docs": _q_contamination,
