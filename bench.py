@@ -180,6 +180,11 @@ def _queries() -> dict:
         "repeat_mix_docs",
         "contamination_docs",
         "contamination_ngram_docs",
+        "maint_incremental_sums",
+        "customers_without_orders",
+        "running_sum_events",
+        "quantiles_cont_events",
+        "pca_project_embeddings",
     ]
     import ray.data
 
