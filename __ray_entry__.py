@@ -614,7 +614,19 @@ def _q_pca_project(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     comps, mean, _ = pca_components(ds, k=8)
-    return project_embeddings(ds, comps, mean)
+    out = project_embeddings(ds, comps, mean)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        p = _np.stack(b["proj"].to_numpy()) if len(b) else _np.empty((0, 8))
+        cols = {"vec_id": b["vec_id"].to_numpy()}
+        cols.update({f"pc{i}": p[:, i] for i in range(p.shape[1])})
+        return pd.DataFrame(cols)
+
+    # scalar columns (pc0..pc7), not a list column: the compare harness
+    # canonicalizes by sorting/hashing values, which a list cell breaks
+    return out.map_batches(explode, batch_format="pandas")
 
 
 def _q_running_sum_events(sf_dir: str):
