@@ -629,6 +629,33 @@ def _q_pca_project(sf_dir: str):
     return out.map_batches(explode, batch_format="pandas")
 
 
+def _q_value_histogram(sf_dir: str):
+    """Equi-width histogram with SQL width_bucket semantics
+    (`relational.py:histogram_bins`): per-block partial counts, one
+    O(nbins)-row exchange — the canonical distributed histogram."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import histogram_bins
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram_bins(ev, "value", 0.0, 100.0, 20)
+
+
+def _q_event_type_paths(sf_dir: str):
+    """Per-user ordered event-type path (`relational.py:string_agg_by` =
+    string_agg(event_type, '|' ORDER BY ts, event_id)): one keyed exchange,
+    deterministic on any cluster shape via the order columns."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import string_agg_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    out = string_agg_by(ev, "user_id", "event_type", ["ts", "event_id"], sep="|", out_col="path")
+    return out.map_batches(lambda b: b.astype({"path": str}), batch_format="pandas")
+
+
 def _q_running_sum_events(sf_dir: str):
     """Per-user running sum of event value (`relational.py:running_sum_by`):
     SUM OVER (PARTITION BY user ORDER BY ts, event_id) — one keyed
@@ -1539,6 +1566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_events": _q_running_sum_events,
         "quantiles_cont_events": _q_quantiles_cont,
         "pca_project_embeddings": _q_pca_project,
+        "value_histogram_events": _q_value_histogram,
+        "event_type_paths": _q_event_type_paths,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
         "contamination_docs": _q_contamination,
@@ -2091,6 +2120,20 @@ UNION ALL SELECT 0.5, quantile_cont(value, 0.5) FROM events
 UNION ALL SELECT 0.75, quantile_cont(value, 0.75) FROM events
 UNION ALL SELECT 0.9, quantile_cont(value, 0.9) FROM events
 UNION ALL SELECT 0.99, quantile_cont(value, 0.99) FROM events
+""".strip(),
+        # width_bucket semantics spelled out (DuckDB has no width_bucket):
+        # bin 0 below lo, nbins+1 at/above hi, else floor((x-lo)/(hi-lo)*n)+1
+        "value_histogram_events": """
+SELECT CAST(CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 100.0 THEN 21
+            ELSE LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 100.0 * 20) AS BIGINT) + 1, 1), 20)
+       END AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""".strip(),
+        "event_type_paths": """
+SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id
 """.strip(),
         # exact-decimal running sum: int64 cents on the Ray side matches
         # the DECIMAL(18,2) window regardless of accumulation order

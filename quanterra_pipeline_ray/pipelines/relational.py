@@ -778,3 +778,61 @@ def running_sum_by(
         .groupby("__bkt")
         .map_groups(bucket_cumsum, batch_format="pandas")
     )
+
+
+def histogram_bins(
+    ds, col: str, lo: float, hi: float, nbins: int, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Equi-width histogram with SQL ``width_bucket`` semantics (bin 0 below
+    ``lo``, ``nbins+1`` at/above ``hi``, else ``floor((x-lo)/(hi-lo)*n)+1``).
+    Per-block partial counts (map-side combine) → one tiny keyed exchange of
+    ``O(nbins)`` rows per block — the canonical distributed histogram."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[col].to_numpy(dtype=np.float64)
+        bins = np.floor((x - lo) / (hi - lo) * nbins).astype(np.int64) + 1
+        bins = np.where(x < lo, 0, np.where(x >= hi, nbins + 1, np.clip(bins, 1, nbins)))
+        c = pd.Series(bins).value_counts()
+        return pd.DataFrame(
+            {"bin": c.index.to_numpy(dtype=np.int64), "n": c.to_numpy(dtype=np.int64)}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("bin", as_index=False)["n"].sum()
+        return c
+
+    out = bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"), ["bin"], combine, n_buckets
+    ).to_pandas()
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+def string_agg_by(
+    ds,
+    key_col: str,
+    val_col: str,
+    order_cols: list[str],
+    sep: str = "|",
+    out_col: str = "agg",
+    n_buckets: int = 64,
+):
+    """Per-key ORDERED string aggregation (``string_agg(val, sep ORDER BY
+    …)``): one keyed exchange, in-bucket sort, vectorized groupby-join.
+    Order columns make the result deterministic on any cluster shape."""
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[key_col], index=False).to_numpy(dtype=np.uint64)
+        b = b.copy()
+        b["__bkt"] = (h % n_buckets).astype(np.int64)
+        return b
+
+    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        out = g.groupby(key_col, sort=False)[val_col].agg(sep.join).reset_index()
+        return out.rename(columns={val_col: out_col})
+
+    return (
+        ds.map_batches(add_bkt, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(bucket_agg, batch_format="pandas")
+    )

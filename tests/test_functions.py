@@ -389,3 +389,46 @@ def test_quantiles_cont_matches_numpy_linear():
         lo, hi = int(np.floor(pos)), int(np.ceil(pos))
         frac = pos - lo
         assert gv == s[lo] * (1 - frac) + s[hi] * frac
+
+
+def test_histogram_bins_width_bucket_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import histogram_bins
+
+    v = np.array([-5.0, 0.0, 4.99, 5.0, 50.0, 99.99, 100.0, 250.0])
+    got = histogram_bins(rd.from_pandas(pd.DataFrame({"x": v})), "x", 0.0, 100.0, 20)
+    m = dict(zip(got["bin"], got["n"]))
+    # boundary values land in the NEXT bin (bins are [edge, edge+w))
+    assert m == {0: 1, 1: 2, 2: 1, 11: 1, 20: 1, 21: 2}
+
+
+def test_string_agg_by_ordered_and_layout_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import string_agg_by
+
+    rng = np.random.default_rng(12)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n),
+            "v": rng.choice(list("abcdef"), n),
+            "o": rng.permutation(np.arange(n, dtype=np.int64)),
+        }
+    )
+    a = string_agg_by(rd.from_pandas(df), "k", "v", ["o"]).to_pandas().sort_values("k")
+    b = (
+        string_agg_by(rd.from_pandas(df).repartition(9), "k", "v", ["o"])
+        .to_pandas()
+        .sort_values("k")
+    )
+    want = (
+        df.sort_values(["k", "o"]).groupby("k")["v"].agg("|".join).reset_index(name="agg")
+    )
+    assert a["agg"].to_list() == want["agg"].to_list()
+    assert a["agg"].to_list() == b["agg"].to_list()
