@@ -656,6 +656,42 @@ def _q_event_type_paths(sf_dir: str):
     return out.map_batches(lambda b: b.astype({"path": str}), batch_format="pandas")
 
 
+def _q_late_arrivals(sf_dir: str):
+    """Late-data audit (`stages/streaming.py:late_arrivals`): which events a
+    per-key watermarking consumer with 7-day allowed_lateness would drop,
+    under a deterministic md5-shuffled arrival order (the synthetic table's
+    event_id follows ts, so the audit simulates out-of-order delivery the
+    way a real at-least-once transport produces it).  The operator that
+    sizes allowed_lateness before deploying a streaming window.  One keyed
+    exchange; per-key vectorized running max."""
+    import hashlib
+
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.stages.streaming import late_arrivals
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_arrival(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["arr"] = [
+            hashlib.md5(f"{i}:1".encode()).hexdigest() for i in b["event_id"].to_numpy()
+        ]
+        return b
+
+    out = late_arrivals(
+        ev.map_batches(add_arrival, batch_format="pandas"),
+        key_col="user_id",
+        ts_col="ts",
+        arrival_col="arr",
+        lateness_us=7 * 86_400_000_000,
+        out_cols=["user_id", "event_id"],
+    )
+    return out
+
+
 def _q_running_sum_events(sf_dir: str):
     """Per-user running sum of event value (`relational.py:running_sum_by`):
     SUM OVER (PARTITION BY user ORDER BY ts, event_id) — one keyed
@@ -1567,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont_events": _q_quantiles_cont,
         "pca_project_embeddings": _q_pca_project,
         "value_histogram_events": _q_value_histogram,
+        "late_arrivals_events": _q_late_arrivals,
         "event_type_paths": _q_event_type_paths,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
@@ -2130,6 +2167,17 @@ SELECT CAST(CASE WHEN value < 0.0 THEN 0
        END AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1
+""".strip(),
+        # late iff prev-arrival running max of ts exceeds ts by > lateness
+        # (strictly); md5 arrival permutation simulates out-of-order delivery
+        "late_arrivals_events": """
+SELECT user_id, event_id,
+       COALESCE(epoch_us(MAX(ts) OVER (
+           PARTITION BY user_id
+           ORDER BY md5(CAST(event_id AS VARCHAR) || ':1'), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         - epoch_us(ts) > 604800000000, FALSE) AS late
+FROM events
 """.strip(),
         "event_type_paths": """
 SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS path

@@ -134,3 +134,53 @@ def windowed_counts(
         return pd.concat(nonempty, ignore_index=True) if nonempty else outs[-1]
 
     return bucketed_groupby(ds, [key_col], run_bucket, n_buckets)
+
+
+def late_arrivals(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    lateness_us: int = 0,
+    n_buckets: int = 64,
+    out_cols: list[str] | None = None,
+):
+    """Late-data AUDIT: flag events a per-key watermarking consumer with
+    ``allowed_lateness`` would drop, given arrival order ``arrival_col``.
+
+    An event is late iff its ts is below the key's watermark at arrival:
+    ``ts < max(ts over earlier arrivals of the key) - lateness`` — the
+    operator that sizes ``allowed_lateness`` before deploying a streaming
+    window (run it over history, pick the lateness that bounds the drop
+    rate).  One keyed exchange; per-key vectorized running max
+    (``np.maximum.accumulate``) in arrival order.  SQL-exact: the running
+    max is a plain window function.
+    """
+    from ..pipelines.relational import bucketed_groupby
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, arrival_col], kind="mergesort").copy()
+        # normalize to MICROseconds regardless of the column's unit (a
+        # from_pandas frame is datetime64[ns]; parquet reads are [us])
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        # segment-wise running max: reset the accumulator at key boundaries
+        keys = g[key_col].to_numpy()
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[:1] = True
+        if len(g) > 1:
+            new_seg[1:] = keys[1:] != keys[:-1]
+        # per-key running max in arrival order (grouped cummax is vectorized)
+        run = pd.Series(ts).groupby(pd.Series(keys).factorize()[0]).cummax().to_numpy()
+        prev_max = np.empty(len(g), dtype=np.int64)
+        prev_max[:1] = np.iinfo(np.int64).min
+        if len(g) > 1:
+            prev_max[1:] = np.where(new_seg[1:], np.iinfo(np.int64).min, run[:-1])
+        # first arrival per key has no watermark (sentinel would wrap under
+        # int64 subtraction) — explicitly never late
+        has_prev = prev_max != np.iinfo(np.int64).min
+        late = has_prev & (prev_max - ts > np.int64(lateness_us))
+        out = g[out_cols or [key_col, arrival_col]].copy()
+        out["late"] = late
+        return out
+
+    return bucketed_groupby(ds, [key_col], audit, n_buckets)

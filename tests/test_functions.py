@@ -432,3 +432,37 @@ def test_string_agg_by_ordered_and_layout_invariant():
     )
     assert a["agg"].to_list() == want["agg"].to_list()
     assert a["agg"].to_list() == b["agg"].to_list()
+
+
+def test_late_arrivals_watermark_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.stages.streaming import late_arrivals
+
+    # one key, arrival order a..e: ts 100, 50 (late at L<50), 200, 199, 90
+    df = pd.DataFrame(
+        {
+            "k": np.ones(5, dtype=np.int64),
+            "arr": list("abcde"),
+            "ts": pd.to_datetime([100, 50, 200, 199, 90], unit="us"),
+            "eid": np.arange(5, dtype=np.int64),
+        }
+    )
+    got = (
+        late_arrivals(rd.from_pandas(df), key_col="k", ts_col="ts", arrival_col="arr",
+                      lateness_us=10, out_cols=["k", "eid"])
+        .to_pandas()
+        .sort_values("eid")["late"]
+        .to_list()
+    )
+    # watermarks before each arrival: -, 100, 100, 200, 200 (L=10)
+    assert got == [False, True, False, False, True]
+    # first arrival per key is never late even with L=0 (no watermark yet)
+    got0 = (
+        late_arrivals(rd.from_pandas(df), key_col="k", ts_col="ts", arrival_col="arr",
+                      lateness_us=0, out_cols=["k", "eid"])
+        .to_pandas().sort_values("eid")["late"].to_list()
+    )
+    assert got0[0] is False or got0[0] == False  # noqa: E712
