@@ -87,3 +87,29 @@ def prep_documents(
         capacity=capacity,
     )
     return packed
+
+
+def write_prepped(ds, out_dir: str, partition_col: str = "group"):
+    """Partition-spec-aware output: one hive directory per mix group, so a
+    dataloader (or a resumed run) reads ONLY the groups it needs — the
+    resumable-output contract (never one giant file; failed runs skip
+    finished partitions; downstream reads prune at the directory level)."""
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
+    return out_dir
+
+
+def read_prepped(out_dir: str, groups: list[str] | None = None, partition_col: str = "group"):
+    """Pruned read-back: with ``groups``, only those hive directories are
+    opened (directory-level pruning — the other partitions' bytes never
+    leave storage)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    if groups is None:
+        return rd.read_parquet(out_dir)
+    paths = []
+    for g in groups:
+        paths.extend(sorted(glob.glob(os.path.join(out_dir, f"{partition_col}={g}", "*.parquet"))))
+    return rd.read_parquet(paths)

@@ -50,3 +50,32 @@ def test_prep_documents_matches_sequential_reference():
     pd.testing.assert_frame_equal(got[["doc_id", "source", "n_tokens", "seq_id"]], ref)
     assert 5 not in set(got["doc_id"]) and 7 not in set(got["doc_id"])
     assert 0 in set(got["doc_id"])
+
+
+def test_partitioned_write_and_pruned_read(ray_session, tmp_path, monkeypatch):
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.dataprep import read_prepped, write_prepped
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(300, dtype=np.int64),
+            "group": np.repeat(["a", "b", "c"], 100),
+            "seq_id": np.arange(300, dtype=np.int64) // 16,
+        }
+    )
+    out = str(tmp_path / "prepped")
+    write_prepped(rd.from_pandas(df), out, partition_col="group")
+    # one directory per group: a failed run skips finished partitions
+    assert {os.path.basename(d) for d in glob.glob(f"{out}/group=*")} == {
+        "group=a", "group=b", "group=c",
+    }
+    # pruned read: only the requested group's files are opened
+    got = read_prepped(out, groups=["b"]).to_pandas()
+    assert len(got) == 100 and (got["id"] // 100 == 1).all()
+    assert read_prepped(out).count() == 300
