@@ -160,6 +160,11 @@ def build_jaccard_index(
     os.makedirs(index_dir, exist_ok=True)
     post = ds.map_batches(_postings_fn(id_col, text_col, shingle_k, n_buckets), batch_format="pandas")
     counters = _append_postings(post, index_dir)
+    # a multi-block build writes one file per (block x bucket); merge them
+    # now (3.7 s at 17.5M postings) so the FIRST probe already reads one
+    # file per bucket — measured 73 -> 16 s on a 50k-doc Zipf corpus
+    if counters["n_postings"] > 2_000_000:
+        compact_jaccard_index(index_dir)
     meta = {
         # version 2: per-bucket shingle blooms exist for EVERY append, so
         # the probe may skip bloom-missed buckets (v1 indexes get no bloom

@@ -121,6 +121,8 @@ def build_minhash_index(
         "n_docs": 0,
     }
     meta["n_docs"] = _append_bands(ds, index_dir, meta, id_col, text_col)
+    if meta["n_docs"] * bands > 4_000_000:  # multi-block build: merge fragments
+        compact_minhash_index(index_dir)
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta

@@ -247,3 +247,50 @@ def content_fingerprint(table: pa.Table) -> str:
     for col in TRANSCRIPTS_SCHEMA.names:
         h.update(pd.util.hash_pandas_object(df[col], index=False).values.tobytes())
     return h.hexdigest()
+
+
+def generate_zipf_documents(
+    n_docs: int,
+    vocab_size: int = 50_000,
+    alpha: float = 1.1,
+    mean_tokens: int = 80,
+    seed: int = 42,
+) -> "pa.Table":
+    """Documents with a ZIPFIAN token vocabulary — realistic text statistics.
+
+    The driver-supplied ``documents.parquet`` draws from a tiny vocabulary
+    (~2k distinct 5-grams at sf0.1), which is the worst case for similarity
+    joins: every shingle is common, prefix/bloom pruning keeps nothing, and
+    candidates explode.  Real corpora are Zipf-distributed — most shingles
+    are RARE — which is exactly the regime the df-rare prefix and the
+    partition/bloom pruning are designed for.  This generator exists so
+    that regime is testable without external data.
+    """
+    rng = np.random.default_rng(seed)
+    # Zipf ranks via inverse-CDF over a truncated power law (vectorized)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = ranks ** (-alpha)
+    probs /= probs.sum()
+    lens = np.maximum(5, rng.poisson(mean_tokens, n_docs))
+    total = int(lens.sum())
+    toks = rng.choice(vocab_size, size=total, p=probs)
+    # compact token surface forms: base-26 letters, length-varied
+    def word(t: int) -> str:
+        s = []
+        t = int(t) + 1
+        while t:
+            s.append(chr(97 + t % 26))
+            t //= 26
+        return "".join(s)
+
+    vocab_words = np.array([word(t) for t in range(vocab_size)], dtype=object)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [
+        " ".join(vocab_words[toks[offs[i] : offs[i + 1]]]) for i in range(n_docs)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )

@@ -254,3 +254,26 @@ def test_index_compaction_layout_only(ray_session, tmp_path):
     some = glob.glob(f"{idx}/postings/bkt=*/compact-*.parquet")[0]
     shutil.copy(some, some.replace("compact-", "leftover-"))
     assert _got_pairs(probe_jaccard_index(rd.from_pandas(new), idx, corpus)) == before
+
+
+def test_probe_on_zipf_corpus_matches_bruteforce(ray_session, tmp_path):
+    """Realistic (Zipf-vocabulary) text statistics: the generator exists
+    because the driver corpus's tiny vocabulary is the similarity-join
+    worst case; the index contract must hold in BOTH regimes."""
+    from quanterra_pipeline_ray.synth import generate_zipf_documents
+
+    old = generate_zipf_documents(60, vocab_size=300, mean_tokens=25, seed=3).to_pandas()
+    new = generate_zipf_documents(12, vocab_size=300, mean_tokens=25, seed=8).to_pandas()
+    new["doc_id"] += 10_000
+    # plant two true near-dups of indexed docs into the probe
+    new.loc[new.index[0], "text"] = old["text"].iloc[0]
+    new.loc[new.index[1], "text"] = old["text"].iloc[1] + " xq"
+    union = pd.concat([old, new], ignore_index=True)
+
+    idx = str(tmp_path / "zjidx")
+    build_jaccard_index(rd.from_pandas(old), idx, n_buckets=32)
+    got = _got_pairs(
+        probe_jaccard_index(rd.from_pandas(new), idx, rd.from_pandas(union))
+    )
+    want = _true_pairs(union, set(new["doc_id"]))
+    assert got == want and len(got) >= 2
