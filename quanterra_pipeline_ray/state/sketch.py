@@ -104,3 +104,40 @@ def approx_quantiles(ds, col: str, qs: list[float], max_size: int = 1024):
             "v": np.array([acc.quantile(q) for q in qs], dtype=np.float64),
         }
     )
+
+
+def grouped_approx_quantiles(
+    ds, key_col: str, col: str, qs: list[float], max_size: int = 512, n_buckets: int = 64
+):
+    """Per-key approximate quantiles: one summary per (block, key) map-side,
+    ONE keyed exchange of ~``max_size``-point blobs (never rows), per-bucket
+    merge — the grouped form of :func:`approx_quantiles`, for per-source /
+    per-language score distributions over unbounded domains."""
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in b.groupby(key_col, sort=False):
+            rows.append(
+                (k, QuantileSummary.from_values(g[col].to_numpy(dtype=np.float64), max_size).to_bytes())
+            )
+        out = pd.DataFrame(rows, columns=[key_col, "blob"])
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy(dtype=np.uint64)
+        out["__bkt"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, grp in g.groupby(key_col, sort=False):
+            acc = QuantileSummary.from_bytes(grp["blob"].iloc[0], max_size)
+            for blob in grp["blob"].iloc[1:]:
+                acc = acc.merge(QuantileSummary.from_bytes(blob, max_size))
+            for q in qs:
+                rows.append((k, float(q), acc.quantile(q)))
+        return pd.DataFrame(rows, columns=[key_col, "q", "v"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )

@@ -66,3 +66,28 @@ def test_approx_quantiles_dataset_roundtrip():
     for q, gv in zip(out["q"], out["v"]):
         true_rank = np.searchsorted(s, gv) / len(s)
         assert abs(true_rank - q) < 0.02
+
+
+def test_grouped_approx_quantiles_error_bound():
+    rng = np.random.default_rng(13)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "x": rng.lognormal(0, 1.0, n),
+        }
+    )
+    from quanterra_pipeline_ray.state.sketch import grouped_approx_quantiles
+
+    out = (
+        grouped_approx_quantiles(
+            rd.from_pandas(df).repartition(16), "g", "x", [0.1, 0.5, 0.9]
+        )
+        .to_pandas()
+    )
+    assert len(out) == 9
+    for k, g in df.groupby("g"):
+        s = np.sort(g["x"].to_numpy())
+        for _, row in out[out["g"] == k].iterrows():
+            true_rank = np.searchsorted(s, row["v"]) / len(s)
+            assert abs(true_rank - row["q"]) < 0.03, (k, row["q"], true_rank)
