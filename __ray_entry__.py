@@ -583,6 +583,34 @@ def _q_customers_without_orders(sf_dir: str):
     )
 
 
+def _q_streaming_reservoir(sf_dir: str):
+    """Persisted streaming weighted reservoir
+    (`functions/sampling.py:WeightedReservoir`): three sequential ingest
+    batches (doc_id % 3) fold into one k=120 A-ExpJ state file; because the
+    exponential draw is a pure function of (id, seed), the final reservoir
+    equals the ONE-SHOT weighted sample over the union — the SQL oracle is
+    the same QUALIFY window as weighted_sample, so batch-order independence
+    is driver-checked, not just unit-tested."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.sampling import WeightedReservoir
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    path = os.path.join(
+        _SCRATCH, f"reservoir-{os.path.basename(os.path.normpath(sf_dir))}.parquet"
+    )
+    if os.path.exists(path):
+        os.remove(path)
+    res = WeightedReservoir(path, k=120, seed=42)
+    out = None
+    for b in range(3):
+        batch = ds.map_batches(lambda t, b=b: t[t["doc_id"] % 3 == b], batch_format="pandas")
+        out = res.update(batch, weight_col="n_chars")
+    return out.astype({"source": str}).reset_index(drop=True)
+
+
 def _q_quantiles_cont(sf_dir: str):
     """Exact interpolated quantiles (`relational.py:quantiles_cont`,
     quantile_cont semantics: lo*(1-frac) + hi*frac at position q*(n-1) —
@@ -1604,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project_embeddings": _q_pca_project,
         "value_histogram_events": _q_value_histogram,
         "late_arrivals_events": _q_late_arrivals,
+        "streaming_reservoir_docs": _q_streaming_reservoir,
         "event_type_paths": _q_event_type_paths,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
@@ -2314,6 +2343,17 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 GROUP BY lang
+""".strip(),
+        # streaming reservoir == one-shot A-ExpJ sample over the union
+        # (global top-120 by the exponential key, no per-group partition)
+        "streaming_reservoir_docs": """
+SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  ORDER BY -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13) AS BIGINT)
+                + 0.5) / 4503599627370496.0) / n_chars,
+           doc_id
+) <= 120
 """.strip(),
         # A-ExpJ weighted sampling: Exp(w) key from the md5 uniform; the k
         # smallest keys per group are a weighted sample w/o replacement.

@@ -24,6 +24,7 @@ draw order depends on block layout.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -281,3 +282,70 @@ def repeat_mix(
         return out
 
     return ds.map_batches(expand, batch_format="pandas")
+
+
+def _exp_keys(ids, weights, seed: int) -> np.ndarray:
+    h = np.array(
+        [
+            int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:13], 16)
+            for i in ids
+        ],
+        dtype=np.float64,
+    )
+    w = np.asarray(weights, dtype=np.float64)
+    if len(w) and (w <= 0).any():
+        raise ValueError("weights must be strictly positive")
+    return -np.log((h + 0.5) / float(1 << 52)) / w
+
+
+class WeightedReservoir:
+    """Persisted STREAMING weighted sample without replacement (A-ExpJ as
+    incremental state): keep the ``k`` smallest exponential keys seen so
+    far.  Because the md5-seeded draw is a pure function of (id, seed), the
+    reservoir after ANY batch sequence equals :func:`weighted_sample` over
+    the union of the batches — batch-order independent, crash-safe (the
+    state file is swapped atomically after each update), and SQL-checkable
+    by the same ``QUALIFY row_number() OVER (ORDER BY exp_key)`` oracle.
+
+    State is one parquet file of ≤ k rows; each update is one distributed
+    pass over the batch (per-block top-k combiner) plus an O(k) driver
+    merge — no exchange at all.
+    """
+
+    def __init__(self, path: str, k: int, seed: int = 42):
+        self.path, self.k, self.seed = path, int(k), int(seed)
+
+    def _load(self) -> pd.DataFrame | None:
+        if os.path.exists(self.path):
+            return pd.read_parquet(self.path)
+        return None
+
+    def update(self, ds, weight_col: str, id_col: str = "doc_id") -> pd.DataFrame:
+        """Fold one batch into the reservoir; returns the new sample."""
+        k, seed = self.k, self.seed
+
+        def local_top(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__key"] = _exp_keys(b[id_col].to_numpy(), b[weight_col].to_numpy(), seed)
+            return b.sort_values(["__key", id_col], kind="mergesort").head(k)
+
+        cand = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+        prev = self._load()
+        if prev is not None:
+            cand = pd.concat([prev, cand], ignore_index=True)
+        cand = (
+            cand.drop_duplicates(subset=[id_col])
+            .sort_values(["__key", id_col], kind="mergesort")
+            .head(k)
+            .reset_index(drop=True)
+        )
+        tmp = self.path + ".tmp"
+        cand.to_parquet(tmp)
+        os.replace(tmp, self.path)
+        return cand.drop(columns="__key")
+
+    def sample(self) -> pd.DataFrame:
+        cur = self._load()
+        if cur is None:
+            raise FileNotFoundError(self.path)
+        return cur.drop(columns="__key")

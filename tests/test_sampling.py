@@ -217,3 +217,37 @@ def test_repeat_mix_block_layout_invariant():
     assert a.sort_values(key).reset_index(drop=True)[["doc_id", "rep_idx"]].equals(
         b.sort_values(key).reset_index(drop=True)[["doc_id", "rep_idx"]]
     )
+
+
+def test_weighted_reservoir_order_independent_and_crash_safe(tmp_path):
+    from quanterra_pipeline_ray.functions.sampling import WeightedReservoir, weighted_sample
+
+    df = _df(900)
+    df["w"] = df["payload"].to_numpy() + 1.0
+
+    def run(order, path):
+        res = WeightedReservoir(str(path), k=50, seed=7)
+        out = None
+        for b in order:
+            batch = df[df["doc_id"] % 3 == b]
+            out = res.update(rd.from_pandas(batch), weight_col="w")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a = run([0, 1, 2], tmp_path / "r1.parquet")
+    b = run([2, 0, 1], tmp_path / "r2.parquet")
+    pd.testing.assert_frame_equal(a, b)  # batch-order independent
+
+    # equals the one-shot global sample: single-group weighted_sample
+    one = (
+        weighted_sample(rd.from_pandas(df.assign(g=0)), "g", k=50, weight_col="w",
+                        id_col="doc_id", seed=7)
+        .to_pandas()
+        .sort_values("doc_id")["doc_id"]
+        .to_list()
+    )
+    assert a["doc_id"].to_list() == one
+
+    # crash-resume: re-updating with an already-folded batch is a no-op
+    res = WeightedReservoir(str(tmp_path / "r1.parquet"), k=50, seed=7)
+    again = res.update(rd.from_pandas(df[df["doc_id"] % 3 == 1]), weight_col="w")
+    assert again.sort_values("doc_id")["doc_id"].to_list() == a["doc_id"].to_list()
