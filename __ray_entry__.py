@@ -583,6 +583,24 @@ def _q_customers_without_orders(sf_dir: str):
     )
 
 
+def _q_rolling_sum(sf_dir: str):
+    """Per-user rolling SUM over the last 5 events
+    (`relational.py:rolling_sum_by`): the frame-aggregate family's summing
+    member, in exact int64 cents so the result is accumulation-order
+    independent (the q1 discipline)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import rolling_sum_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = rolling_sum_by(ev, "user_id", ["ts", "event_id"], "value", window=5)
+    return out.map_batches(
+        lambda b: b[["event_id", "user_id", "rolling_sum"]], batch_format="pandas"
+    )
+
+
 def _q_streaming_reservoir(sf_dir: str):
     """Persisted streaming weighted reservoir
     (`functions/sampling.py:WeightedReservoir`): three sequential ingest
@@ -1633,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram_events": _q_value_histogram,
         "late_arrivals_events": _q_late_arrivals,
         "streaming_reservoir_docs": _q_streaming_reservoir,
+        "rolling_sum_value_events": _q_rolling_sum,
         "event_type_paths": _q_event_type_paths,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
@@ -2343,6 +2362,13 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 GROUP BY lang
+""".strip(),
+        "rolling_sum_value_events": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum
+FROM events
 """.strip(),
         # streaming reservoir == one-shot A-ExpJ sample over the union
         # (global top-120 by the exponential key, no per-group partition)

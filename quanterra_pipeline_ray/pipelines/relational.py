@@ -836,3 +836,35 @@ def string_agg_by(
         .groupby("__bkt")
         .map_groups(bucket_agg, batch_format="pandas")
     )
+
+
+def rolling_sum_by(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "rolling_sum",
+    n_buckets: int = 64,
+):
+    """Per-key rolling SUM over the last ``window`` rows (inclusive) —
+    SQL ``SUM(v) OVER (PARTITION BY key ORDER BY … ROWS window-1
+    PRECEDING)``.  Same one-exchange plan as :func:`rolling_max_by`;
+    arithmetic in exact int64 cents so the result is independent of the
+    engine's accumulation tree (the q1/running_sum discipline)."""
+
+    def bucket_roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        cents = np.round(g[value_col].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        r = (
+            pd.Series(cents)
+            .groupby(g[key_col].to_numpy(), sort=False)
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+        )
+        out = g.copy()
+        out[out_col] = r.to_numpy(dtype=np.int64) / 100.0
+        return out
+
+    return bucketed_groupby(ds, [key_col], bucket_roll, n_buckets)
