@@ -185,6 +185,11 @@ def _queries() -> dict:
         "running_sum_events",
         "quantiles_cont_events",
         "pca_project_embeddings",
+        "value_histogram_events",
+        "event_type_paths",
+        "late_arrivals_events",
+        "rolling_sum_value_events",
+        "streaming_reservoir_docs",
     ]
     import ray.data
 
