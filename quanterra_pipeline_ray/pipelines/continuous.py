@@ -261,3 +261,86 @@ def ingest_with_views(
         "n_dropped": int(len(batch_ids) - n_kept),
         "drops": drops,
     }
+
+
+def verify_index_coverage(store_root: str, id_col: str = "doc_id") -> dict:
+    """Consistency check between the TABLE's doc set and the INDEX's doc
+    set — the invariant the flow maintains (every accepted doc indexed,
+    nothing indexed that the table doesn't hold).  Keys-only plan (the
+    anti-join machinery's shape): both sides map-side dedup to distinct
+    ids, one bucketed exchange computes the symmetric difference, and only
+    COUNTS plus a bounded sample return to the driver.  Run it after
+    catch-up (a crash between append and extend legitimately leaves
+    missing docs until the next flow call heals them)."""
+    import ray.data as rd
+
+    from ..functions.jaccard_index import _existing_buckets, _partition_paths, _POSTINGS
+
+    state = _read_state(store_root)
+    from ..schema import schema_from_json
+
+    table = TranscriptTable(
+        os.path.join(store_root, _TABLE), schema=schema_from_json(state["schema"])
+    )
+    index_dir = os.path.join(store_root, _INDEX)
+    paths = _partition_paths(index_dir, _POSTINGS, _existing_buckets(index_dir, _POSTINGS))
+
+    def keys_of(col, side):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            k = pd.unique(b[col])
+            return pd.DataFrame(
+                {"k": k, "side": np.full(len(k), side, dtype=np.int8)}
+            )
+
+        return f
+
+    table_ids = table.scan().select_columns([id_col]).map_batches(
+        keys_of(id_col, 0), batch_format="pandas"
+    )
+    both = table_ids
+    if paths:
+        import ray.data
+
+        idx_ids = ray.data.read_parquet(paths, columns=["doc"]).map_batches(
+            keys_of("doc", 1), batch_format="pandas"
+        )
+        both = both.union(idx_ids)
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        if "k" not in b.columns:
+            return pd.DataFrame(
+                {"k": pd.Series(dtype=np.int64), "side": pd.Series(dtype=np.int8),
+                 "__bkt": pd.Series(dtype=np.int64)}
+            )
+        h = pd.util.hash_pandas_object(b["k"], index=False).to_numpy(dtype=np.uint64)
+        b = b.copy()
+        b["__bkt"] = (h % 64).astype(np.int64)
+        return b
+
+    def sym_diff(g: pd.DataFrame) -> pd.DataFrame:
+        if "k" not in g.columns:
+            return pd.DataFrame({"k": pd.Series(dtype=np.int64), "where": pd.Series(dtype=object)})
+        t = set(g.loc[g["side"] == 0, "k"])
+        i = set(g.loc[g["side"] == 1, "k"])
+        rows = [(k, "missing_from_index") for k in t - i] + [
+            (k, "extra_in_index") for k in i - t
+        ]
+        return pd.DataFrame(rows, columns=["k", "where"])
+
+    diff = (
+        both.map_batches(add_bkt, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(sym_diff, batch_format="pandas")
+        .to_pandas()
+    )
+    if "where" not in diff.columns:
+        diff = pd.DataFrame({"k": [], "where": []})
+    missing = diff[diff["where"] == "missing_from_index"]["k"]
+    extra = diff[diff["where"] == "extra_in_index"]["k"]
+    return {
+        "consistent": len(diff) == 0,
+        "missing_from_index": int(len(missing)),
+        "extra_in_index": int(len(extra)),
+        "sample_missing": sorted(int(x) for x in missing.head(10)),
+        "sample_extra": sorted(int(x) for x in extra.head(10)),
+    }

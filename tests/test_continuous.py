@@ -144,3 +144,48 @@ def test_read_view_fresh_store_is_typed_empty(ray_session, tmp_path):
     v = C.read_view(str(tmp_path / "nothing"), "lang")
     assert v.count() == 0
     assert set(v.schema().names) == {"lang", "n_docs"}
+
+
+def test_verify_index_coverage_detects_and_heals(ray_session, tmp_path):
+    """Coverage checker: consistent after each flow call; a table append
+    WITHOUT extend (the crash window) is flagged as missing docs; the next
+    flow call's catch-up heals it."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.continuous import (
+        _TABLE,
+        ingest_with_views,
+        verify_index_coverage,
+    )
+    from quanterra_pipeline_ray.schema import schema_from_json
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+
+    store = str(tmp_path / "covstore")
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [f"doc number {i} with words {i % 7} {i % 5} etc" for i in range(40)],
+            "lang": ["en"] * 40,
+        }
+    )
+    ingest_with_views(store, rd.from_pandas(docs.iloc[:20]), view_key="lang", n_buckets=8)
+    rep = verify_index_coverage(store)
+    assert rep["consistent"], rep
+
+    # simulate the crash window: append directly, no extend
+    import json, os
+
+    state = json.load(open(os.path.join(store, "flow_state.json")))
+    table = TranscriptTable(os.path.join(store, _TABLE), schema=schema_from_json(state["schema"]))
+    table.append_table(pa.Table.from_pandas(docs.iloc[20:30], preserve_index=False))
+    rep = verify_index_coverage(store)
+    assert not rep["consistent"] and rep["missing_from_index"] == 10
+    assert rep["extra_in_index"] == 0 and len(rep["sample_missing"]) == 10
+
+    # the next flow call catches up the index first; coverage heals
+    ingest_with_views(store, rd.from_pandas(docs.iloc[30:]), view_key="lang", n_buckets=8)
+    rep = verify_index_coverage(store)
+    assert rep["consistent"], rep
