@@ -119,6 +119,8 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--kind", choices=["jaccard", "minhash"], default="jaccard")
     c.add_argument("--min-files", type=int, default=2)
 
+    table_cmd("index-verify", "check a continuous store's table/index doc-set consistency")
+
     c = table_cmd("text-search", "token search via the secondary posting index")
     c.add_argument("--tokens", nargs="+", required=True)
     c.add_argument("--mode", choices=["and", "or"], default="and")
@@ -177,6 +179,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "create":
             TranscriptTable.create(args.root)
             print(json.dumps({"created": args.root}))
+            return 0
+        if args.cmd == "index-verify":
+            from .pipelines.continuous import verify_index_coverage
+
+            print(json.dumps(verify_index_coverage(args.root), sort_keys=True))
             return 0
         if args.cmd == "index-compact":
             from .functions.jaccard_index import index_file_count
