@@ -285,6 +285,10 @@ def extend_jaccard_index(
     meta["n_docs"] += counters["n_docs"]
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
+    # standalone extends accumulate per-bucket fragments exactly like the
+    # continuous flow's: merge once any bucket holds >= 8 (cheap glob scan
+    # when under; layout-only, crash-safe — see compact_jaccard_index)
+    compact_jaccard_index(index_dir, min_files_per_bucket=8)
     return meta
 
 

@@ -141,6 +141,8 @@ def extend_minhash_index(
     meta["n_docs"] += _append_bands(ds, index_dir, meta, id_col, text_col)
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
+    # same fragment-accumulation story as the jaccard extends
+    compact_minhash_index(index_dir, min_files_per_bucket=8)
     return meta
 
 
