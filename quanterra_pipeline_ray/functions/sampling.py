@@ -349,3 +349,51 @@ class WeightedReservoir:
         if cur is None:
             raise FileNotFoundError(self.path)
         return cur.drop(columns="__key")
+
+
+class GroupedWeightedReservoir:
+    """Per-GROUP streaming weighted sample: the grouped form of
+    :class:`WeightedReservoir` — keep the k smallest exponential keys PER
+    group value across any batch sequence.  Same determinism argument
+    (md5-seeded draws are pure functions of id), so the state after any
+    ingest order equals :func:`weighted_sample` over the union — the
+    standard continuously-maintained training-mix state."""
+
+    def __init__(self, path: str, group_col: str, k: int, seed: int = 42):
+        self.path, self.group_col, self.k, self.seed = path, group_col, int(k), int(seed)
+
+    def _load(self) -> pd.DataFrame | None:
+        if os.path.exists(self.path):
+            return pd.read_parquet(self.path)
+        return None
+
+    def update(self, ds, weight_col: str, id_col: str = "doc_id") -> pd.DataFrame:
+        k, seed, grp = self.k, self.seed, self.group_col
+
+        def local_top(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__key"] = _exp_keys(b[id_col].to_numpy(), b[weight_col].to_numpy(), seed)
+            b = b.sort_values(["__key", id_col], kind="mergesort")
+            return b.groupby(grp, sort=False).head(k)
+
+        cand = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+        prev = self._load()
+        if prev is not None:
+            cand = pd.concat([prev, cand], ignore_index=True)
+        cand = (
+            cand.drop_duplicates(subset=[id_col])
+            .sort_values(["__key", id_col], kind="mergesort")
+            .groupby(grp, sort=False)
+            .head(k)
+            .reset_index(drop=True)
+        )
+        tmp = self.path + ".tmp"
+        cand.to_parquet(tmp)
+        os.replace(tmp, self.path)
+        return cand.drop(columns="__key")
+
+    def sample(self) -> pd.DataFrame:
+        cur = self._load()
+        if cur is None:
+            raise FileNotFoundError(self.path)
+        return cur.drop(columns="__key")

@@ -344,3 +344,27 @@ def verify_index_coverage(store_root: str, id_col: str = "doc_id") -> dict:
         "sample_missing": sorted(int(x) for x in missing.head(10)),
         "sample_extra": sorted(int(x) for x in extra.head(10)),
     }
+
+
+def expire_views(store_root: str, keep: int = 2) -> dict:
+    """GC old view snapshots: every refresh writes a NEW ``view/s{N}``
+    directory (readers never observe a half-written view), so a long-lived
+    store accumulates them.  Keep the ``keep`` newest; the CURRENT view
+    (``state['view_snapshot']``) is always retained regardless.  The same
+    mark-and-sweep contract as snapshot expiry: delete only what no reader
+    can reach through the state file."""
+    import shutil
+
+    state = _read_state(store_root)
+    vroot = os.path.join(store_root, _VIEW)
+    if not os.path.isdir(vroot):
+        return {"removed": 0, "kept": 0}
+    dirs = sorted(d for d in os.listdir(vroot) if d.startswith("s"))
+    current = f"s{state['view_snapshot']:06d}"
+    keep_set = set(dirs[-keep:]) | {current}
+    removed = 0
+    for d in dirs:
+        if d not in keep_set:
+            shutil.rmtree(os.path.join(vroot, d), ignore_errors=True)
+            removed += 1
+    return {"removed": removed, "kept": len(keep_set & set(dirs))}

@@ -189,3 +189,37 @@ def test_verify_index_coverage_detects_and_heals(ray_session, tmp_path):
     ingest_with_views(store, rd.from_pandas(docs.iloc[30:]), view_key="lang", n_buckets=8)
     rep = verify_index_coverage(store)
     assert rep["consistent"], rep
+
+
+def test_expire_views_keeps_current(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.continuous import (
+        expire_views,
+        ingest_with_views,
+        read_view,
+    )
+
+    store = str(tmp_path / "ev")
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(30, dtype=np.int64),
+            "text": [f"text {i} alpha beta {i % 3}" for i in range(30)],
+            "lang": ["en", "fr", "de"] * 10,
+        }
+    )
+    for b in range(3):
+        ingest_with_views(store, rd.from_pandas(docs[docs["doc_id"] % 3 == b]),
+                          view_key="lang", n_buckets=8)
+    vroot = os.path.join(store, "view")
+    before = len(os.listdir(vroot))
+    assert before >= 3
+    rep = expire_views(store, keep=1)
+    assert rep["removed"] == before - 1
+    # the CURRENT view still reads
+    v = read_view(store, "lang").to_pandas()
+    assert v["n_docs"].sum() == 30

@@ -251,3 +251,25 @@ def test_weighted_reservoir_order_independent_and_crash_safe(tmp_path):
     res = WeightedReservoir(str(tmp_path / "r1.parquet"), k=50, seed=7)
     again = res.update(rd.from_pandas(df[df["doc_id"] % 3 == 1]), weight_col="w")
     assert again.sort_values("doc_id")["doc_id"].to_list() == a["doc_id"].to_list()
+
+
+def test_grouped_weighted_reservoir_equals_batch_sample(tmp_path):
+    from quanterra_pipeline_ray.functions.sampling import (
+        GroupedWeightedReservoir,
+        weighted_sample,
+    )
+
+    df = _df(900)
+    df["w"] = df["payload"].to_numpy() + 1.0
+    res = GroupedWeightedReservoir(str(tmp_path / "gr.parquet"), "grp", k=15, seed=7)
+    out = None
+    for b in (2, 0, 1):  # arbitrary ingest order
+        out = res.update(rd.from_pandas(df[df["doc_id"] % 3 == b]), weight_col="w")
+    one = (
+        weighted_sample(rd.from_pandas(df), "grp", k=15, weight_col="w",
+                        id_col="doc_id", seed=7)
+        .to_pandas()
+    )
+    assert sorted(out["doc_id"]) == sorted(one["doc_id"])
+    # per-group cap honored
+    assert (out.groupby("grp").size() <= 15).all()
