@@ -293,7 +293,19 @@ def search_ivf_index(
             :, : min(nprobe, len(centroids))
         ]
     ]
-    files = _partition_files(index_dir, np.unique(probe_lists))
+    probed = np.unique(probe_lists)
+    files = _partition_files(index_dir, probed)
+    # probe lineage (parity with the jaccard index's probe stats): how much
+    # of the index the pruned read actually touched
+    stats = {
+        "lists_total": int(len(list_ids)),
+        "lists_read": int(len(probed)),
+        "files_read": int(len(files)),
+    }
+    tmp = os.path.join(index_dir, "_probe_stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(index_dir, "_probe_stats.json"))
     if not files:
         return pd.DataFrame({"query_id": [], id_col: [], "score": []})
 
