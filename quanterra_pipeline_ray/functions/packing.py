@@ -14,9 +14,12 @@ Applications", CMU-CS-90-190):
 
 Ray Data has no scan operator; expressing it as groupby + tiny driver reduce
 + a second bucketed pass keeps every row-touching step distributed and the
-driver's state O(n_buckets).  At 100 TB, pick ``n_buckets`` ≈ cluster tasks
-(buckets stream independently; the scalar prefix is microseconds at any
-scale).
+driver's state O(n_buckets).  ``n_buckets`` defaults to
+``max(64, bytes // 64 MiB)`` (one bucket ≈ one comfortable map_groups task
+at any corpus size — the same rule as :func:`..ordering.derive_n_buckets`);
+buckets stream independently and the scalar prefix is microseconds at any
+scale.  Phase 1 is a per-block combiner (each block emits ≤ n_buckets
+partial-sum rows), so the only row-moving exchange is phase 3.
 
 The order key must be a non-negative int64 (doc ids, timestamps); ranges are
 split evenly over ``[0, max]``, so heavily-skewed key spaces should pass an
@@ -37,7 +40,7 @@ def global_cumsum(
     *,
     out_col: str = "cumsum_before",
     inclusive: bool = False,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Add ``out_col`` = the global running sum of ``val_col`` under
     ascending ``order_col`` order (exclusive by default: the sum of all
@@ -45,11 +48,17 @@ def global_cumsum(
 
     Two-phase distributed scan — see module docstring.  ``order_col`` values
     must be unique non-negative int64 (ties would make "preceding" ambiguous).
+    ``n_buckets`` affects only the exchange layout, never the output;
+    default scales with input size.
     """
     # materialize the input ONCE: max(), the partials pass, and the scan
     # pass all consume it — without this the upstream pipeline (e.g. a
     # token-count map) would re-execute per consumer
     ds = ds.materialize()
+    if n_buckets is None:
+        from .ordering import derive_n_buckets
+
+        n_buckets = derive_n_buckets(ds.size_bytes(), floor=64)
     hi = ds.max(order_col)
     if hi is None:
         return ds
@@ -63,16 +72,20 @@ def global_cumsum(
 
     bucketed = ds.map_batches(add_bkt, batch_format="pandas")
 
-    # phase 1: per-bucket partial sums (tiny: one row per bucket)
+    # phase 1: per-bucket partial sums via a per-block COMBINER (each block
+    # emits <= n_buckets tiny rows) + a small groupby reduce — no row data
+    # moves in this phase
+    def block_partials(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.groupby("__bkt")[val_col].sum().reset_index(name="s")
+        p["s"] = p["s"].astype(np.int64)
+        return p
+
     partials = (
-        bucketed.groupby("__bkt")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {"__bkt": [int(g["__bkt"].iloc[0])], "s": [int(g[val_col].sum())]}
-            ),
-            batch_format="pandas",
-        )
+        bucketed.map_batches(block_partials, batch_format="pandas")
+        .groupby("__bkt")
+        .sum("s")
         .to_pandas()
+        .rename(columns={"sum(s)": "s"})
     )
     # phase 2: driver scalar prefix over n_buckets values
     partials = partials.sort_values("__bkt")
@@ -104,7 +117,7 @@ def pack_sequences(
     order_col: str,
     capacity: int,
     seq_col: str = "seq_id",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Assign each doc to a fixed-budget sequence:
     ``seq_id = floor(tokens_before / capacity)`` under ascending
