@@ -212,13 +212,18 @@ def ingest_with_views(
 
     # ---- probe the batch against accepted history + itself
     cols = [id_col, text_col]
-    # normalize the scan side to pandas blocks: the scan yields Arrow blocks,
-    # the materialized batch pandas ones, and a mixed-format union trips the
-    # executor's schema-divergence warning on every bundle boundary
-    scan_pd = table.scan().select_columns(cols).map_batches(
-        lambda b: b, batch_format="pandas"
+    # normalize the SMALL side (the incoming batch, bounded) to the scan's
+    # Arrow schema so the union is Arrow-native — never an identity pass
+    # over the table-sized scan side
+    tgt = pa.schema([table.schema.field(c) for c in cols])
+
+    def to_scan_schema(b: pa.Table) -> pa.Table:
+        return b.select(cols).cast(tgt)
+
+    batch_arrow = batch_ds.select_columns(cols).map_batches(
+        to_scan_schema, batch_format="pyarrow"
     )
-    corpus = scan_pd.union(batch_ds.select_columns(cols))
+    corpus = table.scan(columns=cols).union(batch_arrow)
     pairs = probe_jaccard_index(
         batch_ds, index_dir, corpus, threshold=threshold, id_col=id_col, text_col=text_col
     ).to_pandas()
@@ -294,7 +299,7 @@ def verify_index_coverage(store_root: str, id_col: str = "doc_id") -> dict:
 
         return f
 
-    table_ids = table.scan().select_columns([id_col]).map_batches(
+    table_ids = table.scan(columns=[id_col]).map_batches(
         keys_of(id_col, 0), batch_format="pandas"
     )
     both = table_ids

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..state.manifest import TranscriptTable
 from .changelog import changelog
@@ -71,23 +72,27 @@ def incremental_key_counts(
 
     delta = changelog(table, from_snapshot, to_snapshot, n_buckets)
 
-    def delta_counts(b: pd.DataFrame) -> pd.DataFrame:
+    def delta_counts(b: pd.DataFrame) -> pa.Table:
+        # emit Arrow so the union with an Arrow base (the persisted-view
+        # parquet read — the scale path) is Arrow-native; no identity pass
+        # over the table-sized base side
         if not len(b):  # typed empty: never poison the union's dtypes
-            return pd.DataFrame({key_col: pd.Series([], dtype=object), count_col: pd.Series([], dtype=np.int64)})
+            return pa.table(
+                {key_col: pa.array([], pa.string()), count_col: pa.array([], pa.int64())}
+            )
         sign = np.where(b["op"].to_numpy() == "insert", 1, -1)
         g = pd.DataFrame({key_col: b[key_col].to_numpy(), count_col: sign})
-        return g.groupby(key_col, as_index=False)[count_col].sum()
+        out = g.groupby(key_col, as_index=False)[count_col].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(key_col, as_index=False)[count_col].sum()
         return out[out[count_col] != 0]
 
-    # normalize the base side to pandas blocks before the union: the base is
-    # typically a parquet read (Arrow blocks) while the delta side is pandas —
-    # a mixed-format union makes the executor flag schema divergence on every
-    # bundle boundary
-    base_pd = base_counts.map_batches(lambda b: b, batch_format="pandas")
-    merged = base_pd.union(delta.map_batches(delta_counts, batch_format="pandas"))
+    # the base side unions AS-IS (whatever blocks it arrives in):
+    # bucketed_groupby's add_bucket map is the one format-normalizing pass,
+    # fused into useful work — never a dedicated identity pass over the base
+    merged = base_counts.union(delta.map_batches(delta_counts, batch_format="pandas"))
     return bucketed_groupby(merged, [key_col], combine, n_buckets)
 
 
@@ -161,25 +166,27 @@ def incremental_key_sums(
 
     delta = changelog(table, from_snapshot, to_snapshot, n_buckets)
 
-    def delta_sums(b: pd.DataFrame) -> pd.DataFrame:
+    def delta_sums(b: pd.DataFrame) -> pa.Table:
+        # Arrow out for an Arrow-native union with a parquet-read base —
+        # see delta_counts in incremental_key_counts
         if not len(b):
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    key_col: pd.Series([], dtype=object),
-                    count_col: pd.Series([], dtype=np.int64),
-                    sum_col: pd.Series([], dtype=np.int64),
+                    key_col: pa.array([], pa.string()),
+                    count_col: pa.array([], pa.int64()),
+                    sum_col: pa.array([], pa.int64()),
                 }
             )
         sign = np.where(b["op"].to_numpy() == "insert", 1, -1).astype(np.int64)
         g = pd.DataFrame(
             {key_col: b[key_col].to_numpy(), count_col: sign, sum_col: sign * val_fn(b)}
         )
-        return g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
+        out = g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
         return out[out[count_col] != 0]
 
-    base_pd = base_view.map_batches(lambda b: b, batch_format="pandas")
-    merged = base_pd.union(delta.map_batches(delta_sums, batch_format="pandas"))
+    merged = base_view.union(delta.map_batches(delta_sums, batch_format="pandas"))
     return bucketed_groupby(merged, [key_col], combine, n_buckets)
