@@ -27,27 +27,92 @@ def _rd():
     return rd
 
 
-def bucketed_groupby(ds, keys: list[str], combine, n_buckets: int = 64):
+def _col_hash64(col) -> np.ndarray:
+    """Vectorized uint64 hash of one Arrow column (any type) — integer
+    columns avalanche directly (no string round trip), strings go through
+    the version-stable :func:`..stages.skew.key_hash64`, everything else
+    casts to string first.  Used ONLY for bucket assignment: the exact hash
+    never affects results (rows with equal keys share a bucket either way)."""
+    from ..stages.skew import _splitmix64, key_hash64
+
+    t = col.type
+    if pa.types.is_integer(t):
+        v = col.fill_null(0).cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return _splitmix64(v.view(np.uint64))
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        col = col.cast(pa.string())
+    return key_hash64(col)
+
+
+def _with_bucket_arrow(b: pa.Table, keys: list[str], n_buckets: int) -> pa.Table:
+    """Append ``__bkt = hash(keys) % n_buckets`` to an Arrow block —
+    zero-copy in, one int64 column appended, no pandas conversion."""
+    h = np.zeros(b.num_rows, dtype=np.uint64)
+    for kcol in keys:
+        h ^= _col_hash64(b.column(kcol))
+    return b.append_column(
+        "__bkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+    )
+
+
+def _sorted_segments(g: pa.Table, key_col: str, order_cols: list[str]):
+    """Sort an Arrow bucket by ``(key, *order)`` and return
+    ``(sorted_table, segment_starts, segment_lengths)`` where segments are
+    the per-key runs — the shared backbone of the Arrow window kernels.
+    ``combine_chunks`` before ``take`` avoids the multi-chunk take cliff."""
+    import pyarrow.compute as pc
+
+    g = g.combine_chunks()
+    n = g.num_rows
+    sort_keys = [(key_col, "ascending")] + [(o, "ascending") for o in order_cols]
+    g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+    k = g.column(key_col)
+    if n > 1:
+        neq = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.flatnonzero(np.concatenate([[True], neq.astype(bool)]))
+    else:
+        starts = np.zeros(min(n, 1), dtype=np.int64)
+    lens = np.diff(np.append(starts, n))
+    return g, starts, lens
+
+
+def bucketed_groupby(
+    ds, keys: list[str], combine, n_buckets: int = 64, group_format: str = "pandas"
+):
     """High-cardinality groupby without per-key reducer overhead.
 
     Adds ``__bkt = hash(keys) % n_buckets`` so Ray shuffles into a BOUNDED
-    number of groups, then runs ``combine`` (a vectorized pandas groupby) once
-    per bucket.  Rows with equal keys always share a bucket, so per-bucket
-    combines are exact.  Use after a per-batch partial aggregation.
-    """
+    number of groups, then runs ``combine`` once per bucket.  Rows with
+    equal keys always share a bucket, so per-bucket combines are exact.
+    Use after a per-batch partial aggregation.
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(b), dtype=np.uint64)
-        for kcol in keys:
-            h ^= pd.util.hash_pandas_object(b[kcol], index=False).to_numpy(dtype=np.uint64)
-        b["__bkt"] = (h % n_buckets).astype(np.int64)
-        return b
+    The bucket map is Arrow-native (no pandas decode of the input blocks);
+    ``group_format`` picks what ``combine`` receives ("pandas" by default,
+    "pyarrow" for Arrow-native bucket kernels)."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return _with_bucket_arrow(b, keys, n_buckets)
+
+    if group_format == "pyarrow":
+
+        def run_bucket_pa(g: pa.Table) -> pa.Table:
+            return combine(g.drop_columns(["__bkt"]))
+
+        return (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bkt")
+            .map_groups(run_bucket_pa, batch_format="pyarrow")
+        )
 
     def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return combine(g.drop(columns="__bkt"))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bkt")
         .map_groups(run_bucket, batch_format="pandas")
     )
@@ -681,35 +746,32 @@ def anti_join_keys(
     is the honest scaling contract (the alternative, shipping full left
     rows through the exchange, moves strictly more bytes)."""
     import ray
+    import pyarrow.compute as pc
 
     rd = _rd()
 
     def keys_of(col, side):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            k = pd.unique(b[col])
-            return pd.DataFrame({"k": k, "side": np.full(len(k), side, dtype=np.int8)})
+        def f(b: pa.Table) -> pa.Table:
+            if col not in b.column_names:  # Ray 2.49 empty blocks are column-less
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "side": pa.array([], pa.int8())}
+                )
+            k = pc.unique(b.column(col))
+            return pa.table(
+                {"k": k, "side": pa.array(np.full(len(k), side, dtype=np.int8))}
+            )
 
         return f
 
-    both = left_ds.map_batches(keys_of(left_key, 0), batch_format="pandas").union(
-        right_ds.map_batches(keys_of(right_key, 1), batch_format="pandas")
+    both = left_ds.map_batches(keys_of(left_key, 0), batch_format="pyarrow").union(
+        right_ds.map_batches(keys_of(right_key, 1), batch_format="pyarrow")
     )
 
-    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
-        if "k" not in b.columns:  # Ray 2.49 empty blocks are column-less
-            return pd.DataFrame(
-                {
-                    "k": pd.Series(dtype=np.int64),
-                    "side": pd.Series(dtype=np.int8),
-                    "__bkt": pd.Series(dtype=np.int64),
-                }
-            )
-        h = pd.util.hash_pandas_object(b["k"], index=False).to_numpy(dtype=np.uint64)
-        b = b.copy()
-        b["__bkt"] = (h % n_buckets).astype(np.int64)
-        return b
+    def add_bkt(b: pa.Table) -> pa.Table:
+        return _with_bucket_arrow(b, ["k"], n_buckets)
 
     def unmatched(g: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket distinct keys only — tiny frames, pandas is fine here
         if "k" not in g.columns:  # Ray 2.49 empty exchange partitions are column-less
             return pd.DataFrame({"k": pd.Series(dtype=np.int64)})
         right = set(g.loc[g["side"] == 1, "k"])
@@ -717,7 +779,7 @@ def anti_join_keys(
         return pd.DataFrame({"k": lk[~lk.isin(right)]})
 
     adf = (
-        both.map_batches(add_bkt, batch_format="pandas")
+        both.map_batches(add_bkt, batch_format="pyarrow")
         .groupby("__bkt")
         .map_groups(unmatched, batch_format="pandas")
         .to_pandas()
@@ -726,17 +788,17 @@ def anti_join_keys(
     anti = adf["k"].to_numpy() if "k" in adf.columns else np.array([], dtype=np.int64)
     ref = ray.put(np.sort(anti))
 
-    def filt(b: pd.DataFrame) -> pd.DataFrame:
+    def filt(b: pa.Table) -> pa.Table:
         keys = ray.get(ref)
         if not len(keys):
-            return b.iloc[0:0]
-        arr = b[left_key].to_numpy()
-        pos = np.searchsorted(keys, arr)
-        pos_c = np.minimum(pos, len(keys) - 1)
-        hit = (keys[pos_c] == arr) & (pos < len(keys))
-        return b[hit]
+            return b.slice(0, 0)
+        col = b.column(left_key)
+        vs = pa.array(keys)
+        if vs.type != col.type:
+            vs = vs.cast(col.type)
+        return b.filter(pc.is_in(col, value_set=vs))
 
-    return left_ds.map_batches(filt, batch_format="pandas")
+    return left_ds.map_batches(filt, batch_format="pyarrow")
 
 
 def running_sum_by(
@@ -753,30 +815,26 @@ def running_sum_by(
     Arithmetic is exact int64 cents (the q1 pattern): scaled integer
     cumsum is associative and order-stable, so the result bit-matches a
     SQL window over ``CAST(val AS DECIMAL(18,2))`` regardless of the
-    engine's accumulation tree."""
+    engine's accumulation tree.  Arrow-native end to end: the bucket map
+    appends one int64 column to the zero-copy block, and the in-bucket
+    kernel is a single Arrow sort + numpy segment cumsum (no pandas
+    decode on this table-sized path)."""
+    import pyarrow.compute as pc
 
-    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(b[key_col], index=False).to_numpy(dtype=np.uint64)
-        b = b.copy()
-        b["__bkt"] = (h % n_buckets).astype(np.int64)
-        return b
+    def bucket_cumsum(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        g, starts, lens = _sorted_segments(g, key_col, order_cols)
+        cents = np.round(
+            g.column(val_col).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        c = np.cumsum(cents)
+        base = np.concatenate([[0], c[starts[1:] - 1]])
+        run = c - np.repeat(base, lens)
+        return g.append_column(out_col, pa.array(run / 100.0))
 
-    def bucket_cumsum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, *order_cols], kind="mergesort").copy()
-        cents = np.round(g[val_col].to_numpy(dtype=np.float64) * 100).astype(np.int64)
-        run = (
-            pd.Series(cents)
-            .groupby(g[key_col].to_numpy(), sort=False)
-            .cumsum()
-            .to_numpy()
-        )
-        g[out_col] = run / 100.0
-        return g.drop(columns="__bkt")
-
-    return (
-        ds.map_batches(add_bkt, batch_format="pandas")
-        .groupby("__bkt")
-        .map_groups(bucket_cumsum, batch_format="pandas")
+    return bucketed_groupby(
+        ds, [key_col], bucket_cumsum, n_buckets, group_format="pyarrow"
     )
 
 
@@ -788,13 +846,14 @@ def histogram_bins(
     Per-block partial counts (map-side combine) → one tiny keyed exchange of
     ``O(nbins)`` rows per block — the canonical distributed histogram."""
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        x = b[col].to_numpy(dtype=np.float64)
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         bins = np.floor((x - lo) / (hi - lo) * nbins).astype(np.int64) + 1
         bins = np.where(x < lo, 0, np.where(x >= hi, nbins + 1, np.clip(bins, 1, nbins)))
-        c = pd.Series(bins).value_counts()
-        return pd.DataFrame(
-            {"bin": c.index.to_numpy(dtype=np.int64), "n": c.to_numpy(dtype=np.int64)}
+        counts = np.bincount(bins, minlength=nbins + 2)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "n": pa.array(counts[nz].astype(np.int64))}
         )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -802,7 +861,7 @@ def histogram_bins(
         return c
 
     out = bucketed_groupby(
-        ds.map_batches(partial, batch_format="pandas"), ["bin"], combine, n_buckets
+        ds.map_batches(partial, batch_format="pyarrow"), ["bin"], combine, n_buckets
     ).to_pandas()
     return out.sort_values("bin").reset_index(drop=True)
 
@@ -818,23 +877,36 @@ def string_agg_by(
 ):
     """Per-key ORDERED string aggregation (``string_agg(val, sep ORDER BY
     …)``): one keyed exchange, in-bucket sort, vectorized groupby-join.
-    Order columns make the result deterministic on any cluster shape."""
+    Order columns make the result deterministic on any cluster shape.
+    Arrow-native: the per-key runs become one ListArray over the sorted
+    values and ``pc.binary_join`` concatenates every group in a single
+    kernel call — no pandas decode, no per-group Python join."""
+    import pyarrow.compute as pc
 
-    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(b[key_col], index=False).to_numpy(dtype=np.uint64)
-        b = b.copy()
-        b["__bkt"] = (h % n_buckets).astype(np.int64)
-        return b
+    def bucket_agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            kt = (
+                g.column(key_col).type
+                if key_col in g.column_names
+                else pa.string()
+            )
+            return pa.table(
+                {key_col: pa.array([], kt), out_col: pa.array([], pa.string())}
+            )
+        g, starts, _lens = _sorted_segments(g, key_col, order_cols)
+        n = g.num_rows
+        vals = g.column(val_col).combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.chunk(0) if vals.num_chunks else pa.array([], vals.type)
+        if not pa.types.is_string(vals.type):
+            vals = vals.cast(pa.string())
+        offsets = pa.array(np.append(starts, n).astype(np.int32), pa.int32())
+        joined = pc.binary_join(pa.ListArray.from_arrays(offsets, vals), sep)
+        keys_out = g.column(key_col).take(pa.array(starts))
+        return pa.table({key_col: keys_out, out_col: joined})
 
-    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, *order_cols], kind="mergesort")
-        out = g.groupby(key_col, sort=False)[val_col].agg(sep.join).reset_index()
-        return out.rename(columns={val_col: out_col})
-
-    return (
-        ds.map_batches(add_bkt, batch_format="pandas")
-        .groupby("__bkt")
-        .map_groups(bucket_agg, batch_format="pandas")
+    return bucketed_groupby(
+        ds, [key_col], bucket_agg, n_buckets, group_format="pyarrow"
     )
 
 
@@ -851,20 +923,26 @@ def rolling_sum_by(
     SQL ``SUM(v) OVER (PARTITION BY key ORDER BY … ROWS window-1
     PRECEDING)``.  Same one-exchange plan as :func:`rolling_max_by`;
     arithmetic in exact int64 cents so the result is independent of the
-    engine's accumulation tree (the q1/running_sum discipline)."""
+    engine's accumulation tree (the q1/running_sum discipline).
+    Arrow-native: rolling sum = cumsum difference over the per-key
+    segments (``c[i] - c[i-w]`` inside a segment, clipped at the segment
+    head) — one Arrow sort + O(n) numpy, no pandas decode."""
 
-    def bucket_roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col] + order_cols, kind="mergesort")
-        cents = np.round(g[value_col].to_numpy(dtype=np.float64) * 100).astype(np.int64)
-        r = (
-            pd.Series(cents)
-            .groupby(g[key_col].to_numpy(), sort=False)
-            .rolling(window, min_periods=1)
-            .sum()
-            .reset_index(drop=True)
-        )
-        out = g.copy()
-        out[out_col] = r.to_numpy(dtype=np.int64) / 100.0
-        return out
+    def bucket_roll(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        g, starts, lens = _sorted_segments(g, key_col, order_cols)
+        n = g.num_rows
+        cents = np.round(
+            g.column(value_col).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        c = np.cumsum(cents)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        seg_base = np.repeat(np.concatenate([[0], c[starts[1:] - 1]]), lens)
+        full = pos >= window
+        prev = np.where(full, c[np.maximum(np.arange(n) - window, 0)], seg_base)
+        return g.append_column(out_col, pa.array((c - prev) / 100.0))
 
-    return bucketed_groupby(ds, [key_col], bucket_roll, n_buckets)
+    return bucketed_groupby(
+        ds, [key_col], bucket_roll, n_buckets, group_format="pyarrow"
+    )
