@@ -240,6 +240,69 @@ def _mute_empty_block_schema_noise() -> None:
     ).addFilter(_EmptyBlockNoise())
 
 
+def _incremental_view_split() -> dict:
+    """Time the incremental count+sum view's SETUP (table build + compact +
+    MERGE + base view) separately from the REFRESH (applying the changelog
+    delta), and next to a FULL REBUILD of the same view — so the
+    O(delta)-vs-O(table) claim is a measured ratio and an operator
+    regression isn't hidden inside setup cost (the bench's
+    maint_incremental_sums row conflates them by construction)."""
+    import __ray_entry__ as entrymod
+    from quanterra_pipeline_ray.stages.compaction import compact
+    from quanterra_pipeline_ray.stages.incremental import incremental_key_sums, key_sums
+    from quanterra_pipeline_ray.stages.merge import merge_into
+
+    t0 = time.monotonic()
+    table, data = entrymod._maint_table(SF_DIR, "incsum_bench_split")
+    base = table.current_snapshot_id()
+    base_view = key_sums(table.scan(base), "conv_id").materialize()
+    compact(table, target_bytes=4 << 20)
+    merge_into(table, entrymod._merge_source(data), target_rows=100_000)
+    setup_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    refreshed = incremental_key_sums(
+        table, base, table.current_snapshot_id(), base_view
+    ).materialize()
+    refresh_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    rebuilt = key_sums(table.scan(), "conv_id").materialize()
+    rebuild_sec = time.monotonic() - t0
+    assert refreshed.count() == rebuilt.count()
+
+    # append-only regime: the case incremental maintenance exists for —
+    # a ~1% append's changelog is tiny, so refresh should beat rebuild
+    # (the churn regime above rewrites EVERY file by construction, so its
+    # "delta" is the whole table twice and rebuild wins; both are honest)
+    import os as _os
+
+    from quanterra_pipeline_ray.synth import fragment_table as _frag
+
+    base2 = table.current_snapshot_id()
+    view2 = rebuilt
+    small = data.slice(0, max(1, data.num_rows // 100))
+    table.register_fragments(
+        _frag(small, _os.path.join(table.root, "data", "bench_append"), 1)
+    )
+    t0 = time.monotonic()
+    refreshed2 = incremental_key_sums(
+        table, base2, table.current_snapshot_id(), view2
+    ).materialize()
+    append_refresh_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    rebuilt2 = key_sums(table.scan(), "conv_id").materialize()
+    append_rebuild_sec = time.monotonic() - t0
+    assert refreshed2.count() == rebuilt2.count()
+    return {
+        "setup_sec": round(setup_sec, 3),
+        "churn_refresh_sec": round(refresh_sec, 3),
+        "churn_full_rebuild_sec": round(rebuild_sec, 3),
+        "append_refresh_sec": round(append_refresh_sec, 3),
+        "append_full_rebuild_sec": round(append_rebuild_sec, 3),
+    }
+
+
 def run_once(include_queries: bool = True) -> dict:
     import ray
 
@@ -258,6 +321,11 @@ def run_once(include_queries: bool = True) -> dict:
 
     head = _headline()
     queries = _queries() if include_queries else {}
+    if include_queries:
+        try:
+            queries["incremental_view_split"] = _incremental_view_split()
+        except Exception as exc:  # pragma: no cover
+            queries["incremental_view_split"] = f"ERROR: {exc}"
     result = {
         "metric": "maintenance throughput (compact+zorder+merge), turns/sec",
         "value": head["headline_sec"],

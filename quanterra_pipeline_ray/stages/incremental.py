@@ -50,6 +50,86 @@ def key_counts(ds, key_col: str, count_col: str = "n_rows", n_buckets: int = 64)
     return bucketed_groupby(ds.map_batches(partial, batch_format="pandas"), [key_col], combine, n_buckets)
 
 
+def _apply_view_delta(
+    base_view, delta_agg, key_col: str, combine_raw, combine_final, n_buckets: int
+):
+    """Merge a per-key delta aggregate into a maintained view, shuffling
+    ONLY the affected keys.
+
+    The classic IVM plan re-shuffles base ∪ delta — O(view) exchange bytes
+    for any delta.  Here the delta aggregate (one row per CHANGED key, by
+    construction small) is reduced first, its key set broadcast via
+    ``ray.put``, and the view split into an untouched side (a pure Arrow
+    filter — never enters an exchange) and an affected side that unions
+    with the delta and re-combines.  Exchange bytes are O(changed keys);
+    driver memory is O(changed keys) — the same honest bound as
+    ``anti_join_keys`` (a delta whose key set can't broadcast can't be
+    applied by any plan that must name those keys).  When the delta
+    touches most of the view (churn-everything maintenance), the split
+    buys nothing and the plan falls back to the one-shuffle base ∪ delta
+    form.
+
+    ``combine_raw`` sums the abelian columns per key; ``combine_final``
+    additionally drops keys whose count reached zero.  The zero-drop MUST
+    NOT run on the delta alone: an in-place update nets a zero COUNT delta
+    but a nonzero SUM delta, and dropping it there would lose the change."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.relational import bucketed_groupby
+
+    # the per-block delta partials are O(changed keys × blocks) rows —
+    # bounded by the delta, so one map-only execution sizes the decision
+    delta_agg = delta_agg.materialize()
+    n_partial = delta_agg.count()
+    if n_partial == 0:
+        return base_view
+    base_n = base_view.count()
+    if base_n and n_partial > base_n // 2:
+        # churn regime: the delta touches most of the view — the split
+        # would read the view twice to save nothing, and the changed-key
+        # set may not fit the driver; one bucketed shuffle over
+        # base ∪ delta is the right plan there
+        merged = base_view.union(delta_agg)
+        return bucketed_groupby(merged, [key_col], combine_final, n_buckets)
+
+    # small delta: reduce it ON THE DRIVER (no exchange — the partials are
+    # bounded), broadcast the changed-key set, and split the view into an
+    # untouched side (pure Arrow filter, never shuffled) and an affected
+    # side small enough to combine driver-side too.  The refresh then
+    # costs the changelog scan + two map-only passes over the view —
+    # ZERO additional sort exchanges.
+    reduced_df = combine_raw(delta_agg.to_pandas())
+    affected_df = base_view.map_batches(
+        _in_keys_filter(key_col, reduced_df[key_col].to_numpy(), invert=False),
+        batch_format="pyarrow",
+    ).to_pandas()
+    updated_df = combine_final(pd.concat([affected_df, reduced_df], ignore_index=True))
+    # typed empty safety: build the Arrow block from the combined schema
+    updated = rd.from_arrow(pa.Table.from_pandas(updated_df, preserve_index=False))
+    untouched = base_view.map_batches(
+        _in_keys_filter(key_col, reduced_df[key_col].to_numpy(), invert=True),
+        batch_format="pyarrow",
+    )
+    return untouched.union(updated)
+
+
+def _in_keys_filter(key_col: str, keys, invert: bool):
+    """Arrow block filter: rows whose ``key_col`` is (not) in ``keys``."""
+    import pyarrow.compute as pc
+
+    vs0 = pa.array(pd.unique(np.asarray(keys, dtype=object)))
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b.column(key_col)
+        vs = vs0.cast(col.type) if vs0.type != col.type else vs0
+        mask = pc.is_in(col, value_set=vs)
+        return b.filter(pc.invert(mask) if invert else mask)
+
+    return f
+
+
 def incremental_key_counts(
     table: TranscriptTable,
     from_snapshot: int,
@@ -85,15 +165,17 @@ def incremental_key_counts(
         out = g.groupby(key_col, as_index=False)[count_col].sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key_col, as_index=False)[count_col].sum()
+    def combine_raw(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False)[count_col].sum()
+
+    def combine_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = combine_raw(g)
         return out[out[count_col] != 0]
 
-    # the base side unions AS-IS (whatever blocks it arrives in):
-    # bucketed_groupby's add_bucket map is the one format-normalizing pass,
-    # fused into useful work — never a dedicated identity pass over the base
-    merged = base_counts.union(delta.map_batches(delta_counts, batch_format="pandas"))
-    return bucketed_groupby(merged, [key_col], combine, n_buckets)
+    delta_agg = delta.map_batches(delta_counts, batch_format="pandas")
+    return _apply_view_delta(
+        base_counts, delta_agg, key_col, combine_raw, combine_final, n_buckets
+    )
 
 
 def incremental_conv_counts(
@@ -184,9 +266,14 @@ def incremental_key_sums(
         out = g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
+    def combine_raw(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False)[[count_col, sum_col]].sum()
+
+    def combine_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = combine_raw(g)
         return out[out[count_col] != 0]
 
-    merged = base_view.union(delta.map_batches(delta_sums, batch_format="pandas"))
-    return bucketed_groupby(merged, [key_col], combine, n_buckets)
+    delta_agg = delta.map_batches(delta_sums, batch_format="pandas")
+    return _apply_view_delta(
+        base_view, delta_agg, key_col, combine_raw, combine_final, n_buckets
+    )
