@@ -601,6 +601,29 @@ def _q_rolling_sum(sf_dir: str):
     )
 
 
+def _q_rolling_quantile(sf_dir: str):
+    """Per-user rolling MEDIAN over the last 7 events
+    (`relational.py:rolling_quantile_by`): the window-frame family's
+    order-statistic member — one keyed exchange, then a vectorized
+    NaN-padded lag matrix + np.nanquantile per bucket, matching SQL
+    quantile_cont's linear interpolation bit-for-bit."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import rolling_quantile_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = rolling_quantile_by(
+        ev, "user_id", ["ts", "event_id"], "value", window=7, q=0.5,
+        out_col="rolling_median",
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "rolling_median"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_streaming_reservoir(sf_dir: str):
     """Persisted streaming weighted reservoir
     (`functions/sampling.py:WeightedReservoir`): three sequential ingest
@@ -1652,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_arrivals_events": _q_late_arrivals,
         "streaming_reservoir_docs": _q_streaming_reservoir,
         "rolling_sum_value_events": _q_rolling_sum,
+        "rolling_median_value_events": _q_rolling_quantile,
         "event_type_paths": _q_event_type_paths,
         "split_assign_docs": _q_split_assign,
         "shuffle_order_docs": _q_shuffle_order,
@@ -2368,6 +2392,13 @@ SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum
+FROM events
+""".strip(),
+        "rolling_median_value_events": """
+SELECT event_id, user_id,
+       quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median
 FROM events
 """.strip(),
         # streaming reservoir == one-shot A-ExpJ sample over the union

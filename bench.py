@@ -190,6 +190,8 @@ def _queries() -> dict:
         "late_arrivals_events",
         "rolling_sum_value_events",
         "streaming_reservoir_docs",
+        # new in r5
+        "rolling_median_value_events",
     ]
     import ray.data
 

@@ -503,6 +503,60 @@ def rolling_max_by(
     return bucketed_groupby(ds, [key_col], bucket_roll, n_buckets)
 
 
+def rolling_quantile_by(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    q: float,
+    out_col: str = "rolling_q",
+    n_buckets: int = 64,
+):
+    """Per-key rolling CONTINUOUS quantile over the last ``window`` rows
+    (inclusive) — SQL ``quantile_cont(v, q) OVER (PARTITION BY key ORDER
+    BY … ROWS window-1 PRECEDING)``.  Completes the window-frame family
+    beside rolling MAX/SUM.
+
+    Arrow-native one-exchange plan (the :func:`running_sum_by` shape):
+    inside each bucket, the sorted values become ONE ``(n, window)``
+    NaN-padded lag matrix (column j = value j rows back, NaN when that
+    position crosses the segment head), every window row-sorts in a single
+    ``np.sort`` call (NaNs to the back), and the interpolation is computed
+    as ``(1-frac)*lower + frac*upper`` — DuckDB's ``quantile_cont``
+    arithmetic to the bit (verified against its window form on raw
+    doubles; both ``lower + frac*(upper-lower)`` and numpy's own
+    ``quantile`` lerp drift by 1 ulp on some pairs).  Memory per bucket is
+    ``n × window`` doubles, so size ``window`` like any frame clause
+    (frames are small by definition; unbounded frames belong to
+    :func:`running_sum_by`-style scans)."""
+
+    def bucket_q(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.float64()))
+        g, starts, lens = _sorted_segments(g, key_col, order_cols)
+        n = g.num_rows
+        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        lag = np.full((n, window), np.nan)
+        rows = np.arange(n, dtype=np.int64)
+        for j in range(window):
+            ok = pos >= j
+            lag[ok, j] = v[rows[ok] - j]
+        lag.sort(axis=1)  # NaNs sort to the back: valid prefix per row
+        count = np.minimum(pos + 1, window)
+        idx = q * (count - 1).astype(np.float64)
+        lo_i = np.floor(idx).astype(np.int64)
+        frac = idx - lo_i
+        hi_i = np.minimum(lo_i + 1, count - 1)
+        lo = lag[rows, lo_i]
+        hi = lag[rows, hi_i]
+        out = (1.0 - frac) * lo + frac * hi
+        return g.append_column(out_col, pa.array(out))
+
+    return bucketed_groupby(ds, [key_col], bucket_q, n_buckets, group_format="pyarrow")
+
+
 def distinct_count_by(
     ds,
     group_cols: list[str],

@@ -259,6 +259,49 @@ def test_rolling_max_by_matches_pandas_window():
     )
 
 
+def test_rolling_quantile_by_matches_pandas_window():
+    import numpy as np
+    import pandas as pd
+
+    from quanterra_pipeline_ray.pipelines.relational import rolling_quantile_by
+
+    rng = np.random.default_rng(23)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "uid": rng.integers(0, 40, size=n),
+            "t": rng.integers(0, 10_000, size=n),
+            "v": np.round(rng.uniform(0, 100, size=n), 2),
+        }
+    )
+    # q=0.3 exercises real interpolation (frac != 0 for most window sizes)
+    got = (
+        rolling_quantile_by(rd.from_pandas(df), "uid", ["t", "eid"], "v", window=4, q=0.3)
+        .to_pandas()
+        .sort_values(["uid", "t", "eid"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["uid", "t", "eid"]).reset_index(drop=True)
+    ref["rolling_q"] = (
+        ref.groupby("uid", sort=False)["v"]
+        .rolling(4, min_periods=1)
+        .quantile(0.3, interpolation="linear")
+        .reset_index(drop=True)
+        .to_numpy()
+    )
+    # pandas lerps differently at the last ulp; allclose is the right bar
+    # for the cross-engine check (the DuckDB oracle pins bit-exactness)
+    assert np.allclose(got["rolling_q"], ref["rolling_q"], rtol=1e-12, atol=0)
+    # the bit-exact property we rely on: (1-f)*lo + f*hi arithmetic
+    one = df[df["uid"] == df["uid"].iloc[0]].sort_values(["t", "eid"])["v"].to_numpy()
+    w = one[:2]
+    lo, hi = np.sort(w)
+    expect = (1.0 - 0.3) * lo + 0.3 * hi
+    got_row = got[(got["uid"] == df["uid"].iloc[0])].iloc[1]["rolling_q"]
+    assert got_row == expect
+
+
 def test_pivot_counts_matches_crosstab():
     import numpy as np
     import pandas as pd
