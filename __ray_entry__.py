@@ -1092,6 +1092,25 @@ def _q_contamination_ngram(sf_dir: str):
     return flag_contaminated_ngrams(ds, grams, n=3)
 
 
+def _q_contamination_ac(sf_dir: str):
+    """Aho–Corasick decontamination
+    (`functions/contamination.py:flag_contaminated_ac`): a MID-SIZE
+    benchmark set (8 character windows per doc of a seeded 20% sample —
+    thousands of phrases, the regime where the alternation regex of
+    `contamination_docs` degrades) matched by a goto/fail automaton built
+    once per actor; identical substring semantics, first-hit early exit."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.contamination import (
+        benchmark_phrase_windows,
+        flag_contaminated_ac,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    phrases = benchmark_phrase_windows(ds, fraction=0.2, seed=7)
+    return flag_contaminated_ac(ds, phrases)
+
+
 def _q_repeat_mix(sf_dir: str):
     """Epoch-weighted upsampling (`functions/sampling.py:repeat_mix`):
     even-numbered sources repeated 2.5× (2 copies + a seeded-md5 coin for
@@ -1666,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
+        "contamination_ac_docs": _q_contamination_ac,
         "maint_incremental_sums": _q_maint_incremental_sums,
         "customers_without_orders": _q_customers_without_orders,
         "running_sum_events": _q_running_sum_events,
@@ -2322,6 +2342,17 @@ FROM documents
         # benchmark set = chars [21, 60] (1-indexed substr) of the seeded 2%
         # sample (0.02 -> '051eb851'); a doc is contaminated iff its
         # lower-cased text contains ANY phrase as a plain substring
+        "contamination_ac_docs": """
+WITH bench AS (
+  SELECT DISTINCT lower(substr(d.text, CAST(21 + 17*t.k AS INT), 24)) AS phrase
+  FROM documents d, range(0, 8) t(k)
+  WHERE md5(CAST(d.doc_id AS VARCHAR) || ':7') < '33333333'
+    AND LENGTH(d.text) >= 44 + 17*t.k
+)
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM bench b WHERE contains(lower(d.text), b.phrase)) AS contaminated
+FROM documents d
+""".strip(),
         "contamination_docs": """
 WITH bench AS (
   SELECT DISTINCT lower(substr(text, 21, 40)) AS phrase

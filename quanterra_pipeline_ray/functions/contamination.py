@@ -101,6 +101,140 @@ def flag_contaminated(
     )
 
 
+def benchmark_phrase_windows(
+    ds,
+    fraction: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+    start: int = 20,
+    length: int = 24,
+    stride: int = 17,
+    count: int = 8,
+) -> list[str]:
+    """Mid-size benchmark set: ``count`` fixed character windows per sampled
+    doc (window k covers ``[start + stride*k, +length)``), lower-cased —
+    the multi-window generalization of :func:`benchmark_phrases` that
+    produces thousands-to-tens-of-thousands of phrases, the regime where
+    the alternation regex degrades and Aho–Corasick wins.  Small side by
+    construction; driver-collected by design."""
+    thr = fraction_threshold_hex(fraction)
+
+    def pick(b: pd.DataFrame):
+        import pyarrow as pa
+
+        keys = _md5_keys(b[id_col].to_numpy(), seed)
+        s = b.loc[keys < thr, text_col].astype(str).str.lower()
+        ph: set[str] = set()
+        for k in range(count):
+            off = start + stride * k
+            w = s[s.str.len() >= off + length].str.slice(off, off + length)
+            ph.update(w)
+        return pa.table({"phrase": pa.array(sorted(ph), type=pa.string())})
+
+    rows = ds.map_batches(pick, batch_format="pandas").take_all()
+    return sorted({r["phrase"] for r in rows})
+
+
+class AhoCorasick:
+    """Multi-pattern substring matcher (Aho & Corasick 1975, CACM 18(6)):
+    a trie over the phrases with BFS failure links, terminal flags
+    propagated through the links so ``contains_any`` can stop at the FIRST
+    hit.  Built once per actor (the stateful-stage discipline); matching is
+    the classic amortized-O(len) goto/fail loop.  Unlike the alternation
+    regex, build and match cost are independent of the phrase COUNT —
+    only total phrase bytes (trie edges) matter — so this is the kernel
+    for the mid-size regime (10^3–10^5 phrases) between `re` (dozens) and
+    hashed n-gram membership (millions of fixed-length grams)."""
+
+    def __init__(self, phrases: list[str]):
+        goto: list[dict[str, int]] = [{}]
+        terminal = [False]
+        for p in phrases:
+            if not p:
+                continue
+            st = 0
+            for ch in p:
+                nxt = goto[st].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    terminal.append(False)
+                    nxt = len(goto) - 1
+                    goto[st][ch] = nxt
+                st = nxt
+            terminal[st] = True
+        fail = [0] * len(goto)
+        from collections import deque
+
+        q = deque()
+        for ch, s in goto[0].items():
+            fail[s] = 0
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in goto[r].items():
+                q.append(s)
+                f = fail[r]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+                terminal[s] = terminal[s] or terminal[fail[s]]
+        self._goto, self._fail, self._terminal = goto, fail, terminal
+        self._empty = not any(terminal)
+
+    def contains_any(self, text: str) -> bool:
+        if self._empty:
+            return False
+        goto, fail, terminal = self._goto, self._fail, self._terminal
+        st = 0
+        for ch in text:
+            while st and ch not in goto[st]:
+                st = fail[st]
+            st = goto[st].get(ch, 0)
+            if terminal[st]:
+                return True
+        return False
+
+
+class ACContaminationFlagger:
+    """Actor stage: the Aho–Corasick automaton builds ONCE per actor from
+    the broadcast phrase list; each batch is one first-hit scan per doc."""
+
+    def __init__(self, phrases: list[str], id_col: str, text_col: str, out_col: str):
+        self.ac = AhoCorasick(phrases)
+        self.id_col, self.text_col, self.out_col = id_col, text_col, out_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        ac = self.ac
+        out = b[[self.id_col]].copy()
+        out[self.out_col] = np.fromiter(
+            (ac.contains_any(t.lower()) for t in b[self.text_col].astype(str)),
+            dtype=bool,
+            count=len(b),
+        )
+        return out
+
+
+def flag_contaminated_ac(
+    ds,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "contaminated",
+    concurrency: int = 8,
+):
+    """``(id, contaminated)`` via Aho–Corasick — identical semantics to
+    :func:`flag_contaminated` (lower-cased substring, ANY phrase), the
+    mid-size-phrase-set kernel.  Same broadcast-the-phrases shape: the
+    list rides the actor constructor once, never per batch."""
+    return ds.map_batches(
+        ACContaminationFlagger,
+        fn_constructor_args=(list(phrases), id_col, text_col, out_col),
+        batch_format="pandas",
+        concurrency=_pool_size(concurrency),
+    )
+
+
 def _word_ngrams(text: str, n: int) -> list[str]:
     ws = text.lower().split()
     return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]

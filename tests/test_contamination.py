@@ -92,3 +92,67 @@ def test_flag_contaminated_ngrams_membership_semantics():
     short = pd.DataFrame({"doc_id": [99], "text": ["two words"]})
     out = flag_contaminated_ngrams(rd.from_pandas(short), b1, n=3).to_pandas()
     assert not out["contaminated"].any()
+
+
+def test_aho_corasick_matches_regex_semantics():
+    """AC == compiled-alternation regex on adversarial cases: overlapping
+    phrases, phrases that are prefixes/suffixes of each other, fail-link
+    transitions mid-match, and random corpora."""
+    import re
+
+    from quanterra_pipeline_ray.functions.contamination import AhoCorasick
+
+    cases = [
+        (["he", "she", "his", "hers"], ["ushers", "shis", "ahishe", "xyz", "hh", ""]),
+        (["aa", "aaa"], ["a", "aa", "baa", "ab"]),
+        (["abcd"], ["abcabcd", "abc", "ababcd"]),
+        (["b", "abc"], ["aac", "ab", "c"]),
+    ]
+    rng = np.random.default_rng(3)
+    alpha = list("abcde")
+    rand_phrases = [
+        "".join(rng.choice(alpha, size=int(rng.integers(2, 6)))) for _ in range(50)
+    ]
+    rand_texts = ["".join(rng.choice(alpha, size=200)) for _ in range(40)]
+    cases.append((sorted(set(rand_phrases)), rand_texts))
+
+    for phrases, texts in cases:
+        ac = AhoCorasick(phrases)
+        rx = re.compile("|".join(re.escape(p) for p in phrases))
+        for t in texts:
+            assert ac.contains_any(t) == bool(rx.search(t)), (phrases, t)
+
+
+def test_flag_contaminated_ac_matches_regex_flagger():
+    from quanterra_pipeline_ray.functions.contamination import (
+        benchmark_phrase_windows,
+        flag_contaminated,
+        flag_contaminated_ac,
+    )
+
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "purchase"]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(words, size=int(rng.integers(20, 60))))
+                for _ in range(120)
+            ],
+        }
+    )
+    ds = rd.from_pandas(df)
+    phrases = benchmark_phrase_windows(ds, fraction=0.5, seed=7, count=4)
+    assert len(phrases) > 10
+    a = flag_contaminated_ac(ds, phrases).to_pandas().sort_values("doc_id")
+    b = flag_contaminated(ds, phrases).to_pandas().sort_values("doc_id")
+    assert a["contaminated"].to_list() == b["contaminated"].to_list()
+    assert a["contaminated"].any()
+
+    # empty benchmark: nothing flagged
+    none = flag_contaminated_ac(ds, []).to_pandas()
+    assert not none["contaminated"].any()
+
+    # deterministic + layout-invariant phrase windows
+    p2 = benchmark_phrase_windows(ds.repartition(7), fraction=0.5, seed=7, count=4)
+    assert phrases == p2
