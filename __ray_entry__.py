@@ -1256,6 +1256,41 @@ def _q_jaccard_incremental(sf_dir: str):
     return probe_jaccard_index(new, idx, ds, threshold=0.8)
 
 
+def _q_jaccard_probe_at_ref(sf_dir: str):
+    """Snapshot-pinned index probe (`functions/jaccard_index.py`:
+    index versions + named refs): the index is built over docs
+    (doc_id % 5 IN (1,2)), ref 'pin' is taken, the index then ADVANCES
+    (extend with doc_id % 5 IN (3,4), then a compaction — whose deletions
+    the ref must survive), and the batch (doc_id % 5 == 0) probes AT the
+    ref: pairs may touch only the pinned doc set, never the later
+    extension — snapshot isolation between table and index."""
+    import tempfile
+
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.jaccard_index import (
+        build_jaccard_index,
+        compact_jaccard_index,
+        extend_jaccard_index,
+        probe_jaccard_index,
+        set_index_ref,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    old = ds.map_batches(lambda b: b[(b["doc_id"] % 5).isin([1, 2])], batch_format="pandas")
+    later = ds.map_batches(lambda b: b[(b["doc_id"] % 5).isin([3, 4])], batch_format="pandas")
+    new = ds.map_batches(lambda b: b[b["doc_id"] % 5 == 0], batch_format="pandas")
+    idx = tempfile.mkdtemp(prefix="qpr_jref_", dir="/tmp")
+    build_jaccard_index(old, idx, n_buckets=64)
+    set_index_ref(idx, "pin")
+    extend_jaccard_index(later, idx)
+    compact_jaccard_index(idx, min_files_per_bucket=2)
+    corpus = ds.map_batches(
+        lambda b: b[(b["doc_id"] % 5).isin([0, 1, 2])], batch_format="pandas"
+    )
+    return probe_jaccard_index(new, idx, corpus, threshold=0.8, at_ref="pin")
+
+
 def _q_minhash_incremental(sf_dir: str):
     """Incremental near-dup via the PERSISTED MinHash-LSH band index
     (`functions/minhash_index.py`): constant per-doc index metadata (16 band
@@ -1707,6 +1742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r3 positions 51-70) ---
         "jaccard_pairs_docs": _q_jaccard_pairs,
         "jaccard_incremental_docs": _q_jaccard_incremental,
+        "jaccard_probe_at_ref_docs": _q_jaccard_probe_at_ref,
         "minhash_incremental_docs": _q_minhash_incremental,
         "ivf_index_topk_embeddings": _q_ivf_index_topk,
         "simhash_pairs_docs": _q_simhash_pairs,
@@ -2079,6 +2115,24 @@ SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)
         # incremental-index probe: same gram/J predicate as jaccard_pairs,
         # restricted to pairs touching the simulated ingest batch (doc_id%5=0)
         # — the persisted-index probe must be COMPLETE for this to hash-match
+        "jaccard_probe_at_ref_docs": """
+WITH gs AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams
+  FROM documents
+  WHERE doc_id % 5 IN (0, 1, 2)
+),
+p0 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         LEN(list_intersect(x.grams, y.grams)) AS inter,
+         LEN(x.grams) AS na, LEN(y.grams) AS nb
+  FROM gs x JOIN gs y
+    ON x.doc_id < y.doc_id
+   AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)
+   AND LEN(x.grams) >= 0.8 * LEN(y.grams)
+   AND LEN(y.grams) >= 0.8 * LEN(x.grams)
+)
+SELECT a, b FROM p0 WHERE inter >= 0.8 * (na + nb - inter)
+""".strip(),
         "jaccard_incremental_docs": """
 WITH gs AS (
   SELECT doc_id, list_distinct(list_transform(range(1, GREATEST(LENGTH(text)-3, 2)), i -> substr(text, CAST(i AS INT), 5))) AS grams

@@ -192,6 +192,8 @@ def _queries() -> dict:
         "streaming_reservoir_docs",
         # new in r5
         "rolling_median_value_events",
+        "contamination_ac_docs",
+        "jaccard_probe_at_ref_docs",
     ]
     import ray.data
 

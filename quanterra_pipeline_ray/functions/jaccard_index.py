@@ -176,6 +176,7 @@ def build_jaccard_index(
     }
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
+    meta["index_version"] = _commit_index_version(index_dir, "build")
     return meta
 
 
@@ -215,6 +216,12 @@ def compact_jaccard_index(index_dir: str, min_files_per_bucket: int = 2) -> dict
     if not items:
         return {"buckets_compacted": 0}
 
+    # files pinned by named refs survive compaction (the expire analogy);
+    # the merged file still covers their rows, and the unpinned probe
+    # tolerates the overlap by construction (postings consume distinct by
+    # (sh, doc); df is advisory) — same argument as the crash contract
+    protected = _ref_protected_files(index_dir)
+
     def compact_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         import uuid
 
@@ -241,7 +248,8 @@ def compact_jaccard_index(index_dir: str, min_files_per_bucket: int = 2) -> dict
                     pa.Table.from_pandas(df, preserve_index=False), out
                 )
                 for f in files:  # only after the merged file is durable
-                    os.remove(f)
+                    if os.path.relpath(f, index_dir) not in protected:
+                        os.remove(f)
             done.append(bkt)
         return pd.DataFrame({"bkt": np.array(done, dtype=np.int64)})
 
@@ -250,6 +258,8 @@ def compact_jaccard_index(index_dir: str, min_files_per_bucket: int = 2) -> dict
         .map_batches(compact_bucket, batch_format="pandas", batch_size=None)
         .count()
     )
+    if os.path.isdir(os.path.join(index_dir, _VERSIONS)):
+        _commit_index_version(index_dir, "compact")
     return {"buckets_compacted": int(out)}
 
 
@@ -259,6 +269,108 @@ def index_file_count(index_dir: str) -> int:
     import glob
 
     return len(glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True))
+
+
+# --------------------------------------------------------- index versions
+# The index advances like the table: every build/extend/compact COMMITS a
+# version record (the live postings/df file set + the meta at commit time),
+# and named refs pin versions the way table refs pin snapshots.  A probe
+# ``at_version``/``at_ref`` reads exactly that version's file set, so a
+# reader pinned to table snapshot s(N) can probe the index state of s(N)
+# (the continuous flow sets ref ``s{N}`` at each commit).  Soundness of
+# the unpinned pieces: blooms are OR-advisory (extra blobs only reduce
+# skips) and df is advisory by the pigeonhole argument, so only the
+# postings/df file sets need pinning for exact results.
+_VERSIONS = "versions"
+_REFS = "refs.json"
+
+
+def _live_index_files(index_dir: str) -> list[str]:
+    """Relative paths of the current postings/df parquet files — the
+    version record's payload (blooms stay unversioned: advisory-only)."""
+    import glob
+
+    out = []
+    for table in (_POSTINGS, _DF):
+        for p in glob.glob(os.path.join(index_dir, table, "bkt=*", "*.parquet")):
+            out.append(os.path.relpath(p, index_dir))
+    return sorted(out)
+
+
+def index_version(index_dir: str) -> int:
+    """Latest committed version id (0 when the index predates versioning)."""
+    import glob
+
+    vs = glob.glob(os.path.join(index_dir, _VERSIONS, "v*.json"))
+    return max(
+        (int(os.path.basename(v)[1:-5]) for v in vs),
+        default=0,
+    )
+
+
+def _commit_index_version(index_dir: str, op: str) -> int:
+    """Durably record the current live file set as the next version."""
+    n = index_version(index_dir) + 1
+    vdir = os.path.join(index_dir, _VERSIONS)
+    os.makedirs(vdir, exist_ok=True)
+    rec = {
+        "version": n,
+        "op": op,
+        "files": _live_index_files(index_dir),
+        "meta": read_index_meta(index_dir),
+    }
+    tmp = os.path.join(vdir, f"v{n:06d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(vdir, f"v{n:06d}.json"))
+    return n
+
+
+def read_index_version(index_dir: str, version: int) -> dict:
+    with open(os.path.join(index_dir, _VERSIONS, f"v{version:06d}.json")) as f:
+        return json.load(f)
+
+
+def read_index_refs(index_dir: str) -> dict:
+    p = os.path.join(index_dir, _REFS)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def set_index_ref(index_dir: str, name: str, version: int | None = None) -> int:
+    """Pin ``name`` to ``version`` (default: the latest).  Ref'd versions'
+    files are PROTECTED from compaction deletion — the expire analogy."""
+    v = index_version(index_dir) if version is None else int(version)
+    refs = read_index_refs(index_dir)
+    refs[name] = v
+    tmp = os.path.join(index_dir, _REFS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, os.path.join(index_dir, _REFS))
+    return v
+
+
+def drop_index_ref(index_dir: str, name: str) -> None:
+    refs = read_index_refs(index_dir)
+    refs.pop(name, None)
+    tmp = os.path.join(index_dir, _REFS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, os.path.join(index_dir, _REFS))
+
+
+def _ref_protected_files(index_dir: str) -> set[str]:
+    """Relative paths referenced by ANY named ref — compaction must not
+    delete these (a pinned probe would lose its exact file set)."""
+    out: set[str] = set()
+    for v in read_index_refs(index_dir).values():
+        try:
+            out.update(read_index_version(index_dir, int(v))["files"])
+        except FileNotFoundError:
+            continue
+    return out
 
 
 def read_index_meta(index_dir: str) -> dict:
@@ -287,8 +399,12 @@ def extend_jaccard_index(
         json.dump(meta, f)
     # standalone extends accumulate per-bucket fragments exactly like the
     # continuous flow's: merge once any bucket holds >= 8 (cheap glob scan
-    # when under; layout-only, crash-safe — see compact_jaccard_index)
+    # when under; layout-only, crash-safe — see compact_jaccard_index).
+    # Compact BEFORE committing the extend's version so the version record
+    # references the post-compaction live set (a ref taken on it is then
+    # never invalidated by this extend's own housekeeping).
     compact_jaccard_index(index_dir, min_files_per_bucket=8)
+    meta["index_version"] = _commit_index_version(index_dir, "extend")
     return meta
 
 
@@ -334,9 +450,13 @@ def _bloom_keep(
     return keep
 
 
-def _partition_paths(index_dir: str, table: str, buckets) -> list[str]:
+def _partition_paths(
+    index_dir: str, table: str, buckets, file_set: set[str] | None = None
+) -> list[str]:
     """Existing hive-partition dirs for the requested buckets (the pruned
-    read set — everything else in the index is never opened)."""
+    read set — everything else in the index is never opened).  With
+    ``file_set`` (a pinned version's relative paths), only files in that
+    set are eligible — the snapshot-pinned read."""
     import glob
 
     paths = []
@@ -345,12 +465,21 @@ def _partition_paths(index_dir: str, table: str, buckets) -> list[str]:
         if os.path.isdir(p):
             # expand to the partition's data files: Ray 2.49 read_parquet
             # rejects directory entries inside a multi-path list
-            paths.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+            found = sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if file_set is not None:
+                found = [f for f in found if os.path.relpath(f, index_dir) in file_set]
+            paths.extend(found)
     return paths
 
 
 def _read_partitions(
-    index_dir: str, table: str, buckets, columns, n_buckets: int, sh_values=None
+    index_dir: str,
+    table: str,
+    buckets,
+    columns,
+    n_buckets: int,
+    sh_values=None,
+    file_set: set[str] | None = None,
 ):
     """Pruned read of index partitions; re-derives ``bkt`` from ``sh`` (the
     hive dir name carries it, but recomputing avoids partitioning-inference
@@ -359,7 +488,7 @@ def _read_partitions(
     shingle the probe actually holds leave the scan."""
     import ray.data
 
-    paths = _partition_paths(index_dir, table, buckets)
+    paths = _partition_paths(index_dir, table, buckets, file_set)
     if not paths:
         return None
 
@@ -452,6 +581,7 @@ def _probe_small(
     blooms_ok: bool,
     stats: dict,
     n_buckets_pairs: int,
+    file_set: set[str] | None = None,
 ):
     """Exchange-free probe plan for a SMALL batch (the continuous-ingest
     common case): batch postings live on the driver (O(batch), bounded by
@@ -465,7 +595,9 @@ def _probe_small(
 
     np_df = new_post.to_pandas()
     push_sh = probe_sh if probe_sh.size <= _PUSHDOWN_SH_CAP else None
-    df_ds = _read_partitions(index_dir, _DF, df_bkts, ["sh", "df"], nb, sh_values=push_sh)
+    df_ds = _read_partitions(
+        index_dir, _DF, df_bkts, ["sh", "df"], nb, sh_values=push_sh, file_set=file_set
+    )
     if df_ds is not None:
         df_df = df_ds.to_pandas()
         if push_sh is None:  # not filtered at the scan: filter on arrival
@@ -492,7 +624,13 @@ def _probe_small(
 
     push_prefix = prefix_sh if prefix_sh.size <= _PUSHDOWN_SH_CAP else None
     idx_post = _read_partitions(
-        index_dir, _POSTINGS, post_bkts, ["sh", "doc", "size"], nb, sh_values=push_prefix
+        index_dir,
+        _POSTINGS,
+        post_bkts,
+        ["sh", "doc", "size"],
+        nb,
+        sh_values=push_prefix,
+        file_set=file_set,
     )
     pref_ref = ray.put(prefix)
 
@@ -535,6 +673,8 @@ def probe_jaccard_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets_pairs: int = 64,
+    at_version: int | None = None,
+    at_ref: str | None = None,
 ):
     """All pairs ``(a, b)`` with exact n-gram ``J >= threshold`` where at
     least one side is in ``new_ds`` — new-vs-indexed AND new-vs-new (so one
@@ -556,8 +696,27 @@ def probe_jaccard_index(
        ``t*|p| <= |q| <= |p|/t``;
     5. ``_dedupe_pairs -> _attach_side_texts -> _verify_pairs`` — exact
        confirmation; hash collisions only ever ADD candidates.
+
+    ``at_version`` / ``at_ref`` pin the probe to a committed index
+    VERSION: only that version's postings/df files are read, so the
+    result equals a probe against the index as it stood at that commit —
+    snapshot isolation between table and index (the continuous flow sets
+    ref ``s{N}`` per table snapshot).  Named refs protect their files
+    from compaction deletion; blooms stay live (OR-advisory, so newer
+    blobs can only reduce pruning, never change results).
     """
-    meta = read_index_meta(index_dir)
+    file_set: set[str] | None = None
+    if at_ref is not None:
+        refs = read_index_refs(index_dir)
+        if at_ref not in refs:
+            raise KeyError(f"unknown index ref {at_ref!r}")
+        at_version = int(refs[at_ref])
+    if at_version is not None:
+        rec = read_index_version(index_dir, at_version)
+        file_set = set(rec["files"])
+        meta = rec["meta"]
+    else:
+        meta = read_index_meta(index_dir)
     k, nb = int(meta["shingle_k"]), int(meta["n_buckets"])
     blooms_ok = int(meta.get("version", 1)) >= 2
     new_post = (
@@ -594,9 +753,12 @@ def probe_jaccard_index(
             blooms_ok=blooms_ok,
             stats=stats,
             n_buckets_pairs=n_buckets_pairs,
+            file_set=file_set,
         )
     push_sh = probe_sh if probe_sh is not None and probe_sh.size <= _PUSHDOWN_SH_CAP else None
-    df_ds = _read_partitions(index_dir, _DF, df_bkts, ["sh", "df"], nb, sh_values=push_sh)
+    df_ds = _read_partitions(
+        index_dir, _DF, df_bkts, ["sh", "df"], nb, sh_values=push_sh, file_set=file_set
+    )
 
     def tag_post(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()

@@ -40,6 +40,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.jaccard_index import (
+    set_index_ref,
     build_jaccard_index,
     extend_jaccard_index,
     probe_jaccard_index,
@@ -146,6 +147,7 @@ def _catch_up_index(
     rows = delta.map_batches(inserts, batch_format="pandas").materialize()
     if rows.count():
         extend_jaccard_index(rows, index_dir, id_col=id_col, text_col=text_col)
+    set_index_ref(index_dir, f"s{cur}")
     state["indexed_snapshot"] = cur
     _write_state(store_root, state)
 
@@ -192,6 +194,7 @@ def ingest_with_views(
             shingle_k=shingle_k,
             n_buckets=n_buckets,
         )
+        set_index_ref(index_dir, f"s{table.current_snapshot_id()}")
         state = {
             "indexed_snapshot": table.current_snapshot_id(),
             "view_snapshot": table.current_snapshot_id(),
@@ -248,6 +251,9 @@ def ingest_with_views(
         extend_jaccard_index(
             survivors.select_columns(cols), index_dir, id_col=id_col, text_col=text_col
         )
+        # pin this snapshot's index state: a reader at table snapshot s(N)
+        # probes the index version named s{N} (compaction keeps its files)
+        set_index_ref(index_dir, f"s{snap.snapshot_id}")
         state["indexed_snapshot"] = snap.snapshot_id
         _write_state(store_root, state)
         # index maintenance rides the ingest cadence: merge a bucket's

@@ -277,3 +277,100 @@ def test_probe_on_zipf_corpus_matches_bruteforce(ray_session, tmp_path):
     )
     want = _true_pairs(union, set(new["doc_id"]))
     assert got == want and len(got) >= 2
+
+
+def test_index_refs_pin_probe_state_and_survive_compaction(ray_session, tmp_path):
+    """Snapshot-pinned index versions (the table named-refs analogy): a
+    probe at a ref sees exactly the index state at that commit — later
+    extends never surface — and compaction must not delete the ref'd
+    version's files (mirrors test_named_refs_protect_snapshots_from_expiry)."""
+    import glob
+
+    from quanterra_pipeline_ray.functions.jaccard_index import (
+        compact_jaccard_index,
+        index_version,
+        read_index_refs,
+        read_index_version,
+        set_index_ref,
+    )
+
+    old = _corpus(seed=1, n=12)
+    later = _corpus(seed=2, n=12, start_id=1_000)
+    # probe batch: one near-dup of an OLD doc and one of a LATER doc
+    new = pd.DataFrame(
+        {
+            "doc_id": np.array([5_000, 5_001], dtype=np.int64),
+            "text": [old["text"].iloc[0], later["text"].iloc[0]],
+        }
+    )
+    union = pd.concat([old, later, new], ignore_index=True)
+    idx = str(tmp_path / "jref")
+
+    build_jaccard_index(rd.from_pandas(old), idx, n_buckets=32)
+    v_pin = set_index_ref(idx, "pin")
+    assert read_index_refs(idx) == {"pin": v_pin}
+    corpus = rd.from_pandas(union)
+
+    pinned_before = _got_pairs(
+        probe_jaccard_index(rd.from_pandas(new), idx, corpus, at_ref="pin")
+    )
+    want_old_only = _true_pairs(
+        pd.concat([old, new], ignore_index=True), {5_000, 5_001}
+    )
+    assert pinned_before == want_old_only and len(pinned_before) >= 1
+
+    # the index advances
+    extend_jaccard_index(rd.from_pandas(later), idx)
+    assert index_version(idx) > v_pin
+    unpinned = _got_pairs(probe_jaccard_index(rd.from_pandas(new), idx, corpus))
+    want_all = _true_pairs(union, {5_000, 5_001})
+    assert unpinned == want_all and len(unpinned) > len(pinned_before)
+
+    # pinned probe unchanged by the extend
+    assert (
+        _got_pairs(probe_jaccard_index(rd.from_pandas(new), idx, corpus, at_ref="pin"))
+        == pinned_before
+    )
+
+    # compaction merges fragments but PRESERVES the ref'd version's files
+    pinned_files = set(read_index_version(idx, v_pin)["files"])
+    compact_jaccard_index(idx, min_files_per_bucket=2)
+    import os
+
+    on_disk = {
+        os.path.relpath(p, idx)
+        for p in glob.glob(os.path.join(idx, "**", "*.parquet"), recursive=True)
+    }
+    assert pinned_files <= on_disk, "compaction deleted ref-protected files"
+    assert (
+        _got_pairs(probe_jaccard_index(rd.from_pandas(new), idx, corpus, at_ref="pin"))
+        == pinned_before
+    )
+    # at_version addresses the same state; unknown refs raise
+    assert (
+        _got_pairs(
+            probe_jaccard_index(rd.from_pandas(new), idx, corpus, at_version=v_pin)
+        )
+        == pinned_before
+    )
+    with pytest.raises(KeyError):
+        probe_jaccard_index(rd.from_pandas(new), idx, corpus, at_ref="nope")
+
+
+def test_index_compaction_deletes_unpinned_fragments(ray_session, tmp_path):
+    """Without a ref, compaction still reclaims fragment files (the expire
+    analogy: only refs protect old versions)."""
+    from quanterra_pipeline_ray.functions.jaccard_index import (
+        compact_jaccard_index,
+        index_file_count,
+    )
+
+    idx = str(tmp_path / "junpin")
+    build_jaccard_index(rd.from_pandas(_corpus(seed=3, n=10)), idx, n_buckets=16)
+    for s in (4, 5, 6):
+        extend_jaccard_index(
+            rd.from_pandas(_corpus(seed=s, n=10, start_id=s * 1_000)), idx
+        )
+    before = index_file_count(idx)
+    compact_jaccard_index(idx, min_files_per_bucket=2)
+    assert index_file_count(idx) < before
