@@ -86,6 +86,24 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--param", nargs="*", default=[], metavar="K=V")
     c.add_argument("--poll-interval", type=float, default=5.0)
     c.add_argument("--no-wait", action="store_true", help="trigger only, print run id")
+    c.add_argument(
+        "--detach",
+        action="store_true",
+        help="submit as a DETACHED process (survives this CLI); poll with flow-wait",
+    )
+
+    c = table_cmd("flow-status", "state of a submitted flow run")
+    c.add_argument("--run-id", required=True)
+
+    c = table_cmd("flow-wait", "poll a submitted flow run to completion")
+    c.add_argument("--run-id", required=True)
+    c.add_argument("--poll-interval", type=float, default=5.0)
+    c.add_argument("--timeout", type=float, default=3600.0)
+
+    c = table_cmd("flow-worker", "internal: execute a submitted run in this process")
+    c.add_argument("--flow", required=True)
+    c.add_argument("--run-id", required=True)
+    c.add_argument("--param", nargs="*", default=[], metavar="K=V")
 
     c = sub.add_parser("update", help="self-update from a release root (version manifest)")
     c.add_argument("--env", default="dev", help="settings environment (dev|prod)")
@@ -152,7 +170,8 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_ray = not ray.is_initialized()
     if owns_ray and args.cmd not in (
-        "create", "status", "log", "evolve", "update", "rollback", "rewrite-manifests"
+        "create", "status", "log", "evolve", "update", "rollback", "rewrite-manifests",
+        "flow-status", "flow-wait",
     ):
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
@@ -347,17 +366,32 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0
-        elif args.cmd == "run-flow":
+        elif args.cmd in ("run-flow", "flow-worker", "flow-status", "flow-wait"):
             from .flowctl import FlowRunner, default_flows
 
             params: dict = {}
-            for kv in args.param:
+            for kv in getattr(args, "param", []):
                 k, v = kv.split("=", 1)
                 try:
                     params[k] = json.loads(v)
                 except json.JSONDecodeError:
                     params[k] = v
             runner = FlowRunner(args.root, default_flows())
+            if args.cmd == "flow-status":
+                print(json.dumps({"run_id": args.run_id, **runner.state(args.run_id)}, sort_keys=True))
+                return 0
+            if args.cmd == "flow-wait":
+                doc = runner.poll(args.run_id, interval_s=args.poll_interval, timeout_s=args.timeout)
+                print(json.dumps({"run_id": args.run_id, **doc}, sort_keys=True))
+                return 0
+            if args.cmd == "flow-worker":
+                doc = runner.execute_published(args.flow, args.run_id, params)
+                print(json.dumps({"run_id": args.run_id, **doc}, sort_keys=True))
+                return 0 if doc["state"] == "COMPLETED" else 1
+            if args.detach:
+                run_id = runner.submit(args.flow, params)
+                print(json.dumps({"run_id": run_id, "state": runner.state(run_id)["state"]}))
+                return 0
             run_id = runner.trigger(args.flow, params)
             if args.no_wait:
                 print(json.dumps({"run_id": run_id, "state": runner.state(run_id)["state"]}))

@@ -207,6 +207,51 @@ class FlowRunner:
         """Trigger + poll in one call (the CLI's synchronous path)."""
         return self.poll(self.trigger(flow, parameters), interval_s, timeout_s)
 
+    def submit(self, flow: str, parameters: dict[str, Any] | None = None) -> str:
+        """DETACHED submit: the flow runs in its own process (a new session,
+        surviving this CLI's exit) and publishes state transitions to the
+        shared flow document — the reference's ``run_deployment`` +
+        remote-worker lifecycle (`upload_transactions.py:59-72`), with the
+        flow doc standing in for the Prefect API.  Poll from ANY process
+        via :meth:`poll` / ``qpr flow-wait``.  Returns the run id
+        immediately."""
+        import subprocess
+        import sys
+
+        if flow not in self.flows and flow not in default_flows():
+            raise KeyError(f"unknown flow {flow!r}")
+        run_id = f"{flow}-{uuid.uuid4().hex[:12]}"
+        params = dict(parameters or {})
+        self._publish(run_id, flow=flow, state="PENDING", parameters=params)
+        log_path = os.path.join(self.root, "flows", f"{run_id}.log")
+        argv = [
+            sys.executable, "-m", "quanterra_pipeline_ray.cli",
+            "flow-worker", self.root, "--flow", flow, "--run-id", run_id,
+        ]
+        for k, v in params.items():
+            argv += ["--param", f"{k}={json.dumps(v)}"]
+        with open(log_path, "ab") as log:
+            subprocess.Popen(
+                argv, stdout=log, stderr=log, start_new_session=True, cwd=os.getcwd()
+            )
+        return run_id
+
+    def execute_published(self, flow: str, run_id: str, parameters: dict[str, Any]) -> dict[str, Any]:
+        """Worker-side body of a submitted run: execute the flow in THIS
+        process, publishing RUNNING → COMPLETED/FAILED to the shared doc."""
+        self._publish(run_id, flow=flow, state="RUNNING", parameters=parameters)
+        try:
+            result = self.flows[flow](self.root, **parameters)
+            summary = result if isinstance(result, (dict, list, str, int, float)) else str(result)
+            self._publish(
+                run_id, flow=flow, state="COMPLETED", parameters=parameters, result=summary
+            )
+        except Exception as exc:
+            self._publish(
+                run_id, flow=flow, state="FAILED", parameters=parameters, message=str(exc)
+            )
+        return self.state(run_id)
+
 
 def default_flows() -> dict[str, Callable[..., Any]]:
     """Built-in deployments: the maintenance pipeline stages by name."""

@@ -255,3 +255,46 @@ def test_cli_text_search(tmp_path, capsys):
     assert main(["text-search", root, "--tokens", "banana", "green", "--mode", "or"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sorted(r["text"] for r in out["rows"]) == ["green apple", "red banana"]
+
+
+def test_cli_detached_submit_then_poll(tmp_path, capsys):
+    """The reference's trigger-and-poll lifecycle against a DETACHED run
+    (`upload_transactions.py:53-72`): run-flow --detach submits the flow
+    into its own process (surviving the submitting CLI), flow-status reads
+    the shared state doc from a separate invocation, and flow-wait polls
+    it to COMPLETED — then the table shows the compaction really ran."""
+    import json as _json
+
+    from quanterra_pipeline_ray.cli import main
+    from quanterra_pipeline_ray.state.manifest import TranscriptTable
+    from quanterra_pipeline_ray.synth import content_fingerprint
+
+    root = str(tmp_path / "t")
+    data = generate_transcripts(n_convs=8, seed=5, hot_convs=0)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(data, src)
+    assert main(["create", root]) == 0
+    assert main(["append", root, "--parquet", src]) == 0
+    capsys.readouterr()
+
+    assert main(["run-flow", root, "--flow", "compact", "--detach"]) == 0
+    sub = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    run_id = sub["run_id"]
+    assert sub["state"] in ("PENDING", "RUNNING")
+
+    # status is observable from a different CLI invocation immediately
+    assert main(["flow-status", root, "--run-id", run_id]) == 0
+    st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["state"] in ("PENDING", "RUNNING", "COMPLETED")
+
+    # poll to terminal (worker is a separate detached process)
+    assert (
+        main(["flow-wait", root, "--run-id", run_id, "--poll-interval", "0.2",
+              "--timeout", "240"]) == 0
+    )
+    doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["state"] == "COMPLETED" and doc["flow"] == "compact"
+
+    table = TranscriptTable.load(root)
+    assert content_fingerprint(table.read_all()) == content_fingerprint(data)
+    assert table.snapshots()[-1].operation == "compact"
