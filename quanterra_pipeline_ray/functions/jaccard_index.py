@@ -113,7 +113,7 @@ def _bloom_rows(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _append_postings(post_ds, index_dir: str) -> dict:
+def _append_postings(post_ds, index_dir: str, n_buckets: int | None = None) -> dict:
     """Append a posting Dataset (with its df deltas and per-bucket shingle
     blooms) under ``index_dir``; returns counters.  All writes are
     hive-partitioned / directory APPENDs — extending the index never
@@ -124,14 +124,28 @@ def _append_postings(post_ds, index_dir: str) -> dict:
     n_post = post_ds.count()
     if n_post == 0:  # empty build/extend (bootstrap store)
         return {"n_postings": 0, "n_docs": 0}
-    # coalesce before the partitioned write: Ray writes one file per
-    # (block x partition value), so an un-coalesced posting set fans out
-    # into thousands of tiny per-bucket files and every later probe pays
-    # a metadata-bound read (measured: 16k files / 19 s to read 64k rows).
-    # 2M rows/block (~60 MB) keeps file count = ceil(n/2M) per bucket.
-    post_ds = post_ds.repartition(max(1, -(-n_post // 2_000_000)))
+    wide = n_buckets is not None and int(n_buckets) > 512
+    if wide:
+        # WIDE index (cluster-scale bucket counts): pyarrow caps one write
+        # fragment at 1024 hive partitions, and an unsorted partitioned
+        # write mints one file per (block x bucket) anyway — so sort by
+        # bucket first.  Blocks become bucket-CONTIGUOUS: each write task
+        # touches a narrow bucket range (cap satisfied at any n_buckets)
+        # and each bucket's rows land in few contiguous files (less
+        # compaction debt).  One extra exchange, already amortized by the
+        # build/extend batch size.
+        post_ds = post_ds.sort("bkt").materialize()
+    else:
+        # coalesce before the partitioned write: Ray writes one file per
+        # (block x partition value), so an un-coalesced posting set fans out
+        # into thousands of tiny per-bucket files and every later probe pays
+        # a metadata-bound read (measured: 16k files / 19 s to read 64k rows).
+        # 2M rows/block (~60 MB) keeps file count = ceil(n/2M) per bucket.
+        post_ds = post_ds.repartition(max(1, -(-n_post // 2_000_000)))
     post_ds.write_parquet(os.path.join(index_dir, _POSTINGS), partition_cols=["bkt"])
     df_ds = post_ds.groupby("bkt").map_groups(_df_rows, batch_format="pandas")
+    if wide:
+        df_ds = df_ds.sort("bkt")
     df_ds.write_parquet(os.path.join(index_dir, _DF), partition_cols=["bkt"])
     blooms = post_ds.groupby("bkt").map_groups(_bloom_rows, batch_format="pandas")
     blooms.write_parquet(os.path.join(index_dir, _BLOOMS))
@@ -159,7 +173,7 @@ def build_jaccard_index(
     cluster-scale corpora (more, smaller partition files)."""
     os.makedirs(index_dir, exist_ok=True)
     post = ds.map_batches(_postings_fn(id_col, text_col, shingle_k, n_buckets), batch_format="pandas")
-    counters = _append_postings(post, index_dir)
+    counters = _append_postings(post, index_dir, n_buckets)
     # a multi-block build writes one file per (block x bucket); merge them
     # now (3.7 s at 17.5M postings) so the FIRST probe already reads one
     # file per bucket — measured 73 -> 16 s on a 50k-doc Zipf corpus
@@ -392,7 +406,7 @@ def extend_jaccard_index(
         _postings_fn(id_col, text_col, meta["shingle_k"], meta["n_buckets"]),
         batch_format="pandas",
     )
-    counters = _append_postings(post, index_dir)
+    counters = _append_postings(post, index_dir, int(meta["n_buckets"]))
     meta["n_postings"] += counters["n_postings"]
     meta["n_docs"] += counters["n_docs"]
     with open(os.path.join(index_dir, _META), "w") as f:

@@ -26,6 +26,7 @@ import hashlib
 import itertools
 import json
 import time
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import numpy as np
@@ -90,6 +91,62 @@ class DeterministicFakeAPI:
         }
 
 
+@dataclass(frozen=True)
+class EndpointSpec:
+    """Declarative per-endpoint config model — the registry shape the
+    reference reserved in ``src/models/config/eodhd_endpoints.py`` (a TODO
+    stub there; realized here).  ``path_template`` formats with the named
+    ``path_params``; ``semaphore`` is the reference processor's bounded
+    fan-out width for that endpoint family (`eodhd_processor.py:112-130,
+    178-188, 240-249, 285-299`)."""
+
+    name: str
+    path_template: str
+    path_params: tuple[str, ...] = ()
+    optional_params: tuple[str, ...] = ()
+    semaphore: int = 40
+
+    def path(self, **kw: Any) -> str:
+        missing = [p for p in self.path_params if p not in kw]
+        if missing:
+            raise KeyError(f"endpoint {self.name!r} missing path params {missing}")
+        return self.path_template.format(**kw)
+
+
+#: The reference's 13-endpoint EODHD surface as DATA (one row per client
+#: method, `eodhd_client.py:26-131`) — consulted by the request builders
+#: below, so the registry is live config, not documentation.
+ENDPOINT_REGISTRY: dict[str, EndpointSpec] = {
+    s.name: s
+    for s in (
+        EndpointSpec("exchanges", "exchanges-list"),
+        EndpointSpec("exchange_symbols", "exchange-symbol-list/{exchange}",
+                     ("exchange",), ("type", "delisted"), semaphore=8),
+        EndpointSpec("eod", "eod/{instrument}.{exchange}",
+                     ("instrument", "exchange"), ("period", "order", "from", "to")),
+        EndpointSpec("fundamentals", "fundamentals/{instrument}.{exchange}",
+                     ("instrument", "exchange")),
+        EndpointSpec("dividends", "div/{instrument}.{exchange}",
+                     ("instrument", "exchange")),
+        EndpointSpec("splits", "splits/{instrument}.{exchange}",
+                     ("instrument", "exchange")),
+        EndpointSpec("bulk_eod", "eod-bulk-last-day/{exchange}",
+                     ("exchange",), ("date",), semaphore=8),
+        EndpointSpec("bulk_dividends", "eod-bulk-last-day/{exchange}",
+                     ("exchange",), ("date", "type"), semaphore=8),
+        EndpointSpec("bulk_splits", "eod-bulk-last-day/{exchange}",
+                     ("exchange",), ("date", "type"), semaphore=8),
+        EndpointSpec("economic_events", "economic-events",
+                     (), ("country", "comparison", "from", "to", "limit")),
+        EndpointSpec("macro_indicator", "macro-indicator/{iso_code}",
+                     ("iso_code",), ("indicator",)),
+        EndpointSpec("news", "news", (), ("s", "limit", "offset"), semaphore=40),
+        EndpointSpec("exchange_details", "exchange-details/{exchange}",
+                     ("exchange",), semaphore=8),
+    )
+}
+
+
 class EODHDRequests:
     """Endpoint-exact request builder for the reference's EODHD surface.
 
@@ -116,7 +173,7 @@ class EODHDRequests:
 
     # -- exchange-level (`eodhd_client.py:26-42`) --------------------------
     def exchanges(self) -> dict[str, Any]:
-        return self.prepare("exchanges-list")
+        return self.prepare(ENDPOINT_REGISTRY["exchanges"].path())
 
     def exchange_symbols(
         self, exchange: str, asset_type: str | None = None, delisted: bool = False
@@ -126,7 +183,7 @@ class EODHDRequests:
             params["type"] = asset_type
         if delisted:
             params["delisted"] = "1"
-        return self.prepare(f"exchange-symbol-list/{exchange}", params)
+        return self.prepare(ENDPOINT_REGISTRY["exchange_symbols"].path(exchange=exchange), params)
 
     # -- instrument-level (`eodhd_client.py:44-74,129-133`) ----------------
     def eod(
@@ -141,38 +198,38 @@ class EODHDRequests:
             params["from"] = start_date
         if end_date:
             params["to"] = end_date
-        return self.prepare(f"eod/{instrument}.{exchange}", params)
+        return self.prepare(ENDPOINT_REGISTRY["eod"].path(instrument=instrument, exchange=exchange), params)
 
     def fundamentals(self, instrument: str, exchange: str) -> dict[str, Any]:
-        return self.prepare(f"fundamentals/{instrument}.{exchange}")
+        return self.prepare(ENDPOINT_REGISTRY["fundamentals"].path(instrument=instrument, exchange=exchange))
 
     def dividends(self, instrument: str, exchange: str) -> dict[str, Any]:
-        return self.prepare(f"div/{instrument}.{exchange}")
+        return self.prepare(ENDPOINT_REGISTRY["dividends"].path(instrument=instrument, exchange=exchange))
 
     def splits(self, instrument: str, exchange: str) -> dict[str, Any]:
-        return self.prepare(f"splits/{instrument}.{exchange}")
+        return self.prepare(ENDPOINT_REGISTRY["splits"].path(instrument=instrument, exchange=exchange))
 
     def news(self, instrument: str, exchange: str) -> dict[str, Any]:
-        return self.prepare("news", {"s": f"{instrument}.{exchange}"})
+        return self.prepare(ENDPOINT_REGISTRY["news"].path(), {"s": f"{instrument}.{exchange}"})
 
     # -- bulk (`eodhd_client.py:76-98`: one path, type-discriminated) ------
     def bulk_eod(self, exchange: str, date: str | None = None) -> dict[str, Any]:
         params: dict[str, Any] = {}
         if date:
             params["date"] = date
-        return self.prepare(f"eod-bulk-last-day/{exchange}", params)
+        return self.prepare(ENDPOINT_REGISTRY["bulk_eod"].path(exchange=exchange), params)
 
     def bulk_dividends(self, exchange: str, date: str | None = None) -> dict[str, Any]:
         params: dict[str, Any] = {"type": "dividends"}
         if date:
             params["date"] = date
-        return self.prepare(f"eod-bulk-last-day/{exchange}", params)
+        return self.prepare(ENDPOINT_REGISTRY["bulk_eod"].path(exchange=exchange), params)
 
     def bulk_splits(self, exchange: str, date: str | None = None) -> dict[str, Any]:
         params: dict[str, Any] = {"type": "splits"}
         if date:
             params["date"] = date
-        return self.prepare(f"eod-bulk-last-day/{exchange}", params)
+        return self.prepare(ENDPOINT_REGISTRY["bulk_eod"].path(exchange=exchange), params)
 
     # -- macro / calendar (`eodhd_client.py:100-127`) ----------------------
     def economic_events(

@@ -264,3 +264,28 @@ def test_eodhd_instrument_fanout_and_fetch():
     # deterministic: same requests -> same payloads
     ok2, _ = eodhd_fanout(reqs, concurrency=4)
     assert sorted(okp["payload"]) == sorted(ok2.to_pandas()["payload"])
+
+
+def test_endpoint_registry_shapes_and_builders_agree():
+    """The declarative endpoint registry (the reference's reserved
+    eodhd_endpoints.py config-model shape) is live config: every builder
+    path comes from a registry spec, path params are validated, and the
+    fan-out semaphore widths match the reference processor's."""
+    import pytest
+
+    from quanterra_pipeline_ray.sources.api import ENDPOINT_REGISTRY, EODHDRequests
+
+    r = EODHDRequests("k")
+    assert len(ENDPOINT_REGISTRY) == 13
+    assert r.eod("AAPL", "US")["endpoint"] == ENDPOINT_REGISTRY["eod"].path(
+        instrument="AAPL", exchange="US"
+    )
+    assert r.exchange_symbols("LSE")["endpoint"] == "exchange-symbol-list/LSE"
+    assert r.bulk_dividends("US")["type"] == "dividends"
+    # missing path params fail loudly at construction, not at fetch time
+    with pytest.raises(KeyError):
+        ENDPOINT_REGISTRY["eod"].path(instrument="AAPL")
+    # semaphore widths mirror eodhd_processor.py: bulk/exchange families 8,
+    # instrument/macro families 40
+    assert ENDPOINT_REGISTRY["bulk_eod"].semaphore == 8
+    assert ENDPOINT_REGISTRY["fundamentals"].semaphore == 40
