@@ -113,6 +113,31 @@ def _bloom_rows(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _write_hive_direct(ds, root: str) -> None:
+    """Hive-partitioned write without Ray's parquet sink: each (sorted,
+    bucket-contiguous) block writes one file per bucket slice it holds —
+    no 1024-partition fragment cap, no sink-side block batching.  File
+    contents match the built-in hive write (the ``bkt`` column lives in
+    the directory name, not the file)."""
+
+    def write_block(b: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for bkt, g in b.groupby("bkt", sort=True):
+            d = os.path.join(root, f"bkt={int(bkt)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(g.drop(columns=["bkt"]), preserve_index=False),
+                os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"),
+            )
+        return pd.DataFrame({"n": [len(b)]})
+
+    ds.map_batches(write_block, batch_format="pandas", batch_size=None).count()
+
+
 def _append_postings(post_ds, index_dir: str, n_buckets: int | None = None) -> dict:
     """Append a posting Dataset (with its df deltas and per-bucket shingle
     blooms) under ``index_dir``; returns counters.  All writes are
@@ -127,14 +152,15 @@ def _append_postings(post_ds, index_dir: str, n_buckets: int | None = None) -> d
     wide = n_buckets is not None and int(n_buckets) > 512
     if wide:
         # WIDE index (cluster-scale bucket counts): pyarrow caps one write
-        # fragment at 1024 hive partitions, and an unsorted partitioned
-        # write mints one file per (block x bucket) anyway — so sort by
-        # bucket first.  Blocks become bucket-CONTIGUOUS: each write task
-        # touches a narrow bucket range (cap satisfied at any n_buckets)
-        # and each bucket's rows land in few contiguous files (less
-        # compaction debt).  One extra exchange, already amortized by the
-        # build/extend batch size.
+        # fragment at 1024 hive partitions, and Ray's sink may batch
+        # several blocks into ONE fragment, so the built-in hive write
+        # cannot be used at 4096+ buckets at all.  Sort by bucket (blocks
+        # become bucket-contiguous — each bucket's rows land in ~1 block,
+        # the tightest file layout) and write the hive files DIRECTLY from
+        # each block: one parquet file per (block, bucket) slice, exactly
+        # the layout the probe and compaction already consume.
         post_ds = post_ds.sort("bkt").materialize()
+        _write_hive_direct(post_ds, os.path.join(index_dir, _POSTINGS))
     else:
         # coalesce before the partitioned write: Ray writes one file per
         # (block x partition value), so an un-coalesced posting set fans out
@@ -142,11 +168,12 @@ def _append_postings(post_ds, index_dir: str, n_buckets: int | None = None) -> d
         # a metadata-bound read (measured: 16k files / 19 s to read 64k rows).
         # 2M rows/block (~60 MB) keeps file count = ceil(n/2M) per bucket.
         post_ds = post_ds.repartition(max(1, -(-n_post // 2_000_000)))
-    post_ds.write_parquet(os.path.join(index_dir, _POSTINGS), partition_cols=["bkt"])
+        post_ds.write_parquet(os.path.join(index_dir, _POSTINGS), partition_cols=["bkt"])
     df_ds = post_ds.groupby("bkt").map_groups(_df_rows, batch_format="pandas")
     if wide:
-        df_ds = df_ds.sort("bkt")
-    df_ds.write_parquet(os.path.join(index_dir, _DF), partition_cols=["bkt"])
+        _write_hive_direct(df_ds, os.path.join(index_dir, _DF))
+    else:
+        df_ds.write_parquet(os.path.join(index_dir, _DF), partition_cols=["bkt"])
     blooms = post_ds.groupby("bkt").map_groups(_bloom_rows, batch_format="pandas")
     blooms.write_parquet(os.path.join(index_dir, _BLOOMS))
     docs = post_ds.map_batches(

@@ -374,3 +374,29 @@ def test_index_compaction_deletes_unpinned_fragments(ray_session, tmp_path):
     before = index_file_count(idx)
     compact_jaccard_index(idx, min_files_per_bucket=2)
     assert index_file_count(idx) < before
+
+
+def test_wide_index_bucket_count_invariant(ray_session, tmp_path):
+    """Cluster-scale bucket counts (> the 1024-partition pyarrow fragment
+    cap) use the direct hive writer; results must be identical to a narrow
+    index at any n_buckets (buckets are layout, never semantics)."""
+    from quanterra_pipeline_ray.synth import generate_zipf_documents
+
+    old = generate_zipf_documents(300, vocab_size=500, mean_tokens=30, seed=3).to_pandas()
+    new = generate_zipf_documents(30, vocab_size=500, mean_tokens=30, seed=8).to_pandas()
+    new["doc_id"] += 10_000
+    new.loc[new.index[0], "text"] = old["text"].iloc[0]
+    new.loc[new.index[1], "text"] = old["text"].iloc[1] + " xq"
+    union = pd.concat([old, new], ignore_index=True)
+
+    got = {}
+    for nb in (64, 4096):
+        idx = str(tmp_path / f"wide{nb}")
+        build_jaccard_index(rd.from_pandas(old), idx, n_buckets=nb)
+        extend_jaccard_index(rd.from_pandas(new.iloc[15:]), idx)
+        got[nb] = _got_pairs(
+            probe_jaccard_index(
+                rd.from_pandas(new.iloc[:15]), idx, rd.from_pandas(union), threshold=0.8
+            )
+        )
+    assert got[64] == got[4096] and len(got[64]) >= 2
