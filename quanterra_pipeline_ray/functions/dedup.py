@@ -140,16 +140,25 @@ def batched_postings(ids: np.ndarray, texts, k: int) -> pd.DataFrame:
 
 
 def exact_shingles(text: str, k: int) -> np.ndarray:
-    """Distinct k-BYTE shingles of a document as a fixed-width byte array.
+    """Distinct k-BYTE shingles of a document.
 
     Exact (no hashing): equals the distinct-``substr(text, i, k)`` gram set a
     SQL engine computes, for ASCII/1-byte text.  Short docs are space-padded
     to one window (mirrors :func:`rolling_window_hashes`).
-    """
+
+    For ``k <= 8`` the window bytes pack BIJECTIVELY into uint64 (the gram
+    IS the integer — zero collisions), so the per-doc unique and every
+    downstream factorize/sort run on integers instead of fixed-width byte
+    strings (~3× faster sorts, same exact semantics)."""
     data = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
     if len(data) < k:
         data = np.pad(data, (0, k - len(data)), constant_values=32)
     windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    if k <= 8:
+        packed = np.zeros(len(windows), dtype=np.uint64)
+        for j in range(k):
+            packed = (packed << np.uint64(8)) | windows[:, j].astype(np.uint64)
+        return np.unique(packed)
     return np.unique(np.ascontiguousarray(windows).view(f"S{k}").ravel())
 
 
@@ -313,12 +322,51 @@ def _exact_jaccard_mask(
         union = sizes[ia] + sizes[ib] - inter
         mask[ok] = inter >= threshold * union
         return mask
-    # fallback: per-pair sorted intersects (unbounded vocabulary)
+    # over-budget (rare-shingle corpus: the union vocabulary is huge across
+    # many docs, so a dense bitset can't fit): grouped duplicate-count
+    # kernel.  Concatenate each pair's two (unique, sorted-by-factorize)
+    # code arrays under a pair-segment id; after ONE lexsort per slice,
+    # the intersection size is the number of adjacent equal (segment,
+    # code) entries — fully vectorized, memory bounded by slicing the
+    # pair list at ~16M elements (measured: 1000-doc Zipf probe verify
+    # 15 s of per-pair intersects → 2.6 s; see BASELINE round 5).
+    doc_off = np.cumsum(counts) - counts  # per-doc start inside `codes`
     where = np.nonzero(ok)[0]
-    for i in where:
-        s0, s1 = arrs[ra[i]], arrs[rb[i]]
-        inter = np.intersect1d(s0, s1, assume_unique=True).size
-        mask[i] = inter >= threshold * (s0.size + s1.size - inter)
+    la = sizes[ra[where]]
+    lb = sizes[rb[where]]
+    per_pair = la + lb
+    bounds = np.cumsum(per_pair)
+    slice_elems = 1 << 24
+
+    def _gather(rows: np.ndarray) -> np.ndarray:
+        """codes of the given doc rows, concatenated — pure fancy indexing,
+        no per-array Python (a 250k-array np.concatenate costs seconds)."""
+        ln = sizes[rows]
+        tot = int(ln.sum())
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(ln) - ln, ln)
+        return codes[np.repeat(doc_off[rows], ln) + intra]
+
+    start = 0
+    while start < where.size:
+        base = bounds[start - 1] if start else 0
+        stop = int(np.searchsorted(bounds, base + slice_elems)) + 1
+        stop = min(max(stop, start + 1), where.size)
+        idxs = where[start:stop]
+        nseg = stop - start
+        seg_ids = np.arange(nseg, dtype=np.int64)
+        seg = np.concatenate(
+            [np.repeat(seg_ids, la[start:stop]), np.repeat(seg_ids, lb[start:stop])]
+        )
+        vals = np.concatenate([_gather(ra[idxs]), _gather(rb[idxs])])
+        # one flat int64 sort beats a two-key lexsort; seg*v + code is
+        # collision-free and fits int64 for any realistic slice
+        key = seg * np.int64(v) + vals
+        key.sort()
+        dup = key[1:] == key[:-1]
+        inter = np.bincount((key[1:][dup] // v).astype(np.int64), minlength=nseg)
+        union = per_pair[start:stop] - inter
+        mask[idxs] = inter >= threshold * union
+        start = stop
     return mask
 
 

@@ -158,8 +158,14 @@ def test_exact_shingles_match_sql_gram_semantics():
 
     t = "abcdefg abcdefg"
     grams = {t[i : i + 5] for i in range(len(t) - 4)}
-    got = {g.decode() for g in exact_shingles(t, 5)}
+    # k<=8 shingles pack bijectively into uint64 (big-endian byte value)
+    got = {
+        int(g).to_bytes(5, "big").decode() for g in exact_shingles(t, 5)
+    }
     assert got == grams
+    # k>8 keeps the fixed-width byte representation
+    got9 = {g.decode() for g in exact_shingles(t, 9)}
+    assert got9 == {t[i : i + 9] for i in range(len(t) - 8)}
     assert ngram_jaccard(t, t) == 1.0
     assert 0.0 < ngram_jaccard("abcdefghij", "abcdefzzzz") < 1.0
 
