@@ -624,6 +624,125 @@ def _q_rolling_quantile(sf_dir: str):
     )
 
 
+def _q_lag_lead(sf_dir: str):
+    """Per-user LAG/LEAD of event value (`relational.py:lag_lead_by`):
+    one keyed exchange, in-bucket Arrow sort + two shifted takes with
+    segment-boundary null masks — values are moved bit-for-bit, no
+    arithmetic, so the window result is exact for any value type."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import lag_lead_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = lag_lead_by(ev, "user_id", "value", ["ts", "event_id"])
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "prev_value", "next_value"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_ntile(sf_dir: str):
+    """Per-user NTILE(4) over event order (`relational.py:ntile_by`):
+    SQL tile-size semantics (first L%t tiles get one extra row) in O(n)
+    vectorized index math over the shared Arrow segment sort — integer
+    output, bit-exact by construction."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import ntile_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = ntile_by(ev, "user_id", ["ts", "event_id"], tiles=4)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "tile"]), batch_format="pyarrow"
+    )
+
+
+def _q_grouped_corr(sf_dir: str):
+    """Grouped Pearson corr + covar_pop of (quantity, discount) per
+    returnflag (`relational.py:grouped_corr`): per-block integer moment
+    partials (map-side combine), exact big-int reduce, then ONE
+    explicitly-ordered float expression the oracle replicates
+    cast-for-cast — bit-exact despite being a float statistic, because
+    integer moments are associative where streaming covariance is not."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import grouped_corr
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return grouped_corr(
+        li, "l_returnflag", "l_quantity", "l_discount", x_scale=1.0, y_scale=100.0
+    )
+
+
+def _q_full_outer_join(sf_dir: str):
+    """FULL OUTER equi-join (`relational.py:full_outer_join_keys`):
+    filtered customers ⟗ per-customer big-order counts — both sides have
+    unmatched keys, exercising left-null, right-null and matched rows.
+    Schema-aligned Arrow union with typed-null padding (no identity
+    repass), one hash-bucket exchange, per-bucket outer merge."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import (
+        bucketed_groupby,
+        full_outer_join_keys,
+    )
+
+    def cust_filter(b):
+        import numpy as np
+        import pyarrow as pa
+
+        keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return b.rename_columns(["custkey", "c_name"]).filter(
+            pa.array(keys % 3 != 0)
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(cust_filter, batch_format="pyarrow")
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("o_totalprice"), 150_000.0)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def cnt(g):
+        out = g.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return out.rename_columns(["custkey", "order_cnt"])
+
+    counts = bucketed_groupby(big, ["o_custkey"], cnt, group_format="pyarrow")
+    return full_outer_join_keys(cust, counts, "custkey")
+
+
+def _q_tfidf_top_term(sf_dir: str):
+    """Per-document top TF-IDF term (`functions/text.py:tfidf_top_terms`):
+    Arrow tokenize + per-block tf, vocabulary-sized df exchange, bucketed
+    score join, tie-stable (score DESC, term ASC) head per doc.  The
+    score is (tf·N)/df in matched IEEE order, so the float hash matches
+    the SQL oracle exactly."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import tfidf_top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    out = tfidf_top_terms(docs, n_docs)
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "top_term", "score"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_streaming_reservoir(sf_dir: str):
     """Persisted streaming weighted reservoir
     (`functions/sampling.py:WeightedReservoir`): three sequential ingest
@@ -1717,6 +1836,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # lead (VERDICT r3 "Next round #1"); the 23 stable maint queries — driver
     # green in r2 AND r3 — ride in the tail.
     return {
+        # --- new in r5 (never driver-checked) first ---
+        "lag_lead_events": _q_lag_lead,
+        "ntile_events": _q_ntile,
+        "corr_quantity_discount": _q_grouped_corr,
+        "full_outer_customer_orders": _q_full_outer_join,
+        "tfidf_top_term_docs": _q_tfidf_top_term,
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
@@ -1860,6 +1985,66 @@ UNION ALL
 SELECT 'delete' AS op, * FROM (SELECT * FROM t EXCEPT SELECT * FROM m)
 """.strip()
     return {
+        # r5 window/statistics/join family
+        "lag_lead_events": """
+SELECT event_id, user_id,
+       LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+FROM events
+""".strip(),
+        "ntile_events": """
+SELECT event_id, user_id,
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+FROM events
+""".strip(),
+        # closed-form moments with explicit casts so the float expression is
+        # evaluated in the SAME IEEE order as relational.grouped_corr —
+        # bit-exact, unlike DuckDB's streaming corr()/covar_pop() accumulators
+        "corr_quantity_discount": """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(qx) AS sx, sum(qy) AS sy, sum(qx*qy) AS sxy,
+         sum(qx*qx) AS sxx, sum(qy*qy) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(round(l_quantity) AS BIGINT)      AS qx,
+               CAST(round(l_discount * 100) AS BIGINT) AS qy
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*n AS DOUBLE) AS covar_pop,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
+FROM s
+""".strip(),
+        "full_outer_customer_orders": """
+WITH c AS (
+  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
+o AS (
+  SELECT o_custkey AS custkey, count(*) AS order_cnt
+  FROM orders WHERE o_totalprice > 150000 GROUP BY 1)
+SELECT COALESCE(c.custkey, o.custkey) AS custkey, c_name, order_cnt
+FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+""".strip(),
+        # score = CAST(tf AS DOUBLE) * N / df — left-assoc double ops matching
+        # the numpy expression in text.tfidf_top_terms exactly
+        "tfidf_top_term_docs": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df DESC,
+                    tf.term ASC) AS rn
+  FROM tf JOIN df USING (term))
+SELECT doc_id, term AS top_term, score FROM ranked WHERE rn = 1
+""".strip(),
         "maint_scan": scan_sql,
         "maint_append": scan_sql,
         "maint_timetravel": scan_sql,

@@ -180,3 +180,137 @@ class RollingFingerprinter:
         batch["rfp_min"] = np.array([h.min() for h in hashes], dtype=np.uint64)
         batch["rfp_max"] = np.array([h.max() for h in hashes], dtype=np.uint64)
         return batch
+
+
+# ---------------------------------------------------------------------- tf-idf
+def tfidf_top_terms(ds, n_docs: int, doc_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 64):
+    """Per-document top TF-IDF term over a whole corpus, fully distributed.
+
+    Plan (three bounded keyed exchanges, no driver materialization):
+
+    1. **tokenize + tf** — Arrow-native ``utf8_lower`` + ``split_pattern``
+       per block, then a per-block Arrow ``group_by`` count.  One table row
+       is one whole document, so per-block (doc, term) counts are already
+       complete — tf needs NO cross-block combine.
+    2. **df** — the (doc, term) pairs are distinct by construction, so
+       document frequency is a bucketed count by term (vocabulary-sized
+       output, not corpus-sized).
+    3. **score + top-1** — a bucketed join by term attaches df, the score
+       is one explicitly-ordered float expression
+       (``CAST(tf AS DOUBLE) * n_docs / df``) that a SQL oracle replicates
+       cast-for-cast, and a final bucketed groupby by doc takes the
+       (score DESC, term ASC) head — bit-exact, tie-stable.
+
+    ``n_docs`` is passed in (a parquet-metadata count) so the pipeline
+    stays lazy end to end.
+    """
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import bucketed_groupby
+
+    def tf_block(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(b.column(text_col)), " ")
+        toks = toks.combine_chunks()
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.chunk(0) if toks.num_chunks else pa.array([], pa.list_(pa.string()))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs = b.column(doc_col).take(
+            pa.array(np.repeat(np.arange(len(lens)), lens))
+        )
+        flat = pc.list_flatten(toks)
+        pairs = pa.table({doc_col: docs, "term": flat}).filter(
+            pc.not_equal(flat, pa.scalar("", pa.string()))
+        )
+        return pairs.group_by([doc_col, "term"]).aggregate([([], "count_all")]).rename_columns(
+            [doc_col, "term", "tf"]
+        )
+
+    tf = ds.map_batches(tf_block, batch_format="pyarrow")
+
+    def df_count(g: pa.Table) -> pa.Table:
+        out = g.select(["term"]).group_by(["term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["term", "df"])
+
+    df = bucketed_groupby(
+        tf.select_columns(["term"]), ["term"], df_count, n_buckets,
+        group_format="pyarrow",
+    )
+
+    # bucketed join by term: tag sides, one exchange, per-bucket df map
+    def tag(side):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {
+                doc_col: b.column(doc_col)
+                if doc_col in b.column_names
+                else pa.nulls(b.num_rows, pa.int64()),
+                "term": b.column("term"),
+                "tf": b.column("tf")
+                if "tf" in b.column_names
+                else pa.nulls(b.num_rows, pa.int64()),
+                "df": b.column("df")
+                if "df" in b.column_names
+                else pa.nulls(b.num_rows, pa.int64()),
+                "__side": pa.array(np.full(b.num_rows, side, dtype=np.int8)),
+            }
+            return pa.table(cols)
+
+        return f
+
+    both = tf.map_batches(tag(0), batch_format="pyarrow").union(
+        df.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {doc_col: pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())}
+            )
+        is_df = pc.equal(g.column("__side"), pa.scalar(1, pa.int8()))
+        dft = g.filter(is_df)
+        tft = g.filter(pc.invert(is_df))
+        # vectorized in-bucket join: every tf term has exactly one df row here
+        vocab = dft.column("term").combine_chunks()
+        pos = pc.index_in(tft.column("term"), value_set=vocab)
+        dfv = (
+            dft.column("df")
+            .combine_chunks()
+            .take(pos)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        tfv = tft.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        # (tf * n_docs) / df with left-assoc IEEE ops — matches the oracle cast-for-cast
+        score = tfv * float(n_docs) / dfv
+        return pa.table(
+            {doc_col: tft.column(doc_col), "term": tft.column("term"),
+             "score": pa.array(score)}
+        )
+
+    scored = bucketed_groupby(both, ["term"], score_bucket, n_buckets,
+                              group_format="pyarrow")
+
+    def top1(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[(doc_col, "ascending"), ("score", "descending"),
+                       ("term", "ascending")],
+        )
+        g = g.combine_chunks().take(idx)
+        d = g.column(doc_col)
+        n = g.num_rows
+        if n > 1:
+            neq = pc.not_equal(d.slice(1), d.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.flatnonzero(np.concatenate([[True], neq.astype(bool)]))
+        else:
+            starts = np.zeros(min(n, 1), dtype=np.int64)
+        return g.take(pa.array(starts))
+
+    return bucketed_groupby(scored, [doc_col], top1, n_buckets,
+                            group_format="pyarrow")

@@ -1000,3 +1000,227 @@ def rolling_sum_by(
     return bucketed_groupby(
         ds, [key_col], bucket_roll, n_buckets, group_format="pyarrow"
     )
+
+
+def lag_lead_by(
+    ds,
+    key_col: str,
+    val_col: str,
+    order_cols: list[str],
+    lag_out: str = "prev_value",
+    lead_out: str = "next_value",
+    n_buckets: int = 64,
+):
+    """Per-key LAG/LEAD (``LAG(v) OVER (PARTITION BY key ORDER BY …)``):
+    one keyed exchange, then a vectorized in-bucket sort + shift.  The
+    shifted values are copied bit-for-bit (no arithmetic), so the result
+    is exact for any value type.  Arrow-native: the segment backbone is
+    :func:`_sorted_segments`; the shift is two ``pa.Array.take`` calls
+    with null masks at segment boundaries."""
+    import pyarrow.compute as pc
+
+    def bucket_shift(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            vt = (
+                g.column(val_col).type
+                if val_col in g.column_names
+                else pa.float64()
+            )
+            g = g.append_column(lag_out, pa.array([], vt))
+            return g.append_column(lead_out, pa.array([], vt))
+        g, starts, lens = _sorted_segments(g, key_col, order_cols)
+        n = g.num_rows
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.repeat(starts, lens)
+        seg_end = seg_start + np.repeat(lens, lens) - 1
+        v = g.column(val_col).combine_chunks()
+        lag_idx = pa.array(
+            np.maximum(idx - 1, 0), pa.int64()
+        )  # clamped; boundary rows nulled below
+        lead_idx = pa.array(np.minimum(idx + 1, n - 1), pa.int64())
+        lagv = v.take(lag_idx)
+        leadv = v.take(lead_idx)
+        lag_mask = pa.array(idx == seg_start)  # first row of each key → null
+        lead_mask = pa.array(idx == seg_end)  # last row of each key → null
+        lagv = pc.if_else(lag_mask, pa.scalar(None, v.type), lagv)
+        leadv = pc.if_else(lead_mask, pa.scalar(None, v.type), leadv)
+        g = g.append_column(lag_out, lagv)
+        return g.append_column(lead_out, leadv)
+
+    return bucketed_groupby(
+        ds, [key_col], bucket_shift, n_buckets, group_format="pyarrow"
+    )
+
+
+def ntile_by(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    tiles: int,
+    out_col: str = "tile",
+    n_buckets: int = 64,
+):
+    """Per-key NTILE(t) (``NTILE(t) OVER (PARTITION BY key ORDER BY …)``):
+    SQL semantics — a segment of length L splits into ``t`` groups where
+    the first ``L % t`` groups get ``L // t + 1`` rows.  Pure integer
+    output, bit-exact by construction.  One keyed exchange; the in-bucket
+    kernel is the shared Arrow segment sort plus O(n) numpy index math."""
+
+    def bucket_ntile(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        g, starts, lens = _sorted_segments(g, key_col, order_cols)
+        n = g.num_rows
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        seg_len = np.repeat(lens, lens).astype(np.int64)
+        base = seg_len // tiles
+        rem = seg_len % tiles
+        cut = rem * (base + 1)
+        # below the cut: tiles of size base+1; above: size base (base>0 there,
+        # because pos >= cut implies the segment has at least `tiles` rows)
+        safe_base = np.maximum(base, 1)
+        tile = np.where(
+            pos < cut, pos // (base + 1), rem + (pos - cut) // safe_base
+        ) + 1
+        return g.append_column(out_col, pa.array(tile.astype(np.int64)))
+
+    return bucketed_groupby(
+        ds, [key_col], bucket_ntile, n_buckets, group_format="pyarrow"
+    )
+
+
+def grouped_corr(
+    ds,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: float = 1.0,
+    y_scale: float = 1.0,
+) -> pd.DataFrame:
+    """Grouped Pearson correlation + population covariance over columns
+    whose scaled values are INTEGERS (e.g. quantities, cents) — computed
+    bit-exactly from the closed-form moments.
+
+    Distribution: each block emits per-key integer partial sums
+    ``(n, Σx, Σy, Σxy, Σx², Σy²)`` (a map-side combine — one row per key
+    per block), the tiny partials reduce on the driver with Python
+    arbitrary-precision integers (no overflow at any scale), and the
+    final doubles are produced by ONE explicitly-ordered float expression
+    that the paired oracle SQL replicates cast-for-cast, so the floats
+    match DuckDB bit-for-bit.  This sidesteps the order-dependence of
+    streaming covariance updates entirely: integer sums are associative,
+    so the result is independent of block boundaries and cluster shape."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_pandas()
+        x = np.round(
+            b.column(x_col).to_numpy(zero_copy_only=False) * x_scale
+        ).astype(np.int64)
+        y = np.round(
+            b.column(y_col).to_numpy(zero_copy_only=False) * y_scale
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"k": k, "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y}
+        )
+        out = df.groupby("k", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for k, g in parts.groupby("k"):
+        # python ints: exact at any corpus size (int64 partials are safe at
+        # block scale; the cross-block totals are where overflow could live)
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].sum()), int(g["sy"].sum())
+        sxy, sxx, syy = int(g["sxy"].sum()), int(g["sxx"].sum()), int(g["syy"].sum())
+        cov_num = n * sxy - sx * sy
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        # one float expression, replicated cast-for-cast in the oracle SQL
+        covar_pop = float(cov_num) / float(n * n)
+        denom = np.sqrt(float(var_x)) * np.sqrt(float(var_y))
+        corr = float(cov_num) / denom if denom != 0.0 else float("nan")
+        rows.append(
+            {key_col: k, "n_rows": n, "covar_pop": covar_pop, "corr": corr}
+        )
+    return pd.DataFrame(rows).sort_values(key_col).reset_index(drop=True)
+
+
+def full_outer_join_keys(
+    left_ds,
+    right_ds,
+    key: str,
+    n_buckets: int = 64,
+):
+    """Distributed FULL OUTER equi-join.  Both sides carry a ``key``
+    column and otherwise-disjoint columns.  Plan: pad each side with
+    typed-null columns for the other side's fields (schema-aligned
+    union, zero-copy Arrow), tag the side, hash-bucket by key, and
+    outer-merge per bucket — rows with equal keys always share a bucket,
+    so per-bucket merges are exact and the output streams without any
+    driver materialization.  The two sides may be any size (this is the
+    shuffle join; use the broadcast map in ``orders_per_nation`` when one
+    side is small)."""
+    import pyarrow.compute as pc
+
+    def arrow_schema(ds) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-block datasets (tests): object dtype means string here
+        fields = []
+        for name, t in zip(base.names, base.types):
+            try:
+                fields.append((name, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, pa.ArrowTypeError, TypeError):
+                fields.append((name, pa.string()))
+        return pa.schema(fields)
+
+    lschema = arrow_schema(left_ds)
+    rschema = arrow_schema(right_ds)
+    lcols = [f for f in lschema.names if f != key]
+    rcols = [f for f in rschema.names if f != key]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint: {sorted(overlap)}")
+    ltypes = {n: lschema.field(n).type for n in lcols}
+    rtypes = {n: rschema.field(n).type for n in rcols}
+    out_names = [key, *lcols, *rcols, "__side"]
+
+    def pad(other_types, side):
+        def f(b: pa.Table) -> pa.Table:
+            arrs = {name: b.column(name) for name in b.column_names}
+            for name, t in other_types.items():
+                arrs[name] = pa.nulls(b.num_rows, t)
+            arrs["__side"] = pa.array(np.full(b.num_rows, side, dtype=np.int8))
+            return pa.table({n: arrs[n] for n in out_names})
+
+        return f
+
+    both = left_ds.map_batches(pad(rtypes, 0), batch_format="pyarrow").union(
+        right_ds.map_batches(pad(ltypes, 1), batch_format="pyarrow")
+    )
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["__side"])
+        lt = g.filter(pc.equal(g.column("__side"), pa.scalar(0, pa.int8())))
+        rt = g.filter(pc.equal(g.column("__side"), pa.scalar(1, pa.int8())))
+        ldf = lt.select([key, *lcols]).to_pandas()
+        rdf = rt.select([key, *rcols]).to_pandas()
+        out = ldf.merge(rdf, on=key, how="outer")
+        # restore declared types; from_pandas=True maps NaN/NaT → null (the
+        # outer merge upcasts unmatched int columns to float-with-NaN)
+        cols = {}
+        for name in [key, *lcols, *rcols]:
+            want = (
+                lschema.field(name).type
+                if name == key or name in ltypes
+                else rtypes[name]
+            )
+            cols[name] = pa.array(out[name], type=want, from_pandas=True)
+        return pa.table(cols)
+
+    return bucketed_groupby(
+        both, [key], bucket_join, n_buckets, group_format="pyarrow"
+    )

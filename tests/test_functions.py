@@ -509,3 +509,176 @@ def test_late_arrivals_watermark_semantics():
         .to_pandas().sort_values("eid")["late"].to_list()
     )
     assert got0[0] is False or got0[0] == False  # noqa: E712
+
+
+def test_lag_lead_by_matches_pandas_shift():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import lag_lead_by
+
+    rng = np.random.default_rng(11)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 50, n).astype(np.int64),  # incl. 1-row keys
+            "t": rng.integers(0, 500, n).astype(np.int64),
+            "v": rng.normal(size=n),
+        }
+    )
+    # force some single-row partitions
+    df.loc[df.index[:5], "key"] = np.arange(1000, 1005)
+    got = (
+        lag_lead_by(rd.from_pandas(df), "key", "v", ["t", "id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["key", "t", "id"]).copy()
+    g = want.groupby("key")["v"]
+    want["prev_value"] = g.shift(1)
+    want["next_value"] = g.shift(-1)
+    want = want.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["prev_value"], want["prev_value"])
+    pd.testing.assert_series_equal(got["next_value"], want["next_value"])
+
+
+def test_ntile_by_sql_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import ntile_by
+
+    # partition lengths around and below the tile count: 1..9 rows, t=4
+    rows = []
+    rid = 0
+    for key, length in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100]):
+        for i in range(length):
+            rows.append({"id": rid, "key": key, "t": i})
+            rid += 1
+    df = pd.DataFrame(rows).astype(np.int64)
+    got = (
+        ntile_by(rd.from_pandas(df), "key", ["t", "id"], tiles=4)
+        .to_pandas()
+        .sort_values("id")["tile"]
+        .to_numpy()
+    )
+
+    def ntile_ref(length, tiles):
+        base, rem = divmod(length, tiles)
+        out = []
+        for tile in range(1, tiles + 1):
+            out.extend([tile] * (base + (1 if tile <= rem else 0)))
+        return out
+
+    want = np.concatenate(
+        [ntile_ref(ln, 4) for ln in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+    )
+    assert (got == want).all()
+
+
+def test_grouped_corr_matches_numpy():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import grouped_corr
+
+    rng = np.random.default_rng(12)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "key": rng.choice(list("abc"), n),
+            "x": rng.integers(1, 51, n).astype(np.float64),
+            "y": (rng.integers(0, 11, n) / 100.0),
+        }
+    )
+    got = grouped_corr(rd.from_pandas(df), "key", "x", "y", 1.0, 100.0)
+    for _, row in got.iterrows():
+        sub = df[df["key"] == row["key"]]
+        x, y = sub["x"].to_numpy(), np.round(sub["y"].to_numpy() * 100)
+        assert row["n_rows"] == len(sub)
+        assert np.isclose(row["covar_pop"], np.cov(x, y, bias=True)[0, 1])
+        assert np.isclose(row["corr"], np.corrcoef(x, y)[0, 1])
+
+
+def test_full_outer_join_keys_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import full_outer_join_keys
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(np.arange(80, dtype=np.int64), 120),  # dup keys
+            "lv": np.arange(120, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(np.arange(40, 130, dtype=np.int64), 90),
+            "rv": np.arange(90, dtype=np.int64) * 10,
+        }
+    )
+    got = (
+        full_outer_join_keys(rd.from_pandas(left), rd.from_pandas(right), "k")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="outer")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["k", "lv", "rv"]:
+        a = got[c].astype(float).to_numpy()
+        b = want[c].astype(float).to_numpy()
+        assert np.array_equal(a, b, equal_nan=True)
+    # disjointness guard
+    try:
+        full_outer_join_keys(
+            rd.from_pandas(left.rename(columns={"lv": "rv"})),
+            rd.from_pandas(right),
+            "k",
+        )
+        raise AssertionError("expected ValueError on overlapping columns")
+    except ValueError:
+        pass
+
+
+def test_tfidf_top_terms_matches_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import tfidf_top_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "apple banana apple",
+                "banana cherry",
+                "cherry cherry cherry date",
+                "apple  date",  # double space → empty token must be dropped
+            ],
+        }
+    )
+    out = (
+        tfidf_top_terms(rd.from_pandas(docs), n_docs=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # manual: score = tf * 4 / df; df: apple 2, banana 2, cherry 2, date 2
+    # doc0 apple tf2 → 4.0 ; doc1 tie banana/cherry both 2.0 → banana (term asc)
+    # doc2 cherry tf3 → 6.0 ; doc3 tie apple/date both 2.0 → apple
+    assert list(out["term"]) == ["apple", "banana", "cherry", "apple"]
+    assert np.allclose(out["score"], [4.0, 2.0, 6.0, 2.0])
