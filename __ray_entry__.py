@@ -743,6 +743,27 @@ def _q_tfidf_top_term(sf_dir: str):
     )
 
 
+def _q_rank_family(sf_dir: str):
+    """Per-user ranking family over event_type (ties guaranteed — few
+    distinct types per user): rank, dense_rank, percent_rank, cume_dist
+    in ONE pass (`relational.py:rank_by`).  The float members are single
+    int/int IEEE divisions, so they hash-match the SQL window exactly."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import rank_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    out = rank_by(ev, "user_id", ["event_type"])
+    return out.map_batches(
+        lambda b: b.select(
+            ["event_id", "user_id", "rnk", "drnk", "pct_rank", "cume"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_streaming_reservoir(sf_dir: str):
     """Persisted streaming weighted reservoir
     (`functions/sampling.py:WeightedReservoir`): three sequential ingest
@@ -1842,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_quantity_discount": _q_grouped_corr,
         "full_outer_customer_orders": _q_full_outer_join,
         "tfidf_top_term_docs": _q_tfidf_top_term,
+        "rank_family_events": _q_rank_family,
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
@@ -2044,6 +2066,15 @@ ranked AS (
                     tf.term ASC) AS rn
   FROM tf JOIN df USING (term))
 SELECT doc_id, term AS top_term, score FROM ranked WHERE rn = 1
+""".strip(),
+        "rank_family_events": """
+SELECT event_id, user_id,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
 """.strip(),
         "maint_scan": scan_sql,
         "maint_append": scan_sql,

@@ -1224,3 +1224,70 @@ def full_outer_join_keys(
     return bucketed_groupby(
         both, [key], bucket_join, n_buckets, group_format="pyarrow"
     )
+
+
+def rank_by(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    n_buckets: int = 64,
+):
+    """Per-key ranking family in one pass: ``rank``, ``dense_rank``,
+    ``percent_rank`` and ``cume_dist`` over ``ORDER BY order_cols`` (ties
+    allowed — peers share rank and cume_dist).  One keyed exchange; the
+    in-bucket kernel is the shared Arrow segment sort plus O(n) numpy
+    peer-group index math.  The two float outputs are single int/int IEEE
+    divisions (``(rank-1)/(L-1)``, ``peer_end/L``) that a SQL oracle
+    reproduces bit-for-bit; ``percent_rank`` is 0 for 1-row partitions
+    (SQL semantics)."""
+    import pyarrow.compute as pc
+
+    def bucket_rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            for c, t in [
+                ("rnk", pa.int64()),
+                ("drnk", pa.int64()),
+                ("pct_rank", pa.float64()),
+                ("cume", pa.float64()),
+            ]:
+                g = g.append_column(c, pa.array([], t))
+            return g
+        g, starts, lens = _sorted_segments(g, key_col, order_cols)
+        n = g.num_rows
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = np.repeat(starts, lens)
+        seg_len = np.repeat(lens, lens).astype(np.int64)
+        # peer groups: rows equal on (key, *order)
+        peer_new = np.ones(n, dtype=bool)
+        if n > 1:
+            eq = np.ones(n - 1, dtype=bool)
+            for c in [key_col, *order_cols]:
+                col = g.column(c)
+                a, b = col.slice(1), col.slice(0, n - 1)
+                e = pc.fill_null(pc.equal(a, b), False)
+                # SQL ordering: NULLs are peers of each other
+                both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+                e = pc.or_(e, both_null).to_numpy(zero_copy_only=False)
+                eq &= e.astype(bool)
+            peer_new[1:] = ~eq
+        peer_start = idx[peer_new][np.cumsum(peer_new) - 1]  # start of own peer grp
+        peer_lens = np.diff(np.append(np.flatnonzero(peer_new), n))
+        peer_end = np.repeat(
+            np.flatnonzero(peer_new) + peer_lens, peer_lens
+        )  # one past the last peer
+        rnk = peer_start - seg_start + 1
+        # dense rank: count of peer-group starts in this segment up to here
+        peer_new_cum = np.cumsum(peer_new)
+        drnk = peer_new_cum - np.repeat(peer_new_cum[starts] - 1, lens)
+        pct = np.where(
+            seg_len > 1, (rnk - 1) / np.maximum(seg_len - 1, 1), 0.0
+        )
+        cume = (peer_end - seg_start) / seg_len
+        g = g.append_column("rnk", pa.array(rnk.astype(np.int64)))
+        g = g.append_column("drnk", pa.array(drnk.astype(np.int64)))
+        g = g.append_column("pct_rank", pa.array(pct.astype(np.float64)))
+        return g.append_column("cume", pa.array(cume.astype(np.float64)))
+
+    return bucketed_groupby(
+        ds, [key_col], bucket_rank, n_buckets, group_format="pyarrow"
+    )

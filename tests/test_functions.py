@@ -682,3 +682,38 @@ def test_tfidf_top_terms_matches_reference():
     # doc2 cherry tf3 → 6.0 ; doc3 tie apple/date both 2.0 → apple
     assert list(out["term"]) == ["apple", "banana", "cherry", "apple"]
     assert np.allclose(out["score"], [4.0, 2.0, 6.0, 2.0])
+
+
+def test_rank_by_matches_pandas_with_ties_and_nulls():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import rank_by
+
+    rng = np.random.default_rng(14)
+    n = 1_500
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 30, n).astype(np.int64),
+            "v": rng.choice(["a", "b", "c", None], n),  # heavy ties + nulls
+        }
+    )
+    got = (
+        rank_by(rd.from_pandas(df), "key", ["v"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # pandas reference (nulls rank last like Arrow's default sort; peers share)
+    want = df.copy()
+    filled = want["v"].fillna("￿")  # nulls sort last, are mutual peers
+    want["rnk"] = filled.groupby(want["key"]).rank(method="min").astype(np.int64)
+    want["drnk"] = filled.groupby(want["key"]).rank(method="dense").astype(np.int64)
+    sizes = want.groupby("key")["id"].transform("size")
+    want["pct_rank"] = np.where(sizes > 1, (want["rnk"] - 1) / np.maximum(sizes - 1, 1), 0.0)
+    want["cume"] = filled.groupby(want["key"]).rank(method="max") / sizes
+    want = want.sort_values("id").reset_index(drop=True)
+    for c in ["rnk", "drnk", "pct_rank", "cume"]:
+        assert np.allclose(got[c].to_numpy(), want[c].to_numpy()), c
