@@ -764,6 +764,19 @@ def _q_rank_family(sf_dir: str):
     )
 
 
+def _q_grouped_median(sf_dir: str):
+    """Exact per-type continuous median
+    (`relational.py:grouped_quantile_cont`): the segment sort with VALUE
+    as the order column yields per-key sorted values in one exchange; the
+    lerp is the bit-verified quantile_cont arithmetic."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import grouped_quantile_cont
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantile_cont(ev, "event_type", "value", q=0.5, out_col="median_value")
+
+
 def _q_streaming_reservoir(sf_dir: str):
     """Persisted streaming weighted reservoir
     (`functions/sampling.py:WeightedReservoir`): three sequential ingest
@@ -1864,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_customer_orders": _q_full_outer_join,
         "tfidf_top_term_docs": _q_tfidf_top_term,
         "rank_family_events": _q_rank_family,
+        "grouped_median_events": _q_grouped_median,
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
@@ -2075,6 +2089,10 @@ SELECT event_id, user_id,
        cume_dist()    OVER w AS cume
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+""".strip(),
+        "grouped_median_events": """
+SELECT event_type, quantile_cont(value, 0.5) AS median_value
+FROM events GROUP BY event_type
 """.strip(),
         "maint_scan": scan_sql,
         "maint_append": scan_sql,

@@ -194,6 +194,12 @@ def _queries() -> dict:
         "rolling_median_value_events",
         "contamination_ac_docs",
         "jaccard_probe_at_ref_docs",
+        "lag_lead_events",
+        "ntile_events",
+        "corr_quantity_discount",
+        "full_outer_customer_orders",
+        "tfidf_top_term_docs",
+        "rank_family_events",
     ]
     import ray.data
 

@@ -1291,3 +1291,44 @@ def rank_by(
     return bucketed_groupby(
         ds, [key_col], bucket_rank, n_buckets, group_format="pyarrow"
     )
+
+
+def grouped_quantile_cont(
+    ds,
+    key_col: str,
+    val_col: str,
+    q: float,
+    out_col: str = "q_val",
+    n_buckets: int = 64,
+):
+    """Per-key EXACT continuous quantile (``quantile_cont(v, q) GROUP BY
+    key``) — the exact scalar member of the grouped-quantile family
+    (the mergeable sketch in ``state/sketch.py`` is the approximate
+    streaming path for when per-key sorts don't fit).
+
+    One keyed exchange; inside each bucket :func:`_sorted_segments` with
+    the VALUE as the order column yields every key's values already
+    sorted, so the quantile is pure O(keys) index math.  Interpolation is
+    ``(1-frac)*lower + frac*upper`` — the bit-verified DuckDB
+    ``quantile_cont`` arithmetic (see :func:`rolling_quantile_by`).
+    Nulls are not supported in ``val_col`` (filter first)."""
+
+    def bucket_q(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            kt = g.column(key_col).type if key_col in g.column_names else pa.string()
+            return pa.table(
+                {key_col: pa.array([], kt), out_col: pa.array([], pa.float64())}
+            )
+        g, starts, lens = _sorted_segments(g, key_col, [val_col])
+        v = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = q * (lens - 1).astype(np.float64)
+        lo_i = np.floor(idx).astype(np.int64)
+        frac = idx - lo_i
+        hi_i = np.minimum(lo_i + 1, lens - 1)
+        out = (1.0 - frac) * v[starts + lo_i] + frac * v[starts + hi_i]
+        return pa.table(
+            {key_col: g.column(key_col).take(pa.array(starts)),
+             out_col: pa.array(out)}
+        )
+
+    return bucketed_groupby(ds, [key_col], bucket_q, n_buckets, group_format="pyarrow")

@@ -717,3 +717,37 @@ def test_rank_by_matches_pandas_with_ties_and_nulls():
     want = want.sort_values("id").reset_index(drop=True)
     for c in ["rnk", "drnk", "pct_rank", "cume"]:
         assert np.allclose(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_grouped_quantile_cont_matches_numpy():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import grouped_quantile_cont
+
+    rng = np.random.default_rng(15)
+    n = 4_000
+    df = pd.DataFrame(
+        {
+            "key": rng.choice(list("pqrs"), n),
+            "v": rng.normal(size=n),
+        }
+    )
+    # include a 1-row key and an even/odd mix of group sizes
+    df.loc[df.index[-1], "key"] = "solo"
+    for qq in [0.0, 0.25, 0.5, 0.9, 1.0]:
+        got = (
+            grouped_quantile_cont(rd.from_pandas(df), "key", "v", q=qq)
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            vals = np.sort(df.loc[df["key"] == row["key"], "v"].to_numpy())
+            idx = qq * (len(vals) - 1)
+            lo = int(np.floor(idx))
+            frac = idx - lo
+            hi = min(lo + 1, len(vals) - 1)
+            want = (1.0 - frac) * vals[lo] + frac * vals[hi]
+            assert row["q_val"] == want, (qq, row["key"])
