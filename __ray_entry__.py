@@ -777,6 +777,22 @@ def _q_grouped_median(sf_dir: str):
     return grouped_quantile_cont(ev, "event_type", "value", q=0.5, out_col="median_value")
 
 
+def _q_top_terms(sf_dir: str):
+    """Corpus top-20 terms (`functions/text.py:term_counts`): per-block
+    Arrow tokenize + in-block count (map-side combine), vocabulary-sized
+    bucketed sum, O(vocab) driver top-k with (cnt DESC, term ASC)
+    tie-break — the canonical distributed word count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import term_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts = term_counts(docs).to_pandas()  # vocabulary-sized
+    out = counts.sort_values(["cnt", "term"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
 def _q_streaming_reservoir(sf_dir: str):
     """Persisted streaming weighted reservoir
     (`functions/sampling.py:WeightedReservoir`): three sequential ingest
@@ -1878,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term_docs": _q_tfidf_top_term,
         "rank_family_events": _q_rank_family,
         "grouped_median_events": _q_grouped_median,
+        "top_terms_docs": _q_top_terms,
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
@@ -2093,6 +2110,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
         "grouped_median_events": """
 SELECT event_type, quantile_cont(value, 0.5) AS median_value
 FROM events GROUP BY event_type
+""".strip(),
+        "top_terms_docs": """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+SELECT term, count(*) AS cnt FROM tok WHERE term <> ''
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
 """.strip(),
         "maint_scan": scan_sql,
         "maint_append": scan_sql,

@@ -314,3 +314,37 @@ def tfidf_top_terms(ds, n_docs: int, doc_col: str = "doc_id", text_col: str = "t
 
     return bucketed_groupby(scored, [doc_col], top1, n_buckets,
                             group_format="pyarrow")
+
+
+def term_counts(ds, text_col: str = "text", n_buckets: int = 64):
+    """Corpus-wide term counts — the canonical distributed word count.
+
+    Per-block Arrow tokenize (``utf8_lower`` + ``split_pattern``) and an
+    in-block ``group_by`` count (map-side combine: one row per distinct
+    term per block leaves the node), then a vocabulary-sized bucketed
+    sum.  The output is vocabulary-sized, so a driver top-k over it is
+    O(vocab), never O(corpus)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import bucketed_groupby
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(b.column(text_col)), " ")
+        flat = pc.list_flatten(toks.combine_chunks())
+        t = pa.table({"term": flat}).filter(
+            pc.not_equal(flat, pa.scalar("", pa.string()))
+        )
+        out = t.group_by(["term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["term", "cnt"])
+
+    def combine(g: pa.Table) -> pa.Table:
+        out = g.group_by(["term"]).aggregate([("cnt", "sum")])
+        return out.rename_columns(["term", "cnt"])
+
+    return bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"],
+        combine,
+        n_buckets,
+        group_format="pyarrow",
+    )

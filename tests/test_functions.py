@@ -751,3 +751,24 @@ def test_grouped_quantile_cont_matches_numpy():
             hi = min(lo + 1, len(vals) - 1)
             want = (1.0 - frac) * vals[lo] + frac * vals[hi]
             assert row["q_val"] == want, (qq, row["key"])
+
+
+def test_term_counts_matches_manual():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.text import term_counts
+
+    docs = pd.DataFrame(
+        {"text": ["a b a", "b  c", "A c"]}  # case fold + empty-token drop
+    )
+    got = (
+        term_counts(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({"term": ["a", "b", "c"], "cnt": [3, 2, 2]})
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["cnt"]) == list(want["cnt"])
