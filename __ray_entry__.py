@@ -209,6 +209,61 @@ def _q_maint_rollback(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_wap(sf_dir: str) -> pa.Table:
+    """Write–Audit–Publish gate (`stages/wap.py`): a bad batch (duplicate
+    key + null conv_id) stages, FAILS the audit and is aborted — production
+    content never includes it (the staged snapshot stays scannable by id
+    under its wap ref until expiry); a good batch stages, passes the same
+    checks and publishes via an O(1) roll-forward.  Final content = base +
+    good batch, which the oracle reproduces; the aborted rows' absence is
+    what the hash check proves."""
+    import numpy as np
+
+    from quanterra_pipeline_ray.stages.wap import (
+        check_not_null,
+        check_row_delta,
+        check_unique_key,
+        write_audit_publish,
+    )
+
+    table, _data = _maint_table(sf_dir, "wap")
+
+    def batch(rows: dict) -> pa.Table:
+        t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+        return t.select(table.schema.names).cast(table.schema)
+
+    checks = [
+        check_row_delta(min_added=1, max_added=100_000),
+        check_not_null("conv_id"),
+        check_unique_key(["conv_id", "turn_idx"]),
+    ]
+    bad = batch(
+        {
+            "conv_id": ["cWAPBAD", "cWAPBAD", None],
+            "turn_idx": np.array([0, 0, 1], np.int32),
+            "role": ["user", "user", "assistant"],
+            "text": ["dup", "dup", "orphan"],
+            "tool": ["", "", ""],
+            "ts": pd.to_datetime(["2024-07-01"] * 3),
+        }
+    )
+    snap, fails = write_audit_publish(table, bad, checks, tag="bad")
+    assert snap is None and len(fails) == 2, fails  # not_null + unique fail
+    good = batch(
+        {
+            "conv_id": ["cWAP", "cWAP"],
+            "turn_idx": np.array([0, 1], np.int32),
+            "role": ["user", "assistant"],
+            "text": ["wap hello", "wap hi"],
+            "tool": ["", ""],
+            "ts": pd.to_datetime(["2024-07-01 00:00:00", "2024-07-01 00:01:00"]),
+        }
+    )
+    snap, fails = write_audit_publish(table, good, checks, tag="good")
+    assert snap is not None and not fails, fails
+    return _result(table.read_all())
+
+
 def _q_maint_timetravel(sf_dir: str) -> pa.Table:
     """Timestamp time travel: three commits at logical ts 100/200/300 (the
     third is a compaction), scan ``as_of_ts=250`` -> the pre-compaction state
@@ -1895,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_family_events": _q_rank_family,
         "grouped_median_events": _q_grouped_median,
         "top_terms_docs": _q_top_terms,
+        "maint_wap": _q_maint_wap,
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
@@ -2116,6 +2172,16 @@ WITH tok AS (
   SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
 SELECT term, count(*) AS cnt FROM tok WHERE term <> ''
 GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
+""".strip(),
+        "maint_wap": f"""
+WITH t AS ({t})
+SELECT * FROM t
+UNION ALL
+SELECT 'cWAP' AS conv_id, CAST(0 AS INTEGER) AS turn_idx, 'user' AS role,
+       'wap hello' AS text, '' AS tool, TIMESTAMP '2024-07-01 00:00:00' AS ts
+UNION ALL
+SELECT 'cWAP', CAST(1 AS INTEGER), 'assistant', 'wap hi', '',
+       TIMESTAMP '2024-07-01 00:01:00'
 """.strip(),
         "maint_scan": scan_sql,
         "maint_append": scan_sql,
