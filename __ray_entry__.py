@@ -848,6 +848,21 @@ def _q_top_terms(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_mode_per_user(sf_dir: str):
+    """Per-user modal event type (`relational.py:mode_by`): in-bucket
+    Arrow pair-count combine then a (key, -cnt, val) segment sort —
+    deterministic smallest-value tie-break, which bare SQL mode() lacks,
+    so the oracle uses the explicit row_number form."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import mode_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return mode_by(ev, "user_id", "event_type", out_col="mode_type")
+
+
 def _q_streaming_reservoir(sf_dir: str):
     """Persisted streaming weighted reservoir
     (`functions/sampling.py:WeightedReservoir`): three sequential ingest
@@ -1951,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median_events": _q_grouped_median,
         "top_terms_docs": _q_top_terms,
         "maint_wap": _q_maint_wap,
+        "mode_event_type_per_user": _q_mode_per_user,
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
@@ -2172,6 +2188,17 @@ WITH tok AS (
   SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
 SELECT term, count(*) AS cnt FROM tok WHERE term <> ''
 GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
+""".strip(),
+        "mode_event_type_per_user": """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, event_type AS mode_type, cnt AS mode_cnt FROM r WHERE rn = 1
 """.strip(),
         "maint_wap": f"""
 WITH t AS ({t})

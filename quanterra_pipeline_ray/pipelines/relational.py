@@ -1332,3 +1332,60 @@ def grouped_quantile_cont(
         )
 
     return bucketed_groupby(ds, [key_col], bucket_q, n_buckets, group_format="pyarrow")
+
+
+def mode_by(
+    ds,
+    key_col: str,
+    val_col: str,
+    out_col: str = "mode_val",
+    n_buckets: int = 64,
+):
+    """Per-key MODE (most frequent value, deterministic smallest-value
+    tie-break) — one keyed exchange.  Inside each bucket an Arrow
+    ``group_by((key, val))`` count collapses the rows to distinct pairs,
+    then the segment sort over ``(key, -cnt, val)`` makes every key's
+    winner its first row — O(pairs) after the in-bucket combine.  Fully
+    deterministic (SQL engines' bare ``mode()`` is not), so the paired
+    oracle uses the explicit ``row_number() OVER (ORDER BY cnt DESC,
+    val)`` form."""
+    import pyarrow.compute as pc
+
+    def bucket_mode(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            kt = g.column(key_col).type if key_col in g.column_names else pa.int64()
+            vt = g.column(val_col).type if val_col in g.column_names else pa.string()
+            return pa.table(
+                {key_col: pa.array([], kt), out_col: pa.array([], vt),
+                 "mode_cnt": pa.array([], pa.int64())}
+            )
+        pairs = (
+            g.select([key_col, val_col])
+            .group_by([key_col, val_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, val_col, "cnt"])
+            .combine_chunks()
+        )
+        idx = pc.sort_indices(
+            pairs,
+            sort_keys=[(key_col, "ascending"), ("cnt", "descending"),
+                       (val_col, "ascending")],
+        )
+        pairs = pairs.take(idx)
+        k = pairs.column(key_col)
+        n = pairs.num_rows
+        if n > 1:
+            neq = pc.not_equal(k.slice(1), k.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.flatnonzero(np.concatenate([[True], neq.astype(bool)]))
+        else:
+            starts = np.zeros(min(n, 1), dtype=np.int64)
+        head = pairs.take(pa.array(starts))
+        return pa.table(
+            {key_col: head.column(key_col),
+             out_col: head.column(val_col),
+             "mode_cnt": head.column("cnt")}
+        )
+
+    return bucketed_groupby(ds, [key_col], bucket_mode, n_buckets, group_format="pyarrow")

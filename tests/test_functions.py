@@ -772,3 +772,28 @@ def test_term_counts_matches_manual():
     want = pd.DataFrame({"term": ["a", "b", "c"], "cnt": [3, 2, 2]})
     assert list(got["term"]) == list(want["term"])
     assert list(got["cnt"]) == list(want["cnt"])
+
+
+def test_mode_by_deterministic_tiebreak():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import mode_by
+
+    df = pd.DataFrame(
+        {
+            "key": np.repeat([1, 2, 3], 4).astype(np.int64),
+            "v": ["b", "b", "a", "c",  # key1: b wins on count
+                  "d", "c", "c", "d",  # key2: tie c/d -> c (smallest)
+                  "z", "z", "z", "z"], # key3: unanimous
+        }
+    )
+    got = (
+        mode_by(rd.from_pandas(df), "key", "v")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert list(got["mode_val"]) == ["b", "c", "z"]
+    assert list(got["mode_cnt"]) == [2, 2, 4]
