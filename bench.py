@@ -200,6 +200,10 @@ def _queries() -> dict:
         "full_outer_customer_orders",
         "tfidf_top_term_docs",
         "rank_family_events",
+        "grouped_median_events",
+        "top_terms_docs",
+        "maint_wap",
+        "mode_event_type_per_user",
     ]
     import ray.data
 

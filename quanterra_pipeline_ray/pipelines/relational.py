@@ -1160,7 +1160,9 @@ def full_outer_join_keys(
     so per-bucket merges are exact and the output streams without any
     driver materialization.  The two sides may be any size (this is the
     shuffle join; use the broadcast map in ``orders_per_nation`` when one
-    side is small)."""
+    side is small).  ``key`` must be non-null on both sides: the
+    in-bucket pandas merge would match null keys to each other, which
+    SQL never does — filter nulls first if the key is nullable."""
     import pyarrow.compute as pc
 
     def arrow_schema(ds) -> pa.Schema:
