@@ -1146,24 +1146,30 @@ def grouped_corr(
     return pd.DataFrame(rows).sort_values(key_col).reset_index(drop=True)
 
 
-def full_outer_join_keys(
+def hash_join_keys(
     left_ds,
     right_ds,
     key: str,
+    how: str = "full_outer",
     n_buckets: int = 64,
 ):
-    """Distributed FULL OUTER equi-join.  Both sides carry a ``key``
-    column and otherwise-disjoint columns.  Plan: pad each side with
-    typed-null columns for the other side's fields (schema-aligned
-    union, zero-copy Arrow), tag the side, hash-bucket by key, and
-    outer-merge per bucket — rows with equal keys always share a bucket,
-    so per-bucket merges are exact and the output streams without any
-    driver materialization.  The two sides may be any size (this is the
-    shuffle join; use the broadcast map in ``orders_per_nation`` when one
-    side is small).  ``key`` must be non-null on both sides: the
-    in-bucket pandas merge would match null keys to each other, which
-    SQL never does — filter nulls first if the key is nullable."""
+    """Distributed hash equi-join (``how`` ∈ full_outer / left / inner).
+    Both sides carry a ``key`` column and otherwise-disjoint columns.
+    Plan: pad each side with typed-null columns for the other side's
+    fields (schema-aligned union, zero-copy Arrow), tag the side,
+    hash-bucket by key, and merge per bucket — rows with equal keys
+    always share a bucket, so per-bucket merges are exact and the output
+    streams without any driver materialization.  The two sides may be any
+    size (this is the shuffle join; use the broadcast map in
+    ``orders_per_nation`` when one side is small).  ``key`` must be
+    non-null on both sides: the in-bucket pandas merge would match null
+    keys to each other, which SQL never does — filter nulls first if the
+    key is nullable."""
     import pyarrow.compute as pc
+
+    pandas_how = {"full_outer": "outer", "left": "left", "inner": "inner"}
+    if how not in pandas_how:
+        raise ValueError(f"how must be one of {sorted(pandas_how)}, got {how!r}")
 
     def arrow_schema(ds) -> pa.Schema:
         base = ds.schema().base_schema
@@ -1210,7 +1216,7 @@ def full_outer_join_keys(
         rt = g.filter(pc.equal(g.column("__side"), pa.scalar(1, pa.int8())))
         ldf = lt.select([key, *lcols]).to_pandas()
         rdf = rt.select([key, *rcols]).to_pandas()
-        out = ldf.merge(rdf, on=key, how="outer")
+        out = ldf.merge(rdf, on=key, how=pandas_how[how])
         # restore declared types; from_pandas=True maps NaN/NaT → null (the
         # outer merge upcasts unmatched int columns to float-with-NaN)
         cols = {}
@@ -1226,6 +1232,11 @@ def full_outer_join_keys(
     return bucketed_groupby(
         both, [key], bucket_join, n_buckets, group_format="pyarrow"
     )
+
+
+def full_outer_join_keys(left_ds, right_ds, key: str, n_buckets: int = 64):
+    """FULL OUTER convenience wrapper over :func:`hash_join_keys`."""
+    return hash_join_keys(left_ds, right_ds, key, how="full_outer", n_buckets=n_buckets)
 
 
 def rank_by(

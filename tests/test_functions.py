@@ -797,3 +797,44 @@ def test_mode_by_deterministic_tiebreak():
     )
     assert list(got["mode_val"]) == ["b", "c", "z"]
     assert list(got["mode_cnt"]) == [2, 2, 4]
+
+
+def test_hash_join_keys_left_and_inner_match_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import hash_join_keys
+
+    rng = np.random.default_rng(16)
+    left = pd.DataFrame(
+        {"k": rng.choice(np.arange(60, dtype=np.int64), 100),
+         "lv": np.arange(100, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.choice(np.arange(30, 90, dtype=np.int64), 70),
+         "rv": np.arange(70, dtype=np.int64) * 10}
+    )
+    for how in ["left", "inner"]:
+        got = (
+            hash_join_keys(rd.from_pandas(left), rd.from_pandas(right), "k", how=how)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how=how)
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), how
+        for c in ["k", "lv", "rv"]:
+            assert np.array_equal(
+                got[c].astype(float).to_numpy(),
+                want[c].astype(float).to_numpy(),
+                equal_nan=True,
+            ), (how, c)
+    import pytest
+
+    with pytest.raises(ValueError, match="how must be"):
+        hash_join_keys(rd.from_pandas(left), rd.from_pandas(right), "k", how="right")
