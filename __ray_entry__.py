@@ -863,6 +863,19 @@ def _q_mode_per_user(sf_dir: str):
     return mode_by(ev, "user_id", "event_type", out_col="mode_type")
 
 
+def _q_grouped_quartiles(sf_dir: str):
+    """Per-type quartiles in ONE pass
+    (`relational.py:grouped_quantiles_cont`): k quantiles cost one keyed
+    exchange, not k — each q is O(keys) index math over the same per-key
+    sorted values."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import grouped_quantiles_cont
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantiles_cont(ev, "event_type", "value", qs=[0.25, 0.5, 0.75])
+
+
 def _q_streaming_reservoir(sf_dir: str):
     """Persisted streaming weighted reservoir
     (`functions/sampling.py:WeightedReservoir`): three sequential ingest
@@ -1967,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_docs": _q_top_terms,
         "maint_wap": _q_maint_wap,
         "mode_event_type_per_user": _q_mode_per_user,
+        "grouped_quartiles_events": _q_grouped_quartiles,
         # --- new in r4 (never driver-checked) first ---
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
@@ -2182,6 +2196,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
         "grouped_median_events": """
 SELECT event_type, quantile_cont(value, 0.5) AS median_value
 FROM events GROUP BY event_type
+""".strip(),
+        "grouped_quartiles_events": """
+SELECT event_type, 0.25 AS q, quantile_cont(value, 0.25) AS q_val
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.5, quantile_cont(value, 0.5) FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.75, quantile_cont(value, 0.75) FROM events GROUP BY event_type
 """.strip(),
         "top_terms_docs": """
 WITH tok AS (

@@ -1402,3 +1402,48 @@ def mode_by(
         )
 
     return bucketed_groupby(ds, [key_col], bucket_mode, n_buckets, group_format="pyarrow")
+
+
+def grouped_quantiles_cont(
+    ds,
+    key_col: str,
+    val_col: str,
+    qs: list[float],
+    n_buckets: int = 64,
+):
+    """Per-key exact continuous quantiles at MULTIPLE q in one pass —
+    long-form output ``(key, q, q_val)``.  Identical plan to
+    :func:`grouped_quantile_cont` (one keyed exchange, per-key pre-sorted
+    values from the segment sort); each additional q is O(keys) index
+    math over the same sorted array, so k quantiles cost one exchange,
+    not k."""
+
+    def bucket_q(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            kt = g.column(key_col).type if key_col in g.column_names else pa.string()
+            return pa.table(
+                {key_col: pa.array([], kt), "q": pa.array([], pa.float64()),
+                 "q_val": pa.array([], pa.float64())}
+            )
+        g, starts, lens = _sorted_segments(g, key_col, [val_col])
+        v = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = g.column(key_col).take(pa.array(starts))
+        key_parts, q_parts, val_parts = [], [], []
+        for q in qs:
+            idx = q * (lens - 1).astype(np.float64)
+            lo_i = np.floor(idx).astype(np.int64)
+            frac = idx - lo_i
+            hi_i = np.minimum(lo_i + 1, lens - 1)
+            val_parts.append((1.0 - frac) * v[starts + lo_i] + frac * v[starts + hi_i])
+            q_parts.append(np.full(len(starts), q))
+            key_parts.append(keys)
+        return pa.table(
+            {key_col: pa.concat_arrays(
+                [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+                 for k in key_parts]
+            ),
+             "q": pa.array(np.concatenate(q_parts)),
+             "q_val": pa.array(np.concatenate(val_parts))}
+        )
+
+    return bucketed_groupby(ds, [key_col], bucket_q, n_buckets, group_format="pyarrow")

@@ -838,3 +838,35 @@ def test_hash_join_keys_left_and_inner_match_pandas():
 
     with pytest.raises(ValueError, match="how must be"):
         hash_join_keys(rd.from_pandas(left), rd.from_pandas(right), "k", how="right")
+
+
+def test_grouped_quantiles_cont_multi_q_matches_single_q():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import (
+        grouped_quantile_cont,
+        grouped_quantiles_cont,
+    )
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {"key": rng.choice(list("xy"), 600), "v": rng.normal(size=600)}
+    )
+    multi = (
+        grouped_quantiles_cont(rd.from_pandas(df), "key", "v", qs=[0.1, 0.5, 0.9])
+        .to_pandas()
+        .sort_values(["key", "q"])
+        .reset_index(drop=True)
+    )
+    assert len(multi) == 6
+    for qq in [0.1, 0.5, 0.9]:
+        single = (
+            grouped_quantile_cont(rd.from_pandas(df), "key", "v", q=qq)
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        sub = multi[multi["q"] == qq].reset_index(drop=True)
+        assert np.array_equal(sub["q_val"].to_numpy(), single["q_val"].to_numpy())
