@@ -204,6 +204,7 @@ def _queries() -> dict:
         "top_terms_docs",
         "maint_wap",
         "mode_event_type_per_user",
+        "grouped_quartiles_events",
     ]
     import ray.data
 
