@@ -698,6 +698,58 @@ def _q_lag_lead(sf_dir: str):
     )
 
 
+def _q_first_last(sf_dir: str):
+    """Per-user FIRST_VALUE/LAST_VALUE of event_type over the full
+    partition frame (`relational.py:first_last_by`): one keyed exchange,
+    shared Arrow segment sort, two endpoint `take`s — string values are
+    copied bit-for-bit, so the window result is exact."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import first_last_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = first_last_by(
+        ev,
+        "user_id",
+        "event_type",
+        ["ts", "event_id"],
+        first_out="first_event_type",
+        last_out="last_event_type",
+    )
+    return out.map_batches(
+        lambda b: b.select(
+            ["event_id", "user_id", "first_event_type", "last_event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP (returnflag, linestatus) over lineitem
+    (`relational.py:rollup_sums`): finest-grain (count, sum) partials in
+    one streamed pass with map-side combine, then the coarser grouping
+    sets re-aggregated from the tiny grouped result on the driver —
+    O(distinct combos), never a second scan."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import rollup_sums
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_sums(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+        n_out="n_rows",
+        sum_out="sum_qty",
+    )
+
+
 def _q_ntile(sf_dir: str):
     """Per-user NTILE(4) over event order (`relational.py:ntile_by`):
     SQL tile-size semantics (first L%t tiles get one extra row) in O(n)
@@ -1971,6 +2023,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- new in r5 (never driver-checked) first ---
         "lag_lead_events": _q_lag_lead,
+        "first_last_events": _q_first_last,
+        "rollup_pricing": _q_rollup_pricing,
         "ntile_events": _q_ntile,
         "corr_quantity_discount": _q_grouped_corr,
         "full_outer_customer_orders": _q_full_outer_join,
@@ -2135,6 +2189,20 @@ FROM events
 SELECT event_id, user_id,
        NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
 FROM events
+""".strip(),
+        "first_last_events": """
+SELECT event_id, user_id,
+       FIRST_VALUE(event_type) OVER w AS first_event_type,
+       LAST_VALUE(event_type)  OVER w AS last_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""".strip(),
+        "rollup_pricing": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """.strip(),
         # closed-form moments with explicit casts so the float expression is
         # evaluated in the SAME IEEE order as relational.grouped_corr —

@@ -205,6 +205,8 @@ def _queries() -> dict:
         "maint_wap",
         "mode_event_type_per_user",
         "grouped_quartiles_events",
+        "first_last_events",
+        "rollup_pricing",
     ]
     import ray.data
 

@@ -782,6 +782,64 @@ def docs_stats_by_lang(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def rollup_sums(
+    ds,
+    keys: list[str],
+    val_col: str,
+    n_out: str = "n_rows",
+    sum_out: str = "sum_val",
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP (k1, …, kd)`` — grouping-sets aggregate in ONE
+    streamed pass: per-block ``(count, sum)`` partials at the finest
+    grain (map-side combine before the shuffle), a small grouped reduce,
+    then every coarser ROLLUP level — (k1…k(d-1)), …, (k1), () — is
+    re-aggregated from that tiny finest-grain result on the driver.
+    O(distinct key combos) driver work; the data is never scanned twice.
+    Rolled-up key positions are NULL, as in SQL.  Exact when the summed
+    values are integer-valued (partial sums re-associate losslessly).
+
+    Reference parity: the reference's grouped report writers aggregate at
+    one grain per pass (`src/services/eodhd_processor.py` projection +
+    group loops); ROLLUP generalizes that to the full level lattice."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(keys, as_index=False, dropna=False).agg(
+            __n=(val_col, "size"), __s=(val_col, "sum")
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(Sum("__n", alias_name="__n"), Sum("__s", alias_name="__s"))
+        .to_pandas()
+    )
+    out_cols = list(keys) + [n_out, sum_out]
+    levels = [
+        finest.rename(columns={"__n": n_out, "__s": sum_out})[out_cols]
+    ]
+    for d in range(len(keys) - 1, -1, -1):
+        kept = list(keys[:d])
+        if kept:
+            g = finest.groupby(kept, as_index=False, dropna=False)[
+                ["__n", "__s"]
+            ].sum()
+        else:
+            g = finest[["__n", "__s"]].sum().to_frame().T
+        for k in keys[d:]:
+            g[k] = None
+        g = g.rename(columns={"__n": n_out, "__s": sum_out})
+        levels.append(g[out_cols])
+    out = pd.concat(levels, ignore_index=True)
+    out[n_out] = out[n_out].astype(np.int64)
+    out[sum_out] = out[sum_out].astype(np.float64)
+    for k in keys:
+        out[k] = out[k].astype(object).where(pd.notna(out[k]), None)
+    return out.sort_values(
+        keys, na_position="last", kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def anti_join_keys(
     left_ds,
     right_ds,
@@ -1049,6 +1107,46 @@ def lag_lead_by(
 
     return bucketed_groupby(
         ds, [key_col], bucket_shift, n_buckets, group_format="pyarrow"
+    )
+
+
+def first_last_by(
+    ds,
+    key_col: str,
+    val_col: str,
+    order_cols: list[str],
+    first_out: str = "first_value",
+    last_out: str = "last_value",
+    n_buckets: int = 64,
+):
+    """Per-key FIRST_VALUE/LAST_VALUE over the whole partition frame
+    (``FIRST_VALUE(v) OVER (PARTITION BY key ORDER BY … ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``): one keyed exchange,
+    then the shared Arrow segment sort and two ``take`` calls at the
+    segment endpoints.  Values are copied bit-for-bit — exact for any
+    value type — and never null over the full frame (every segment has
+    at least one row)."""
+
+    def bucket_fl(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            vt = (
+                g.column(val_col).type
+                if val_col in g.column_names
+                else pa.float64()
+            )
+            g = g.append_column(first_out, pa.array([], vt))
+            return g.append_column(last_out, pa.array([], vt))
+        g, starts, lens = _sorted_segments(g, key_col, order_cols)
+        seg_start = np.repeat(starts, lens)
+        seg_end = seg_start + np.repeat(lens, lens) - 1
+        v = g.column(val_col).combine_chunks()
+        firstv = v.take(pa.array(seg_start, pa.int64()))
+        lastv = v.take(pa.array(seg_end, pa.int64()))
+        g = g.append_column(first_out, firstv)
+        return g.append_column(last_out, lastv)
+
+    return bucketed_groupby(
+        ds, [key_col], bucket_fl, n_buckets, group_format="pyarrow"
     )
 
 

@@ -545,6 +545,80 @@ def test_lag_lead_by_matches_pandas_shift():
     pd.testing.assert_series_equal(got["next_value"], want["next_value"])
 
 
+def test_first_last_by_matches_pandas_transform():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import first_last_by
+
+    rng = np.random.default_rng(13)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 50, n).astype(np.int64),
+            "t": rng.integers(0, 500, n).astype(np.int64),
+            "v": rng.choice(list("abcdef"), n),
+        }
+    )
+    df.loc[df.index[:5], "key"] = np.arange(1000, 1005)  # 1-row partitions
+    got = (
+        first_last_by(rd.from_pandas(df), "key", "v", ["t", "id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["key", "t", "id"]).copy()
+    g = want.groupby("key")["v"]
+    want["first_value"] = g.transform("first")
+    want["last_value"] = g.transform("last")
+    want = want.sort_values("id").reset_index(drop=True)
+    assert (got["first_value"] == want["first_value"]).all()
+    assert (got["last_value"] == want["last_value"]).all()
+
+
+def test_rollup_sums_matches_duckdb_rollup():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import rollup_sums
+
+    rng = np.random.default_rng(17)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(list("XYZ"), n),
+            "b": rng.choice(list("pq"), n),
+            "v": rng.integers(0, 100, n).astype(np.float64),
+        }
+    )
+    got = rollup_sums(rd.from_pandas(df), ["a", "b"], "v", sum_out="sum_v")
+    want = duckdb.sql(
+        "SELECT a, b, count(*) AS n_rows, CAST(sum(v) AS DOUBLE) AS sum_v "
+        "FROM df GROUP BY ROLLUP (a, b)"
+    ).df()
+
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    got, want = canon(got), canon(want)
+    assert len(got) == len(want)
+    assert (got["n_rows"].to_numpy() == want["n_rows"].to_numpy()).all()
+    assert (got["sum_v"].to_numpy() == want["sum_v"].to_numpy()).all()
+    assert (
+        got["a"].astype(str).to_numpy() == want["a"].astype(str).to_numpy()
+    ).all()
+    assert (
+        got["b"].astype(str).to_numpy() == want["b"].astype(str).to_numpy()
+    ).all()
+
+
 def test_ntile_by_sql_semantics():
     import numpy as np
     import pandas as pd
