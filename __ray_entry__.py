@@ -264,6 +264,74 @@ def _q_maint_wap(sf_dir: str) -> pa.Table:
     return _result(table.read_all())
 
 
+def _q_maint_wap_stack(sf_dir: str) -> pa.Table:
+    """Stacked WAP gate (`stages/wap.py:stage_stack`): three batches stage
+    as a stack (each on the previous staged state, production content
+    never includes any of them).  Batch 1 duplicates a key that only
+    exists in STAGED batch 0 — the cumulative audit catches it, which a
+    per-batch-vs-base audit could not — so batch 1 aborts and batch 2,
+    stacked on it, aborts with it.  The passing prefix (batch 0)
+    publishes in one O(1) roll-forward.  Final content = base + batch 0,
+    which the oracle reproduces; the aborted batches' absence is what the
+    hash check proves."""
+    import numpy as np
+
+    from quanterra_pipeline_ray.stages.wap import (
+        check_not_null,
+        check_row_delta,
+        check_unique_key,
+        write_audit_publish_stack,
+    )
+
+    table, _data = _maint_table(sf_dir, "wapstack")
+
+    def batch(rows: dict) -> pa.Table:
+        t = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+        return t.select(table.schema.names).cast(table.schema)
+
+    checks = [
+        check_row_delta(min_added=1, max_added=100_000),
+        check_not_null("conv_id"),
+        check_unique_key(["conv_id", "turn_idx"]),
+    ]
+    good = batch(
+        {
+            "conv_id": ["cWS0", "cWS0"],
+            "turn_idx": np.array([0, 1], np.int32),
+            "role": ["user", "assistant"],
+            "text": ["wap stack hello", "wap stack hi"],
+            "tool": ["", ""],
+            "ts": pd.to_datetime(["2024-07-01 00:00:00", "2024-07-01 00:01:00"]),
+        }
+    )
+    dup_vs_staged = batch(
+        {
+            "conv_id": ["cWS0"],  # collides with STAGED batch 0, not base
+            "turn_idx": np.array([0], np.int32),
+            "role": ["user"],
+            "text": ["dup of staged"],
+            "tool": [""],
+            "ts": pd.to_datetime(["2024-07-01 00:02:00"]),
+        }
+    )
+    stacked_on_bad = batch(
+        {
+            "conv_id": ["cWS2"],
+            "turn_idx": np.array([0], np.int32),
+            "role": ["user"],
+            "text": ["never lands"],
+            "tool": [""],
+            "ts": pd.to_datetime(["2024-07-01 00:03:00"]),
+        }
+    )
+    snap, failures = write_audit_publish_stack(
+        table, [good, dup_vs_staged, stacked_on_bad], checks, tag="stk"
+    )
+    assert snap is not None and list(failures) == [1], failures
+    assert any("unique" in f for f in failures[1]), failures
+    return _result(table.read_all())
+
+
 def _q_maint_timetravel(sf_dir: str) -> pa.Table:
     """Timestamp time travel: three commits at logical ts 100/200/300 (the
     third is a compaction), scan ``as_of_ts=250`` -> the pre-compaction state
@@ -2033,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median_events": _q_grouped_median,
         "top_terms_docs": _q_top_terms,
         "maint_wap": _q_maint_wap,
+        "maint_wap_stack": _q_maint_wap_stack,
         "mode_event_type_per_user": _q_mode_per_user,
         "grouped_quartiles_events": _q_grouped_quartiles,
         # --- new in r4 (never driver-checked) first ---
@@ -2298,6 +2367,16 @@ SELECT 'cWAP' AS conv_id, CAST(0 AS INTEGER) AS turn_idx, 'user' AS role,
        'wap hello' AS text, '' AS tool, TIMESTAMP '2024-07-01 00:00:00' AS ts
 UNION ALL
 SELECT 'cWAP', CAST(1 AS INTEGER), 'assistant', 'wap hi', '',
+       TIMESTAMP '2024-07-01 00:01:00'
+""".strip(),
+        "maint_wap_stack": f"""
+WITH t AS ({t})
+SELECT * FROM t
+UNION ALL
+SELECT 'cWS0' AS conv_id, CAST(0 AS INTEGER) AS turn_idx, 'user' AS role,
+       'wap stack hello' AS text, '' AS tool, TIMESTAMP '2024-07-01 00:00:00' AS ts
+UNION ALL
+SELECT 'cWS0', CAST(1 AS INTEGER), 'assistant', 'wap stack hi', '',
        TIMESTAMP '2024-07-01 00:01:00'
 """.strip(),
         "maint_scan": scan_sql,

@@ -207,6 +207,7 @@ def _queries() -> dict:
         "grouped_quartiles_events",
         "first_last_events",
         "rollup_pricing",
+        "maint_wap_stack",
     ]
     import ray.data
 

@@ -103,6 +103,127 @@ def write_audit_publish(
     return publish_staged(table, staged), []
 
 
+# ------------------------------------------------------------- branch stacking
+@dataclass(frozen=True)
+class StagedStack:
+    """Ordered staged batches, each built on top of the previous staged
+    state.  ``expected_current`` is the production snapshot the next
+    publish fast-forwards from (the precondition)."""
+
+    commits: tuple[StagedCommit, ...]
+    expected_current: int
+
+
+def stage_stack(
+    table, batches: list[pa.Table], tag: str = "wap",
+    commit_ts: int | None = None,
+) -> StagedStack:
+    """Stage several batches as a STACK: batch i is appended on top of
+    batch i-1's staged snapshot (roll forward → append → roll back, all
+    O(1) metadata commits; each data file is written once), so staged
+    snapshot S_i contains batches 1..i.  Production content never
+    includes any staged row — after every batch the table is rolled back
+    to the pre-stage content.  Audits can then run per batch against the
+    cumulative staged state, and a passing PREFIX can publish in order
+    while a failing batch aborts itself and everything stacked on it."""
+    base = table.current_snapshot_id()
+    commits: list[StagedCommit] = []
+    prev_top = base
+    restore_point = base
+    for i, data in enumerate(batches):
+        if table.current_snapshot_id() != prev_top:
+            table.rollback(prev_top)  # roll forward to the stack top
+        snap = table.append_table(data, operation="wap-stage", commit_ts=commit_ts)
+        ref = f"wap-{snap.snapshot_id:06d}-{tag}{i}"
+        table.set_ref(ref, snap.snapshot_id)
+        restored = table.rollback(restore_point)
+        restore_point = restored.snapshot_id
+        commits.append(
+            StagedCommit(
+                staged_id=snap.snapshot_id,
+                base_id=prev_top,
+                restored_id=restored.snapshot_id,
+                ref_name=ref,
+            )
+        )
+        prev_top = snap.snapshot_id
+    return StagedStack(commits=tuple(commits), expected_current=restore_point)
+
+
+def audit_stack(
+    table, stack: StagedStack, checks: list[Callable]
+) -> dict[int, list[str]]:
+    """Audit each staged batch IN ORDER against its cumulative staged
+    snapshot (S_i = base + batches 1..i, so e.g. key-uniqueness checks a
+    batch against both the base AND the earlier staged batches).  Stops
+    at the first failing batch — later batches are stacked on it and
+    cannot publish anyway.  Returns ``{batch_index: failures}`` for
+    audited batches; an all-empty dict of len(commits) means a clean
+    stack."""
+    results: dict[int, list[str]] = {}
+    for i, staged in enumerate(stack.commits):
+        failures = audit_staged(table, staged, checks)
+        results[i] = failures
+        if failures:
+            break
+    return results
+
+
+def publish_stack(table, stack: StagedStack, upto: int | None = None):
+    """Publish the first ``upto`` staged batches (default: all) with ONE
+    O(1) roll-forward to S_upto — batches land in stage order by
+    construction.  Same fast-forward precondition as
+    :func:`publish_staged`.  Returns ``(snapshot, remaining_stack)``;
+    the remaining suffix stays staged and publishable later (its staged
+    snapshots already contain the published prefix)."""
+    k = len(stack.commits) if upto is None else upto
+    if not 1 <= k <= len(stack.commits):
+        raise ValueError(f"upto={k} out of range 1..{len(stack.commits)}")
+    cur = table.current_snapshot_id()
+    if cur != stack.expected_current:
+        raise ValueError(
+            f"table advanced since stage (s{stack.expected_current} -> s{cur}); "
+            "re-stage on the new base"
+        )
+    snap = table.rollback(stack.commits[k - 1].staged_id)
+    for c in stack.commits[:k]:
+        table.drop_ref(c.ref_name)
+    return snap, StagedStack(
+        commits=stack.commits[k:], expected_current=snap.snapshot_id
+    )
+
+
+def abort_stack_from(table, stack: StagedStack, index: int) -> StagedStack:
+    """Abort staged batch ``index`` AND every batch stacked on top of it
+    (their staged snapshots contain the aborted rows) by dropping their
+    refs — the orphaned snapshots age out with snapshot expiry.  The
+    surviving prefix remains staged and publishable."""
+    for c in stack.commits[index:]:
+        table.drop_ref(c.ref_name)
+    return StagedStack(
+        commits=stack.commits[:index], expected_current=stack.expected_current
+    )
+
+
+def write_audit_publish_stack(
+    table, batches: list[pa.Table], checks: list[Callable], tag: str = "wap",
+    commit_ts: int | None = None,
+):
+    """Composed stacked gate: stage every batch, audit in order, publish
+    the passing prefix in ONE roll-forward, abort from the first failure.
+    Returns ``(published_snapshot_or_None, failures_by_batch)``."""
+    stack = stage_stack(table, batches, tag=tag, commit_ts=commit_ts)
+    results = audit_stack(table, stack, checks)
+    first_bad = next((i for i in sorted(results) if results[i]), None)
+    failures = {i: f for i, f in results.items() if f}
+    if first_bad is not None:
+        stack = abort_stack_from(table, stack, first_bad)
+        if not stack.commits:
+            return None, failures
+    snap, _ = publish_stack(table, stack)
+    return snap, failures
+
+
 # ------------------------------------------------------------------ checks
 def check_row_delta(min_added: int = 1, max_added: int | None = None) -> Callable:
     """Metadata-only audit: rows added by the staged commit must fall in
