@@ -1483,6 +1483,26 @@ def _q_contamination_ac(sf_dir: str):
     return flag_contaminated_ac(ds, phrases)
 
 
+def _q_contamination_ac_sharded(sf_dir: str):
+    """Sharded Aho–Corasick decontamination
+    (`functions/contamination.py:flag_contaminated_ac_sharded`): the same
+    mid-size benchmark set split round-robin over a chain of 4 actor-pool
+    stages, each building only its shard of the automaton (1/K heap and
+    build CPU per actor — the >10M-phrase scale path); a doc flagged by
+    an earlier shard is never rescanned.  Bit-identical semantics to
+    `contamination_ac_docs` (same oracle)."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.functions.contamination import (
+        benchmark_phrase_windows,
+        flag_contaminated_ac_sharded,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    phrases = benchmark_phrase_windows(ds, fraction=0.2, seed=7)
+    return flag_contaminated_ac_sharded(ds, phrases, n_shards=4)
+
+
 def _q_repeat_mix(sf_dir: str):
     """Epoch-weighted upsampling (`functions/sampling.py:repeat_mix`):
     even-numbered sources repeated 2.5× (2 copies + a seeded-md5 coin for
@@ -2108,6 +2128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_mix_docs": _q_repeat_mix,
         "contamination_ngram_docs": _q_contamination_ngram,
         "contamination_ac_docs": _q_contamination_ac,
+        "contamination_ac_sharded_docs": _q_contamination_ac_sharded,
         "maint_incremental_sums": _q_maint_incremental_sums,
         "customers_without_orders": _q_customers_without_orders,
         "running_sum_events": _q_running_sum_events,
@@ -2916,6 +2937,17 @@ FROM documents
         # sample (0.02 -> '051eb851'); a doc is contaminated iff its
         # lower-cased text contains ANY phrase as a plain substring
         "contamination_ac_docs": """
+WITH bench AS (
+  SELECT DISTINCT lower(substr(d.text, CAST(21 + 17*t.k AS INT), 24)) AS phrase
+  FROM documents d, range(0, 8) t(k)
+  WHERE md5(CAST(d.doc_id AS VARCHAR) || ':7') < '33333333'
+    AND LENGTH(d.text) >= 44 + 17*t.k
+)
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM bench b WHERE contains(lower(d.text), b.phrase)) AS contaminated
+FROM documents d
+""".strip(),
+        "contamination_ac_sharded_docs": """
 WITH bench AS (
   SELECT DISTINCT lower(substr(d.text, CAST(21 + 17*t.k AS INT), 24)) AS phrase
   FROM documents d, range(0, 8) t(k)

@@ -208,6 +208,7 @@ def _queries() -> dict:
         "first_last_events",
         "rollup_pricing",
         "maint_wap_stack",
+        "contamination_ac_sharded_docs",
     ]
     import ray.data
 

@@ -235,6 +235,85 @@ def flag_contaminated_ac(
     )
 
 
+class ACShardFlagger:
+    """One stage of the SHARDED Aho–Corasick chain: builds the automaton
+    for its own phrase shard only (1/K of the trie heap and build CPU per
+    actor), ORs its hits into the carried flag column, and SKIPS docs an
+    earlier shard already flagged (first-hit short-circuit across the
+    whole chain, not just within one automaton)."""
+
+    def __init__(
+        self, phrases: list[str], id_col: str, text_col: str, out_col: str,
+        carry: bool,
+    ):
+        self.ac = AhoCorasick(phrases)
+        self.id_col, self.text_col, self.out_col = id_col, text_col, out_col
+        self.carry = carry  # False on the first shard (flag col absent)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        ac = self.ac
+        texts = b[self.text_col].astype(str)
+        if self.carry:
+            flag = b[self.out_col].to_numpy(copy=True)
+            tarr = texts.to_numpy()
+            for i in np.flatnonzero(~flag):
+                if ac.contains_any(tarr[i].lower()):
+                    flag[i] = True
+        else:
+            flag = np.fromiter(
+                (ac.contains_any(t.lower()) for t in texts),
+                dtype=bool,
+                count=len(b),
+            )
+        out = b[[self.id_col, self.text_col]].copy()
+        out[self.out_col] = flag
+        return out
+
+
+def flag_contaminated_ac_sharded(
+    ds,
+    phrases: list[str],
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "contaminated",
+    concurrency: int = 8,
+):
+    """``(id, contaminated)`` with the phrase set SHARDED over a chain of
+    ``n_shards`` actor-pool stages — the scale path for phrase sets too
+    large for one automaton (>10^6–10^7 phrases: a single Python trie
+    costs ~hundreds of bytes/char × concurrency in worker heap, and its
+    build repeats in EVERY actor).  Each stage ships and builds only its
+    1/K round-robin shard; docs stream through the chain with
+    backpressure (Ray Data pipelines the stages), and a doc flagged by an
+    earlier shard is never rescanned.  Identical semantics to
+    :func:`flag_contaminated_ac` for any shard count.
+
+    The honest trade, measured in BASELINE §g: a CLEAN doc is scanned
+    once per shard (automaton scan cost is O(len), independent of phrase
+    count), so wall grows ~linearly with K while per-actor build time and
+    heap SHRINK ~1/K — shard only when the single automaton cannot fit or
+    its per-actor build dominates.  Cf. the reference's bounded-fan-out
+    split of one large work set (`src/services/eodhd_processor.py:178`)."""
+    n_shards = max(1, min(n_shards, max(1, len(phrases))))
+    shards = [list(phrases[i::n_shards]) for i in range(n_shards)]
+    # all shard pools run CONCURRENTLY (the chain pipelines); size each so
+    # the whole chain plus task slots fits the cluster, or the executor
+    # live-locks (see util.pool_size)
+    per_stage = _pool_size(concurrency, pools_in_pipeline=n_shards)
+    out = ds
+    for i, shard in enumerate(shards):
+        out = out.map_batches(
+            ACShardFlagger,
+            fn_constructor_args=(shard, id_col, text_col, out_col, i > 0),
+            batch_format="pandas",
+            concurrency=per_stage,
+        )
+    return out.map_batches(
+        lambda b: b.select([id_col, out_col]), batch_format="pyarrow"
+    )
+
+
 def _word_ngrams(text: str, n: int) -> list[str]:
     ws = text.lower().split()
     return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]

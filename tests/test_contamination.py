@@ -156,3 +156,47 @@ def test_flag_contaminated_ac_matches_regex_flagger():
     # deterministic + layout-invariant phrase windows
     p2 = benchmark_phrase_windows(ds.repartition(7), fraction=0.5, seed=7, count=4)
     assert phrases == p2
+
+
+def test_flag_contaminated_ac_sharded_matches_unsharded():
+    """Shard-count invariance: the chained shard stages produce the same
+    flags as the single automaton for K in {1, 3, 7} (incl. K > the
+    useful phrase count edge), and the empty set flags nothing."""
+    from quanterra_pipeline_ray.functions.contamination import (
+        benchmark_phrase_windows,
+        flag_contaminated_ac,
+        flag_contaminated_ac_sharded,
+    )
+
+    rng = np.random.default_rng(21)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "purchase"]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(150, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(words, size=int(rng.integers(20, 60))))
+                for _ in range(150)
+            ],
+        }
+    )
+    ds = rd.from_pandas(df)
+    phrases = benchmark_phrase_windows(ds, fraction=0.5, seed=7, count=4)
+    assert len(phrases) > 10
+    want = (
+        flag_contaminated_ac(ds, phrases)
+        .to_pandas()
+        .sort_values("doc_id")["contaminated"]
+        .to_list()
+    )
+    assert any(want)
+    for k in (1, 3, 7):
+        got = (
+            flag_contaminated_ac_sharded(ds, phrases, n_shards=k)
+            .to_pandas()
+            .sort_values("doc_id")["contaminated"]
+            .to_list()
+        )
+        assert got == want, f"n_shards={k}"
+
+    none = flag_contaminated_ac_sharded(ds, [], n_shards=3).to_pandas()
+    assert not none["contaminated"].any()
