@@ -209,6 +209,7 @@ def _queries() -> dict:
         "rollup_pricing",
         "maint_wap_stack",
         "contamination_ac_sharded_docs",
+        "cube_pricing",
     ]
     import ray.data
 

@@ -788,20 +788,27 @@ def rollup_sums(
     val_col: str,
     n_out: str = "n_rows",
     sum_out: str = "sum_val",
+    sets: str = "rollup",
 ) -> pd.DataFrame:
-    """``GROUP BY ROLLUP (k1, …, kd)`` — grouping-sets aggregate in ONE
-    streamed pass: per-block ``(count, sum)`` partials at the finest
+    """``GROUP BY ROLLUP / CUBE (k1, …, kd)`` — grouping-sets aggregate in
+    ONE streamed pass: per-block ``(count, sum)`` partials at the finest
     grain (map-side combine before the shuffle), a small grouped reduce,
-    then every coarser ROLLUP level — (k1…k(d-1)), …, (k1), () — is
-    re-aggregated from that tiny finest-grain result on the driver.
-    O(distinct key combos) driver work; the data is never scanned twice.
-    Rolled-up key positions are NULL, as in SQL.  Exact when the summed
-    values are integer-valued (partial sums re-associate losslessly).
+    then every coarser grouping set — the d prefixes for ROLLUP, all 2^d
+    subsets for CUBE — is re-aggregated from that tiny finest-grain
+    result on the driver.  O(distinct key combos) driver work; the data
+    is never scanned twice.  Rolled-up key positions are NULL, as in SQL.
+    Exact when the summed values are integer-valued (partial sums
+    re-associate losslessly).
 
     Reference parity: the reference's grouped report writers aggregate at
     one grain per pass (`src/services/eodhd_processor.py` projection +
-    group loops); ROLLUP generalizes that to the full level lattice."""
+    group loops); ROLLUP/CUBE generalize that to the full level lattice."""
+    from itertools import combinations
+
     from ray.data.aggregate import Sum
+
+    if sets not in ("rollup", "cube"):
+        raise ValueError(f"sets must be 'rollup' or 'cube', got {sets!r}")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby(keys, as_index=False, dropna=False).agg(
@@ -818,16 +825,25 @@ def rollup_sums(
     levels = [
         finest.rename(columns={"__n": n_out, "__s": sum_out})[out_cols]
     ]
-    for d in range(len(keys) - 1, -1, -1):
-        kept = list(keys[:d])
+    if sets == "rollup":
+        grouping_sets = [tuple(keys[:d]) for d in range(len(keys) - 1, -1, -1)]
+    else:
+        grouping_sets = [
+            c
+            for d in range(len(keys) - 1, -1, -1)
+            for c in combinations(keys, d)
+        ]
+    for kept in grouping_sets:
+        kept = list(kept)
         if kept:
             g = finest.groupby(kept, as_index=False, dropna=False)[
                 ["__n", "__s"]
             ].sum()
         else:
             g = finest[["__n", "__s"]].sum().to_frame().T
-        for k in keys[d:]:
-            g[k] = None
+        for k in keys:
+            if k not in kept:
+                g[k] = None
         g = g.rename(columns={"__n": n_out, "__s": sum_out})
         levels.append(g[out_cols])
     out = pd.concat(levels, ignore_index=True)

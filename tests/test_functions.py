@@ -595,11 +595,22 @@ def test_rollup_sums_matches_duckdb_rollup():
             "v": rng.integers(0, 100, n).astype(np.float64),
         }
     )
-    got = rollup_sums(rd.from_pandas(df), ["a", "b"], "v", sum_out="sum_v")
-    want = duckdb.sql(
-        "SELECT a, b, count(*) AS n_rows, CAST(sum(v) AS DOUBLE) AS sum_v "
-        "FROM df GROUP BY ROLLUP (a, b)"
-    ).df()
+    cases = [
+        ("rollup", "ROLLUP (a, b)"),
+        ("cube", "CUBE (a, b)"),
+    ]
+    for sets, sql_sets in cases:
+        got = rollup_sums(
+            rd.from_pandas(df), ["a", "b"], "v", sum_out="sum_v", sets=sets
+        )
+        want = duckdb.sql(
+            "SELECT a, b, count(*) AS n_rows, CAST(sum(v) AS DOUBLE) AS sum_v "
+            f"FROM df GROUP BY {sql_sets}"
+        ).df()
+        _assert_grouping_sets_equal(got, want)
+
+
+def _assert_grouping_sets_equal(got, want):
 
     def canon(d):
         d = d[sorted(d.columns)].copy()
