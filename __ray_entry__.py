@@ -841,6 +841,29 @@ def _q_cube_pricing(sf_dir: str):
     )
 
 
+def _q_grouping_sets_pricing(sf_dir: str):
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ()) — the
+    arbitrary-list form of the one-pass grouping-sets plan
+    (`relational.py:rollup_sums` with an explicit set list): the finest
+    grain is computed once and only the REQUESTED levels are emitted."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import rollup_sums
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_sums(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+        n_out="n_rows",
+        sum_out="sum_qty",
+        sets=[("l_returnflag",), ("l_linestatus",), ()],
+    )
+
+
 def _q_ntile(sf_dir: str):
     """Per-user NTILE(4) over event order (`relational.py:ntile_by`):
     SQL tile-size semantics (first L%t tiles get one extra row) in O(n)
@@ -2137,6 +2160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_events": _q_first_last,
         "rollup_pricing": _q_rollup_pricing,
         "cube_pricing": _q_cube_pricing,
+        "grouping_sets_pricing": _q_grouping_sets_pricing,
         "ntile_events": _q_ntile,
         "corr_quantity_discount": _q_grouped_corr,
         "full_outer_customer_orders": _q_full_outer_join,
@@ -2323,6 +2347,12 @@ SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
        CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+""".strip(),
+        "grouping_sets_pricing": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """.strip(),
         # closed-form moments with explicit casts so the float expression is
         # evaluated in the SAME IEEE order as relational.grouped_corr —

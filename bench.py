@@ -210,6 +210,7 @@ def _queries() -> dict:
         "maint_wap_stack",
         "contamination_ac_sharded_docs",
         "cube_pricing",
+        "grouping_sets_pricing",
     ]
     import ray.data
 

@@ -788,27 +788,34 @@ def rollup_sums(
     val_col: str,
     n_out: str = "n_rows",
     sum_out: str = "sum_val",
-    sets: str = "rollup",
+    sets: str | list[tuple[str, ...]] = "rollup",
 ) -> pd.DataFrame:
-    """``GROUP BY ROLLUP / CUBE (k1, …, kd)`` — grouping-sets aggregate in
-    ONE streamed pass: per-block ``(count, sum)`` partials at the finest
-    grain (map-side combine before the shuffle), a small grouped reduce,
-    then every coarser grouping set — the d prefixes for ROLLUP, all 2^d
-    subsets for CUBE — is re-aggregated from that tiny finest-grain
-    result on the driver.  O(distinct key combos) driver work; the data
-    is never scanned twice.  Rolled-up key positions are NULL, as in SQL.
-    Exact when the summed values are integer-valued (partial sums
-    re-associate losslessly).
+    """``GROUP BY ROLLUP / CUBE / GROUPING SETS`` — grouping-sets
+    aggregate in ONE streamed pass: per-block ``(count, sum)`` partials
+    at the finest grain (map-side combine before the shuffle), a small
+    grouped reduce, then every coarser grouping set — the d prefixes for
+    ``sets="rollup"``, all 2^d subsets for ``sets="cube"``, or an
+    explicit list of key tuples (each a subset of ``keys``; include
+    ``tuple(keys)`` itself to get the finest level) — is re-aggregated
+    from that tiny finest-grain result on the driver.  O(distinct key
+    combos) driver work; the data is never scanned twice.  Rolled-up key
+    positions are NULL, as in SQL.  Exact when the summed values are
+    integer-valued (partial sums re-associate losslessly).
 
     Reference parity: the reference's grouped report writers aggregate at
     one grain per pass (`src/services/eodhd_processor.py` projection +
-    group loops); ROLLUP/CUBE generalize that to the full level lattice."""
+    group loops); ROLLUP/CUBE/GROUPING SETS generalize that to the full
+    level lattice."""
     from itertools import combinations
 
     from ray.data.aggregate import Sum
 
-    if sets not in ("rollup", "cube"):
-        raise ValueError(f"sets must be 'rollup' or 'cube', got {sets!r}")
+    if isinstance(sets, str) and sets not in ("rollup", "cube"):
+        raise ValueError(f"sets must be 'rollup', 'cube' or a list, got {sets!r}")
+    if not isinstance(sets, str):
+        bad = [s for s in sets for k in s if k not in keys]
+        if bad:
+            raise ValueError(f"grouping sets reference unknown keys: {bad}")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby(keys, as_index=False, dropna=False).agg(
@@ -822,17 +829,22 @@ def rollup_sums(
         .to_pandas()
     )
     out_cols = list(keys) + [n_out, sum_out]
-    levels = [
-        finest.rename(columns={"__n": n_out, "__s": sum_out})[out_cols]
-    ]
+    levels = []
     if sets == "rollup":
         grouping_sets = [tuple(keys[:d]) for d in range(len(keys) - 1, -1, -1)]
-    else:
+    elif sets == "cube":
         grouping_sets = [
             c
             for d in range(len(keys) - 1, -1, -1)
             for c in combinations(keys, d)
         ]
+    else:
+        grouping_sets = [tuple(s) for s in sets]
+    if isinstance(sets, str) or tuple(keys) in grouping_sets:
+        levels.append(
+            finest.rename(columns={"__n": n_out, "__s": sum_out})[out_cols]
+        )
+        grouping_sets = [s for s in grouping_sets if s != tuple(keys)]
     for kept in grouping_sets:
         kept = list(kept)
         if kept:

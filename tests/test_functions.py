@@ -598,6 +598,7 @@ def test_rollup_sums_matches_duckdb_rollup():
     cases = [
         ("rollup", "ROLLUP (a, b)"),
         ("cube", "CUBE (a, b)"),
+        ([("a", "b"), ("b",), ()], "GROUPING SETS ((a, b), (b), ())"),
     ]
     for sets, sql_sets in cases:
         got = rollup_sums(
