@@ -818,6 +818,29 @@ def _q_rollup_pricing(sf_dir: str):
     )
 
 
+def _q_nth_value(sf_dir: str):
+    """Per-user NTH_VALUE(event_type, 3) over the full partition frame
+    (`relational.py:nth_value_by`): the first_last_by plan with the take
+    index at start+n-1 and SQL NULL for partitions shorter than n —
+    bit-copied string values, exact."""
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import nth_value_by
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = nth_value_by(
+        ev, "user_id", "event_type", ["ts", "event_id"], n=3,
+        out_col="third_event_type",
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "third_event_type"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_cube_pricing(sf_dir: str):
     """GROUP BY CUBE (returnflag, linestatus) — all 2^d grouping sets from
     the SAME one-pass plan as `rollup_pricing` (`relational.py:rollup_sums`
@@ -2158,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in r5 (never driver-checked) first ---
         "lag_lead_events": _q_lag_lead,
         "first_last_events": _q_first_last,
+        "nth_value_events": _q_nth_value,
         "rollup_pricing": _q_rollup_pricing,
         "cube_pricing": _q_cube_pricing,
         "grouping_sets_pricing": _q_grouping_sets_pricing,
@@ -2332,6 +2356,13 @@ FROM events
 SELECT event_id, user_id,
        FIRST_VALUE(event_type) OVER w AS first_event_type,
        LAST_VALUE(event_type)  OVER w AS last_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""".strip(),
+        "nth_value_events": """
+SELECT event_id, user_id,
+       NTH_VALUE(event_type, 3) OVER w AS third_event_type
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

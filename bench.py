@@ -211,6 +211,7 @@ def _queries() -> dict:
         "contamination_ac_sharded_docs",
         "cube_pricing",
         "grouping_sets_pricing",
+        "nth_value_events",
     ]
     import ray.data
 

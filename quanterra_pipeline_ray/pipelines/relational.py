@@ -1178,6 +1178,49 @@ def first_last_by(
     )
 
 
+def nth_value_by(
+    ds,
+    key_col: str,
+    val_col: str,
+    order_cols: list[str],
+    n: int,
+    out_col: str = "nth_value",
+    n_buckets: int = 64,
+):
+    """Per-key NTH_VALUE(v, n) over the whole partition frame
+    (``NTH_VALUE(v, n) OVER (PARTITION BY key ORDER BY … ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``): the same
+    segment-sort + endpoint-take plan as :func:`first_last_by`, with the
+    take index clamped at ``start + n - 1`` and NULL for segments
+    shorter than ``n`` (SQL semantics).  Bit-copy, exact for any type."""
+    import pyarrow.compute as pc
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def bucket_nth(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            vt = (
+                g.column(val_col).type
+                if val_col in g.column_names
+                else pa.float64()
+            )
+            return g.append_column(out_col, pa.array([], vt))
+        g, starts, lens = _sorted_segments(g, key_col, order_cols)
+        seg_start = np.repeat(starts, lens)
+        seg_len = np.repeat(lens, lens)
+        valid = seg_len >= n
+        idx = np.where(valid, seg_start + (n - 1), 0)
+        v = g.column(val_col).combine_chunks()
+        nth = v.take(pa.array(idx, pa.int64()))
+        nth = pc.if_else(pa.array(valid), nth, pa.scalar(None, v.type))
+        return g.append_column(out_col, nth)
+
+    return bucketed_groupby(
+        ds, [key_col], bucket_nth, n_buckets, group_format="pyarrow"
+    )
+
+
 def ntile_by(
     ds,
     key_col: str,

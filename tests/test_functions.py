@@ -578,6 +578,40 @@ def test_first_last_by_matches_pandas_transform():
     assert (got["last_value"] == want["last_value"]).all()
 
 
+def test_nth_value_by_sql_null_for_short_partitions():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quanterra_pipeline_ray.pipelines.relational import nth_value_by
+
+    # partition lengths 1..5; n=3 -> null for lengths 1-2, 3rd value else
+    rows = []
+    rid = 0
+    for key, length in enumerate([1, 2, 3, 4, 5]):
+        for i in range(length):
+            rows.append(
+                {"id": rid, "key": key, "t": i, "v": f"k{key}i{i}"}
+            )
+            rid += 1
+    df = pd.DataFrame(rows)
+    df[["id", "key", "t"]] = df[["id", "key", "t"]].astype(np.int64)
+    got = (
+        nth_value_by(rd.from_pandas(df), "key", "v", ["t", "id"], n=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("id").copy()
+    want["nth_value"] = want["key"].map(
+        df.sort_values(["key", "t"]).groupby("key")["v"].apply(
+            lambda s: s.iloc[2] if len(s) >= 3 else None
+        )
+    )
+    assert got["nth_value"].where(got["nth_value"].notna(), None).to_list() == \
+        want["nth_value"].where(want["nth_value"].notna(), None).to_list()
+
+
 def test_rollup_sums_matches_duckdb_rollup():
     import duckdb
     import numpy as np
